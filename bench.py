@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Bench harness (SURVEY §7.2 M7).
+
+Runs the headline declared queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Materialization is via the ``noop`` sink (full execution, no driver
+transfer) so timings measure the plan, not ``collect()``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline queries: the scan/join/agg/window workhorses plus the
+#: LLM-pipeline operators — the set that exercises every physical
+#: strategy (broadcast join, shuffle agg, window, LSH self-join,
+#: broadcast NL-join top-k).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q_topk_orders_per_customer",
+    "q_running_customer_spend",
+    "q_rollup_qty",
+    "q_sessionize_events",
+    "q_asof_purchase_click",
+    "q_cdc_merge_orders",
+    "q_dedup_exact_docs",
+    "q_text_token_stats",
+    "q_text_language_id",
+    "q_minhash_near_dup",
+    "q_simhash_near_dup",
+    "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from jibaro_spark.session import build_session
+
+    spark = build_session(app_name="jibaro_spark_bench")
+
+    from jibaro_spark.queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        dq = REGISTRY[name]
+        t0 = time.perf_counter()
+        dq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Batch + streaming I/O by table coordinates.
+
+Re-creates the reference's reader/writer surface
+(``jibaro/spark/readwriter.py:14-117``, ``jibaro/spark/streaming.py:9-65``)
+as free functions over a :class:`~jibaro_spark.catalog.Catalog` instead
+of subclassed Spark readers.  Path-mounted formats are
+``parquet, json, orc, csv, text, delta`` (reference
+``readwriter.py:65-81``); any other format (``kafka``, ``jdbc``, ...)
+passes its options through untouched.
+
+The table format defaults to Delta when the delta-spark jars are
+present and parquet otherwise, so the engine runs in a bare pyspark
+environment; every call site accepts an explicit ``fmt=`` override.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+from jibaro_spark.catalog import Catalog, TableRef
+from jibaro_spark.session import has_delta
+
+#: Formats addressed by catalog path (reference ``readwriter.py:70-76``).
+PATH_FORMATS = {"parquet", "json", "orc", "csv", "text", "delta"}
+
+
+def default_table_format(spark: SparkSession) -> str:
+    return "delta" if has_delta(spark) else "parquet"
+
+
+def read_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    ref: TableRef,
+    fmt: str | None = None,
+    schema: Any = None,
+    **options: Any,
+) -> DataFrame:
+    """Batch read by coordinates (reference ``readwriter.py:65-117``)."""
+    fmt = fmt or default_table_format(spark)
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt in PATH_FORMATS:
+        return reader.load(catalog.path(ref))
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame,
+    catalog: Catalog,
+    ref: TableRef,
+    fmt: str | None = None,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    **options: Any,
+) -> None:
+    """Batch write by coordinates (reference ``readwriter.py:16-54``).
+
+    ``merge_schema=True`` maps to Delta's schema-evolution-on-write
+    (reference ``avro_handler.py:85-96``); a no-op under parquet, where
+    evolution is resolved at read time via ``mergeSchema``.
+    """
+    fmt = fmt or default_table_format(df.sparkSession)
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if merge_schema and fmt == "delta":
+        writer = writer.option("mergeSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt in PATH_FORMATS:
+        writer.save(catalog.path(ref))
+    else:
+        writer.save()
+
+
+def read_stream(
+    spark: SparkSession,
+    catalog: Catalog,
+    ref: TableRef,
+    fmt: str | None = None,
+    schema: Any = None,
+    max_files_per_trigger: int | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Streaming read by coordinates (reference ``streaming.py:11-51``).
+
+    For the parquet emulation of a Delta source, a schema is required
+    by Structured Streaming; when absent we infer it from a batch read
+    of the same path (driver-side, metadata only).
+    """
+    fmt = fmt or default_table_format(spark)
+    path = catalog.path(ref)
+    if max_files_per_trigger is not None:
+        options = {**options, "maxFilesPerTrigger": str(max_files_per_trigger)}
+    reader = spark.readStream.format(fmt).options(**options)
+    if schema is None and fmt in PATH_FORMATS - {"delta"}:
+        schema = spark.read.format(fmt).load(path).schema
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_stream(
+    df: DataFrame,
+    catalog: Catalog,
+    ref: TableRef,
+    fmt: str | None = None,
+    output_mode: str = "append",
+    available_now: bool = True,
+    foreach_batch: Any = None,
+    **options: Any,
+) -> StreamingQuery:
+    """Streaming write by coordinates with the auto-mounted checkpoint
+    convention (reference ``streaming.py:56-65``) and bounded
+    incremental triggers (reference ``cdc.py:41-45``:
+    ``trigger(availableNow=True)`` — stream-as-batch).
+    """
+    writer: DataStreamWriter = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", catalog.checkpoint_path(ref))
+        .options(**options)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if foreach_batch is not None:
+        return writer.foreachBatch(foreach_batch).start()
+    fmt = fmt or default_table_format(df.sparkSession)
+    return writer.format(fmt).start(catalog.path(ref))

@@ -1,0 +1,177 @@
+"""CDC operators — Debezium-envelope application, the heart of the
+reference (``jibaro/datalake/cdc.py:91-269``).
+
+Envelope model (FIXTURES §1.3, consumed by reference ``cdc.py:179-216``):
+
+* ``key``: struct of primary-key columns
+* ``value.op``: 'c' | 'u' | 'd' | 'r'
+* ``value.before`` / ``value.after``: row images (null per op kind)
+
+Semantics re-created exactly (reference ``cdc.py:203-216``):
+
+* ``whenMatchedUpdateAll``   for op != 'd'
+* ``whenNotMatchedInsertAll`` for op != 'd'
+* ``whenMatchedDelete``      for op == 'd'
+
+with per-batch latest-per-key pre-dedup (A3 — MERGE requires a unique
+source key per batch; reference ``cdc.py:132-142``).
+
+Two execution paths:
+
+* :func:`cdc_apply` — pure DataFrame → DataFrame merge (target ∖ batch
+  keys ∪ non-delete batch rows).  Used directly by declared queries
+  and by the parquet-emulated storage path.
+* :func:`cdc_merge_table` — storage-backed: Delta ``MERGE`` when
+  delta-spark is on the classpath (scales: shuffle-join on PK, no full
+  rewrite), else an overwrite of the parquet table with the
+  :func:`cdc_apply` result (full rewrite per batch — correct, and the
+  honest fallback without a transactional table format; at 100 TB you
+  run the Delta path).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.catalog import Catalog, TableRef
+from jibaro_spark.io import read_table, write_table
+from jibaro_spark.operators.dedup import dedup_latest
+from jibaro_spark.session import has_delta
+
+OP_COL = "op"
+DELETE_OP = "d"
+
+
+def latest_changes_per_key(
+    envelope: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[str] = ("timestamp",),
+) -> DataFrame:
+    """Per-batch dedup of a Debezium envelope stream: one change per PK,
+    latest by the ordering columns (reference ``cdc.py:132-142``;
+    ordering there is the Kafka timestamp).  Key columns are read from
+    the ``key`` struct."""
+    keyed = envelope.select(
+        F.struct(*[F.col(f"key.{k}").alias(k) for k in key_cols]).alias("__pk"),
+        "*",
+    )
+    return dedup_latest(keyed, keys=["__pk"], order_by=list(order_by)).drop("__pk")
+
+
+def flatten_envelope(envelope: DataFrame) -> DataFrame:
+    """Staged envelope → curated row shape: ``value.after.* + op``
+    for upserts and ``value.before.* + op`` for deletes
+    (reference ``cdc.py:192-200``; we use unionByName, not positional
+    union — fixes the reference defect noted in SURVEY §2.13)."""
+    upserts = envelope.filter(F.col(f"value.{OP_COL}") != DELETE_OP).select(
+        "value.after.*", f"value.{OP_COL}"
+    )
+    deletes = envelope.filter(F.col(f"value.{OP_COL}") == DELETE_OP).select(
+        "value.before.*", f"value.{OP_COL}"
+    )
+    return upserts.unionByName(deletes, allowMissingColumns=True)
+
+
+def cdc_apply(
+    target: DataFrame,
+    envelope: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[str] = ("timestamp",),
+) -> DataFrame:
+    """Apply a Debezium envelope batch to a current-state DataFrame.
+
+    Pure-DataFrame MERGE semantics (reference ``cdc.py:203-216``):
+    result = (target anti-join batch-keys) ∪ (after-image of non-delete
+    changes).  One shuffle on the PK; broadcastable when the batch is
+    small relative to the target (Catalyst/AQE decides).
+    """
+    batch = latest_changes_per_key(envelope, key_cols, order_by)
+    batch_keys = batch.select(
+        *[F.col(f"key.{k}").alias(k) for k in key_cols]
+    ).distinct()
+    upserts = batch.filter(F.col(f"value.{OP_COL}") != DELETE_OP).select(
+        "value.after.*", f"value.{OP_COL}"
+    )
+    survivors = target.join(batch_keys, on=list(key_cols), how="left_anti")
+    return survivors.unionByName(upserts, allowMissingColumns=True)
+
+
+def initial_load(envelope: DataFrame, key_cols: Sequence[str],
+                 order_by: Sequence[str] = ("timestamp",)) -> DataFrame:
+    """First materialization of a curated table: latest change per key,
+    deletes filtered out (reference ``cdc.py:178-187``:
+    ``filter("value.op != 'd'")`` then overwrite)."""
+    batch = latest_changes_per_key(envelope, key_cols, order_by)
+    return batch.filter(F.col(f"value.{OP_COL}") != DELETE_OP).select(
+        "value.after.*", f"value.{OP_COL}"
+    )
+
+
+def cdc_merge_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    envelope: DataFrame,
+    target_ref: TableRef,
+    key_cols: Sequence[str],
+    order_by: Sequence[str] = ("timestamp",),
+) -> None:
+    """Storage-backed CDC merge into the curated table at ``target_ref``.
+
+    Delta path: transactional ``MERGE`` on PK equality built from the
+    key columns (reference ``cdc.py:203-216``).  Parquet fallback:
+    read-modify-overwrite with :func:`cdc_apply` (correct, non-atomic —
+    noted as the bare-environment emulation).
+    """
+    path = catalog.path(target_ref)
+    exists = _path_exists(spark, path)
+
+    if has_delta(spark):
+        from delta.tables import DeltaTable
+
+        if not exists:
+            write_table(
+                initial_load(envelope, key_cols, order_by),
+                catalog, target_ref, fmt="delta", mode="overwrite",
+            )
+            return
+        batch = latest_changes_per_key(envelope, key_cols, order_by)
+        src = batch.select(
+            *[F.col(f"key.{k}").alias(f"__k_{k}") for k in key_cols],
+            F.col(f"value.{OP_COL}").alias("__op"),
+            "value.after",
+        )
+        cond = " AND ".join(f"t.{k} = s.__k_{k}" for k in key_cols)
+        dt = DeltaTable.forPath(spark, path)
+        set_all = {c: f"s.after.{c}" for c in envelope.select("value.after.*").columns}
+        set_all[OP_COL] = "s.__op"
+        (
+            dt.alias("t")
+            .merge(src.alias("s"), cond)
+            .whenMatchedDelete(condition=f"s.__op = '{DELETE_OP}'")
+            .whenMatchedUpdate(condition=f"s.__op != '{DELETE_OP}'", set=set_all)
+            .whenNotMatchedInsert(condition=f"s.__op != '{DELETE_OP}'", values=set_all)
+            .execute()
+        )
+        return
+
+    if not exists:
+        result = initial_load(envelope, key_cols, order_by)
+    else:
+        target = read_table(spark, catalog, target_ref, fmt="parquet")
+        # Materialize executor-side (no driver collect) before
+        # overwriting the path the plan reads from.
+        result = cdc_apply(target, envelope, key_cols, order_by).localCheckpoint(eager=True)
+    write_table(result, catalog, target_ref, fmt="parquet", mode="overwrite")
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check via py4j (reference ``utils.py:11-34``
+    pattern — works for any supported filesystem scheme)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)

@@ -1,0 +1,109 @@
+"""Relational extensions the reference delegates to Spark (SURVEY §2.4)
+plus the [ext] joins Spark lacks natively: as-of and range joins.
+
+All formulations are join + window / bucketed-equi-join — no
+correlated subqueries, no driver loops — so they survive a 100×
+scale-up as ordinary shuffles that AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` for the same key (J4 [ext]).
+
+    Formulation: equi-join on key with the time inequality as a join
+    predicate, then ``row_number`` per left row ordered by right time
+    descending (tiebroken by ``right_tiebreak`` for determinism).
+
+    Scale: one shuffle on the key.  For keys with very long right
+    histories, pre-filter the right side to a bounded time horizon
+    before calling (the classic bucketed-range optimization); AQE skew
+    join splits hot keys.
+    """
+    left = left.withColumn("__lid", F.monotonically_increasing_id())
+    joined = left.join(
+        right,
+        (F.col(left_on) == F.col(right_on))
+        & (F.col(right_time) <= F.col(left_time)),
+        how,
+    )
+    w = Window.partitionBy("__lid").orderBy(
+        F.col(right_time).desc(), F.col(right_tiebreak).desc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__lid", right_on)
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    extra_key: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Point-in-interval range join via bucketing (J4 [ext]).
+
+    Each right interval is exploded to the buckets it overlaps; the
+    left point joins on its bucket, then the exact containment filter
+    runs on the (small) per-bucket candidate set.  Turns an O(n·m)
+    theta join into an equi-join — the standard distributed range-join
+    strategy (cf. interval-join in stream processors).
+    """
+    lb = left.withColumn(
+        "__bucket", (F.col(left_point).cast("long") / bucket_width).cast("long")
+    )
+    rb = right.withColumn(
+        "__buckets",
+        F.sequence(
+            (F.col(right_start).cast("long") / bucket_width).cast("long"),
+            (F.col(right_end).cast("long") / bucket_width).cast("long"),
+        ),
+    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+    cond = (F.col(f"l.__bucket") == F.col("r.__bucket")) & (
+        F.col(f"l.{left_point}") >= F.col(f"r.{right_start}")
+    ) & (F.col(f"l.{left_point}") <= F.col(f"r.{right_end}"))
+    if extra_key is not None:
+        lk, rk = extra_key
+        cond = cond & (F.col(f"l.{lk}") == F.col(f"r.{rk}"))
+    return (
+        lb.alias("l")
+        .join(rb.alias("r"), cond)
+        .drop("__bucket")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number window (O4 [ext])."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

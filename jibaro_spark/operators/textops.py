@@ -1,0 +1,118 @@
+"""Text-analysis operators for LLM data pipelines ([ext], SURVEY §7.2 M6).
+
+All of these are **native column expressions** (split/transform/filter/
+aggregate) — they run inside whole-stage codegen with zero Python
+round-trips, which is the difference between feasible and infeasible at
+100 TB.  A pandas-UDF escape hatch exists for genuinely procedural
+scoring (see :mod:`jibaro_spark.operators.multimodal` for the pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword sets for the n-gram/stopword heuristic
+#: language identifier.  Deliberately tiny: language ID at pipeline
+#: scale is a heuristic scorer, not a classifier download.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"],
+}
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalized_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: count of matches of a BPE-flavored
+    regex (word pieces of ≤4 chars, digits, punctuation) — a cheap,
+    deterministic proxy for tokenizer cost accounting."""
+    pieces = F.regexp_extract_all(
+        F.lower(col), F.lit(r"([a-z]{1,4}|[0-9]|[^a-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens(col)), sw))
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID by stopword-hit voting (deterministic
+    priority en > es > de > fr on ties)."""
+    c_en, c_es, c_de, c_fr = (stopword_hits(col, lg) for lg in ("en", "es", "de", "fr"))
+    return (
+        F.when((c_en >= c_es) & (c_en >= c_de) & (c_en >= c_fr), "en")
+        .when((c_es >= c_de) & (c_es >= c_fr), "es")
+        .when(c_de >= c_fr, "de")
+        .otherwise("fr")
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality-signal columns (single IEEE divisions only,
+    so Spark and any oracle engine agree bit-for-bit)."""
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(col).cast("double")
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": (n_char - (n_tok - 1)) / n_tok,
+        "alpha_ratio": n_alpha / n_char,
+        "punct_ratio": n_punct / n_char,
+        "uniq_token_ratio": n_uniq / n_tok,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]-ish: rewards alphabetic content
+    and lexical diversity, penalizes extreme punctuation.  Fixed
+    left-to-right expression order for cross-engine determinism."""
+    f = quality_features(col)
+    return (
+        f["alpha_ratio"] * F.lit(0.5)
+        + f["uniq_token_ratio"] * F.lit(0.4)
+        + (F.lit(1.0) - f["punct_ratio"]) * F.lit(0.1)
+    )
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 hex of normalized text (stable across
+    engines — DuckDB md5() produces the same hex)."""
+    return F.md5(normalized_text(col))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: k-gram rolling hashes →
+    keep the ``keep`` smallest (as a sorted array) — a compact sketch
+    for containment checks.  Native exprs only."""
+    sh = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.length(normalized_text(col)) - window, F.lit(0)),
+        ),
+        lambda i: F.xxhash64(F.substring(normalized_text(col), i + 1, window)),
+    )
+    return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)

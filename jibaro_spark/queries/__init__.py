@@ -1,0 +1,17 @@
+"""Declared-query registry — the correctness/coverage surface.
+
+Every operator from SURVEY.md §2 that the engine claims is backed by a
+declared query here: a PySpark callable ``(spark, sf_dir) -> DataFrame``
+plus (where SQL-expressible) an equivalent DuckDB oracle SQL string.
+The driver executes both at sf0.01 and hash-compares values.
+"""
+
+from jibaro_spark.queries.registry import REGISTRY, DeclaredQuery, declare, load_tables
+
+# Importing the modules populates REGISTRY via @declare decorators.
+from jibaro_spark.queries import tpch  # noqa: E402,F401
+from jibaro_spark.queries import events  # noqa: E402,F401
+from jibaro_spark.queries import llm  # noqa: E402,F401
+from jibaro_spark.queries import pipeline  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "DeclaredQuery", "declare", "load_tables"]

@@ -1,0 +1,195 @@
+"""Event-stream declared queries: sessionization, time windows, as-of
+joins, JSON extraction (SURVEY §2.10 T5 [ext], §2.4 J4, §2.8 F9).
+
+The reference has no watermark/window surface (SURVEY §2.10 T5 —
+explicitly absent); these are the [ext] batch equivalents.  The
+streaming (watermarked) variants of the same logic live in
+:mod:`jibaro_spark.streaming` and are covered by pytest, since the
+DuckDB oracle is batch-only.
+
+Scale notes: sessionization is a single window per ``user_id`` — one
+shuffle on the session key, no self-join; the as-of join is expressed
+as union-free join + window rather than a per-row subquery, which at
+100 TB becomes a shuffle on ``user_id`` with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.queries.registry import declare, dsum, load_tables
+
+SESSION_GAP_SECONDS = 6 * 3600
+
+
+QSESS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR DATE_DIFF('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       DATE_DIFF('second', MIN(ts), MAX(ts)) AS duration_s
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@declare("q_sessionize_events", oracle=QSESS_ORACLE, description="gap-based sessionization via lag + cumulative sum windows (W3 [ext])")
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+QWIN_ORACLE = """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+@declare("q_event_daily_windows", oracle=QWIN_ORACLE, description="tumbling time-window aggregation (T5 [ext] batch form)")
+def q_event_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+# As-of join (J4 [ext]): each purchase joined to the same user's latest
+# click at-or-before the purchase time.  Join + window-rank, not a
+# correlated subquery — the distributed-friendly formulation.
+QASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM purchases p
+  JOIN clicks c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM ranked WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
+@declare("q_asof_purchase_click", oracle=QASOF_ORACLE, description="as-of join: latest prior event per key (J4 [ext])")
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            left_on="user_id",
+            right_on="c_user_id",
+            left_time="purchase_ts",
+            right_time="click_ts",
+            right_tiebreak="click_id",
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+        .orderBy("purchase_id")
+    )
+
+
+QJSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS k_mod5
+FROM events
+ORDER BY event_id
+"""
+
+
+@declare("q_json_extract_props", oracle=QJSON_ORACLE, description="JSON extraction from string column (F9 json)")
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id", k.alias("k_value"), (k % 5).alias("k_mod5")
+    ).orderBy("event_id")
+
+
+# Latest-event-per-user — the reference's A3 dedup pattern
+# (``cdc.py:132-142``) applied to the events fixture.
+QLATEST_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@declare("q_latest_event_per_user", oracle=QLATEST_ORACLE, description="latest-per-key dedup via row_number window (A3)")
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import dedup_latest
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        dedup_latest(ev, keys=["user_id"], order_by=["ts", "event_id"])
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )

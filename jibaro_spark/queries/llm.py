@@ -1,0 +1,218 @@
+"""LLM-data-pipeline declared queries ([ext] — the north-star operator
+set: dedup, similarity search, text analysis, multimodal plumbing).
+
+SQL-expressible variants carry DuckDB oracles; the LSH-based
+approximate ops are declared rows-only (non-SQL-expressible) and are
+instead verified in pytest against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.operators import dedup as dd
+from jibaro_spark.operators import similarity as sim
+from jibaro_spark.operators import textops as tx
+from jibaro_spark.queries.registry import declare, load_tables
+
+# Normalized text in DuckDB SQL (mirrors textops.normalized_text; the
+# 'g' flag matches Spark's replace-all semantics).
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+QTOK_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       (CAST(LENGTH(text) AS DOUBLE) - (CAST(len({_TOKS}) AS DOUBLE) - 1)) / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len,
+       CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS uniq_token_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare("q_text_token_stats", oracle=QTOK_ORACLE, description="token counting + quality features, native exprs (U5 [ext] text analysis)")
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["uniq_token_ratio"].alias("uniq_token_ratio"),
+    ).orderBy("doc_id")
+
+
+def _hits_sql(lang_words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in lang_words) + "]"
+    return f"len(list_intersect(list_distinct({_TOKS}), {arr}))"
+
+
+QLANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_hits_sql(tx.STOPWORDS['en'])} AS c_en,
+         {_hits_sql(tx.STOPWORDS['es'])} AS c_es,
+         {_hits_sql(tx.STOPWORDS['de'])} AS c_de,
+         {_hits_sql(tx.STOPWORDS['fr'])} AS c_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr' END AS detected_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@declare("q_text_language_id", oracle=QLANG_ORACLE, description="heuristic stopword-vote language ID (text analysis [ext])")
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.language_id(F.col("text")).alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+QFP_ORACLE = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare("q_text_fingerprint", oracle=QFP_ORACLE, description="md5 content fingerprint of normalized text (text analysis [ext])")
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", tx.fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# Exact dedup: kept ids are hash-function-independent (min doc_id per
+# distinct normalized content), so the oracle needs no xxhash64.
+QDEDUP_ORACLE = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY {_NORM} ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@declare("q_dedup_exact_docs", oracle=QDEDUP_ORACLE, description="exact dedup via content hash groupBy (dedup [ext])")
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        dd.dedup_exact(docs, content_cols=["text"], keep_order_col="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+QNORM_ORACLE = """
+SELECT vec_id,
+       ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+       label
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@declare("q_embedding_norms", oracle=QNORM_ORACLE, description="vector L2 norms via native array aggregate (J6 support)")
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sim.l2_norm_sq(F.col("embedding"))), 6).alias("l2_norm"),
+        "label",
+    ).orderBy("vec_id")
+
+
+QKNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(q.q_vec, q.q_vec))
+                  * SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT q_id, vec_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@declare("q_knn_bruteforce", oracle=QKNN_ORACLE, description="exact cosine top-k (brute force baseline, J6 [ext])")
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.knn_bruteforce(
+        queries, emb, "q_id", "q_vec", "vec_id", "embedding", k=5
+    ).select("q_id", "vec_id", "cosine_sim", "rank").orderBy("q_id", "rank")
+
+
+# ---- rows-only declared queries (non-SQL-expressible; verified in
+# pytest against exact counterparts) ------------------------------------
+
+
+@declare("q_knn_lsh", oracle=None, description="approximate cosine top-k via banded sign-LSH + exact re-rank (J6 scale path)")
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.knn_lsh(
+        queries, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k=5, dim=64, num_planes=16, bands=4,
+    ).select("q_id", "vec_id", "cosine_sim", "rank").orderBy("q_id", "rank")
+
+
+@declare("q_minhash_near_dup", oracle=None, description="MinHash+LSH near-duplicate pairs (dedup scale path [ext])")
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@declare("q_simhash_near_dup", oracle=None, description="SimHash near-duplicate pairs via 16-bit block LSH (dedup [ext])")
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+@declare("q_ngram_jaccard_pairs", oracle=None, description="exact n-gram Jaccard over inverted-index candidates (dedup [ext])")
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@declare("q_embedding_near_dup", oracle=None, description="embedding-cosine near-dup pairs via sign-LSH (dedup [ext])")
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.embedding_near_duplicates(
+        emb, "vec_id", "embedding", dim=64, threshold=0.8
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,87 @@
+"""Session helpers — tuned SparkSession builder (composition, not subclass).
+
+The reference subclasses ``SparkSession`` with per-version code paths
+(``jibaro/spark/session.py:39-134``).  We instead provide a builder
+function that layers scale-appropriate defaults on a stock session; the
+rest of the engine takes a plain ``SparkSession`` argument everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for the 100 TB design point, applied unless the
+#: caller overrides them.  All are standard public Spark confs.
+SCALE_DEFAULTS: dict[str, str] = {
+    # AQE re-plans at runtime: coalesces post-shuffle partitions, picks
+    # broadcast joins from observed sizes, splits skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps for oracle comparison and cross-engine
+    # correctness (duckdb is UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for pandas UDF / toPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MiB input splits — a sane default for large parquet scans.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def build_session(
+    app_name: str = "jibaro_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
+    ``local[*]``) so tests and bench share one entry point; on a real
+    cluster the caller simply passes ``master=None`` with a cluster
+    submit and the defaults still apply.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(SCALE_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.setdefault("spark.ui.enabled", "false")
+    conf.setdefault("spark.driver.memory", os.environ.get("JIBARO_SPARK_DRIVER_MEMORY", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def has_delta(spark: SparkSession) -> bool:
+    """True when delta-spark is importable and its jars are loaded."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except Exception:
+        return False
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def has_kafka(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector jar is on the classpath."""
+    try:
+        spark.read.format("kafka")
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,30 @@
+"""Every declared query with an oracle is hash-compared vs DuckDB —
+the same check the driver runs at sf0.01 (here at the smoke SF for
+speed; set JIBARO_TEST_SF_DIR=/root/testdata/sf0.01 for the full run).
+Queries without an oracle get a smoke run (>= 0 rows, stable schema)
+plus dedicated semantic tests elsewhere."""
+
+from __future__ import annotations
+
+import pytest
+
+from jibaro_spark.queries import REGISTRY
+from jibaro_spark.testing import compare_with_oracle
+
+ORACLE_QUERIES = sorted(n for n, dq in REGISTRY.items() if dq.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, dq in REGISTRY.items() if not dq.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(name, spark, duck, sf_dir):
+    dq = REGISTRY[name]
+    df = dq.fn(spark, sf_dir)
+    compare_with_oracle(df, duck, dq.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_smoke(name, spark, sf_dir):
+    dq = REGISTRY[name]
+    df = dq.fn(spark, sf_dir)
+    assert df.columns  # stable schema
+    assert df.count() >= 0
