@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jibaro_spark.operators.util import ensure_parallelism
+
 _ROW_NUM = "__jibaro_rn"
 
 
@@ -101,39 +103,40 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
 
 
-def _permutation_params(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the linear minhash permutations:
-    odd 16-bit multipliers + 31-bit offsets from Knuth-style mixing."""
-    return [
-        (((0x9E3779B1 * (i + 1)) & 0xFFFF) | 1, (0x85EBCA77 * (i + 1)) & 0x7FFFFFFF)
-        for i in range(num_hashes)
-    ]
+_MAX_LONG = (1 << 63) - 1
 
 
 def minhash_signature(col: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
     """MinHash signature (array<bigint>) of a text column.
 
-    Each shingle is string-hashed ONCE (``xxhash64``); the
-    ``num_hashes`` minhash functions are linear permutations
-    ``a_i * h32 + b_i`` of that single hash (h32 = low 32 bits, so the
-    product stays < 2^49 — no overflow under ANSI mode).  This is the
-    100 TB formulation: per document the cost is |shingles| string
-    hashes + |shingles|·k integer mul-adds, not |shingles|·k string
-    hashes (which benched 70× slower), and it is pure native
-    expressions — no UDF, no model state.
+    The ``num_hashes`` hash functions are ``xxhash64(shingle_hash, i)``
+    for i in 0..k-1 — re-hashing the single per-shingle string hash
+    with the slot index gives k independent full-avalanche hash
+    functions (the k-independent-hashes MinHash variant).  A linear
+    ``a*h + b`` "permutation" WITHOUT a modulus is monotone in h, which
+    silently degenerates all k slots to the same argmin shingle — est
+    similarity collapses to a 0/1 "share the min shingle" test; don't.
+
+    Formulated as a SINGLE ``aggregate`` over the shingle-hash array
+    with a ``num_hashes``-wide running-min accumulator.  The naive
+    alternative — ``array(array_min(transform(base, h_i)) for i in
+    0..63)`` — textually inlines the whole split→shingle→hash subtree
+    64×; after project collapse into the band-explode lambda that
+    becomes a ~10³-copy expression tree that takes Catalyst minutes to
+    analyze (observed: 477 s vs ~13 s for this form at sf0.1).  Here
+    the shingle array appears exactly once, so per-document cost is
+    |shingles| string hashes + |shingles|·k integer hashes — pure
+    native expressions, no UDF, no model state: the 100 TB formulation.
     """
     base = F.transform(
         F.array_distinct(shingles(col, shingle_n)),
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
+        lambda s: F.xxhash64(s),
     )
-    def perm(a: int, b: int):
-        return lambda h: h * a + b
-
-    return F.array(
-        *[
-            F.array_min(F.transform(base, perm(a, b)))
-            for a, b in _permutation_params(num_hashes)
-        ]
+    slots = F.expr(f"sequence(0, {num_hashes - 1})")
+    return F.aggregate(
+        base,
+        F.expr(f"array_repeat({_MAX_LONG}L, {num_hashes})"),
+        lambda acc, h: F.zip_with(acc, slots, lambda m, i: F.least(m, F.xxhash64(h, i))),
     )
 
 
@@ -158,15 +161,20 @@ def minhash_near_duplicates(
     Scale: the only join is on band buckets; with r rows per band the
     collision probability is s^r for Jaccard s, so bucket sizes stay
     small.  Signature verification happens on the joined pairs only.
+    The band join carries ONLY (id, band_idx, band_hash) — signatures
+    (num_hashes × 8 bytes each) are joined back to the deduplicated
+    candidate pairs afterwards, so the wide arrays never enter the
+    band shuffle (at 100 TB the 16-way band explode of a 512-byte
+    signature would otherwise 8-KB-per-doc the shuffle).
     """
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     sig = df.select(
         F.col(id_col).alias("__id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
     )
     banded = sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -178,7 +186,7 @@ def minhash_near_duplicates(
                 ),
             )
         ).alias("band"),
-    ).select("__id", "__sig", "band.band_idx", "band.band_hash")
+    ).select("__id", "band.band_idx", "band.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -192,10 +200,16 @@ def minhash_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b")),
+            "id_b",
+        )
     )
     est = (
         F.aggregate(
@@ -268,7 +282,10 @@ def simhash_near_duplicates(
     with ``bit_count(xor)``.
     """
     fp = with_simhash(
-        df.select(F.col(id_col).alias("__id"), text_col), text_col, "__fp", shingle_n
+        ensure_parallelism(df.select(F.col(id_col).alias("__id"), text_col)),
+        text_col,
+        "__fp",
+        shingle_n,
     ).select("__id", "__fp")
     blocks = fp.select(
         "__id",
@@ -321,7 +338,7 @@ def ngram_jaccard_pairs(
     is computed on the distinct shingle arrays.  This is the exact
     verifier for the MinHash estimate.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jibaro_spark.operators.util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns, double accumulation."""
@@ -65,7 +67,7 @@ def knn_bruteforce(
     """
     sim = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_decimals)
     pairs = (
-        corpus.crossJoin(F.broadcast(queries))
+        ensure_parallelism(corpus).crossJoin(F.broadcast(queries))
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(
             F.col(query_id),
@@ -151,7 +153,7 @@ def knn_lsh(
         )
 
     qb = banded(queries, query_id, query_vec, "qb")
-    cb = banded(corpus, corpus_id, corpus_vec, "cb")
+    cb = banded(ensure_parallelism(corpus), corpus_id, corpus_vec, "cb")
     cand = (
         qb.join(cb, ["band_idx", "band_hash"])
         .filter(F.col(query_id) != F.col(corpus_id))
@@ -184,7 +186,7 @@ def embedding_near_duplicates(
     rows = num_planes // bands
     sig = lsh_signature(F.col(vec_col), dim, num_planes)
     banded = (
-        df.withColumn("__sig", sig)
+        ensure_parallelism(df).withColumn("__sig", sig)
         .select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),

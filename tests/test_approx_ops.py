@@ -1,0 +1,193 @@
+"""Semantic verification of the approximate (rows-only) operators
+against exact ground truth computed driver-side on the small fixture.
+
+Everything here is deterministic: the LSH hyperplanes and minhash
+permutations are derived from fixed xxhash seeds, and the fixtures are
+seed-42 synthetic — so recall/precision assertions are stable, not
+flaky probabilistic bounds.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.operators import dedup as dd
+from jibaro_spark.operators import similarity as sim
+from jibaro_spark.queries.registry import load_tables
+
+
+def _normalize(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip().lower())
+
+
+def _shingle_set(text: str, n: int = 3) -> frozenset[str]:
+    words = _normalize(text).split(" ")
+    if len(words) <= n:
+        return frozenset([" ".join(words)])
+    return frozenset(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+
+
+def _jaccard(a: frozenset, b: frozenset) -> float:
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def docs_local(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_local(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_minhash_pairs_vs_exact_jaccard(spark, sf_dir, docs_local):
+    """Every reported pair's est_jaccard is close to exact 3-gram
+    Jaccard, and every high-Jaccard ground-truth pair is recalled."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    found = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.minhash_near_duplicates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.4
+        ).collect()
+    }
+    sh = {i: _shingle_set(t) for i, t in docs_local}
+    exact_hi = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and _jaccard(sh[a], sh[b]) >= 0.7
+    }
+    # recall on clearly-duplicate pairs
+    missed = exact_hi - set(found)
+    assert not missed, f"minhash missed high-jaccard pairs: {missed}"
+    # estimator sanity: 64 hashes => stderr ~ sqrt(s(1-s)/64) <= 0.0625
+    for (a, b), est in found.items():
+        exact = _jaccard(sh[a], sh[b])
+        assert abs(est - exact) <= 0.25, (a, b, est, exact)
+
+
+def test_simhash_recalls_exact_duplicates(spark, sf_dir, docs_local):
+    """Pairs with identical normalized text have identical simhash, so
+    block-LSH must recall them at hamming 0; all reported pairs must
+    honor the hamming bound."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = dd.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).collect()
+    assert all(r.hamming <= 8 for r in out)
+    norm = {i: _normalize(t) for i, t in docs_local}
+    exact_dups = {
+        (a, b) for a in norm for b in norm if a < b and norm[a] == norm[b]
+    }
+    found = {(r.id_a, r.id_b) for r in out}
+    assert exact_dups <= found
+
+
+def test_ngram_jaccard_is_exact(spark, sf_dir, docs_local):
+    """The inverted-index candidate pruning must not lose any pair
+    above threshold — output equals brute-force exact Jaccard."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    sh = {i: _shingle_set(t) for i, t in docs_local}
+    want = {
+        (a, b): _jaccard(sh[a], sh[b])
+        for a in sh
+        for b in sh
+        if a < b and _jaccard(sh[a], sh[b]) >= 0.3
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), (k, got[k], want[k])
+
+
+def _exact_topk(emb_local, k: int = 5):
+    import numpy as np
+
+    ids = [r[0] for r in emb_local]
+    V = np.array([r[1] for r in emb_local], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    out = {}
+    for qi, qid in enumerate(ids):
+        if qid % 100 != 0:
+            continue
+        sims = [
+            (round(S[qi, j], 6), ids[j]) for j in range(len(ids)) if ids[j] != qid
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = [v for _, v in sims[:k]]
+    return out
+
+
+def test_knn_bruteforce_matches_numpy(spark, sf_dir, emb_local):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {}
+    for r in sim.knn_bruteforce(
+        queries, emb, "q_id", "q_vec", "vec_id", "embedding", k=5
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    got = {q: [v for _, v in sorted(rs)] for q, rs in got.items()}
+    assert got == _exact_topk(emb_local)
+
+
+def test_knn_lsh_recall(spark, sf_dir, emb_local):
+    """LSH top-k recall vs exact top-k (deterministic planes): at the
+    fixture's scale recall must be substantial, and each reported
+    neighbor's rank order must be internally consistent."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {}
+    for r in sim.knn_lsh(
+        queries, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k=5, dim=64, num_planes=16, bands=4,
+    ).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    exact = _exact_topk(emb_local)
+    hits = sum(len(got.get(q, set()) & set(v)) for q, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4, f"LSH recall {hits}/{total}"
+
+
+def test_embedding_near_dup_exact_precision(spark, sf_dir, emb_local):
+    """Reported pairs are exact-cosine verified, so precision is 1.0 by
+    construction — check against numpy ground truth."""
+    import numpy as np
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    out = sim.embedding_near_duplicates(
+        emb, "vec_id", "embedding", dim=64, threshold=0.5
+    ).collect()
+    ids = [r[0] for r in emb_local]
+    V = np.array([r[1] for r in emb_local], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in out:
+        assert round(S[idx[r.id_a], idx[r.id_b]], 6) >= 0.5
+        assert math.isclose(
+            r.cosine_sim, round(S[idx[r.id_a], idx[r.id_b]], 6), abs_tol=2e-6
+        )
