@@ -1,0 +1,307 @@
+"""Confluent wire format + schema registry + schema-partitioned decode.
+
+Wire format (reference ``jibaro/datalake/avro_handler.py:31-40``,
+``protobuf_handler.py:49-58``, encode at ``kafka.py:86-109``)::
+
+    [magic 0x00][4-byte big-endian schema id][payload]            (avro/json)
+    [magic 0x00][4-byte schema id][message-index 0x00][payload]   (protobuf)
+
+The reference jumps a hardcoded 7 bytes for protobuf ("I dunno but I
+need to jump 7 bytes instead of 6", ``protobuf_handler.py:48``) — that
+byte is the message-index varint for the first message in the schema
+(single-message descriptors encode index list [0] as one 0x00 byte);
+we name it properly and keep the single-message fast path.
+
+All slicing/assembly is **native column expressions** — the reference's
+Python UDF for the 4-byte int decode (``utils.py:182-184``) forces a
+serialization round-trip per row; ``conv(hex(substring(...)))`` stays
+in Tungsten codegen (SURVEY §2.9 U1 rebuild note).
+
+Decode dispatch: ``json`` works on bare pyspark (used by the test
+pipeline); ``avro``/``protobuf`` use ``from_avro``/``from_protobuf``
+and require the spark-avro / spark-protobuf jars on the classpath
+(checked at call time with a clear error) — exactly the jars the
+reference's spark-submit loads (``Makefile:26-28``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Protocol
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAGIC_BYTE = b"\x00"
+#: payload start (1-based substring offsets): magic(1) + schema id(4)
+_AVRO_PAYLOAD_START = 6
+#: protobuf adds the single-message index byte (see module docstring)
+_PROTO_PAYLOAD_START = 7
+
+
+# ---------------------------------------------------------------- wire format
+
+
+def schema_id_of(col: Column | str) -> Column:
+    """4-byte big-endian schema id following the magic byte, as int —
+    native expr replacement for the reference's Python UDF
+    (``utils.py:182-184``).  Null-safe: null/short payloads → null."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(F.length(c) >= 5, F.conv(F.hex(F.substring(c, 2, 4)), 16, 10).cast("int"))
+    )
+
+
+def payload_of(col: Column | str, content_type: str = "avro") -> Column:
+    """Payload slice after the Confluent header.
+
+    Uses ``length(col)`` for the slice bound — the reference sliced the
+    key with ``length(value)`` (``avro_handler.py:35``), a defect that
+    only works because Spark clamps substring lengths (SURVEY §2.13).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    start = _PROTO_PAYLOAD_START if content_type == "protobuf" else _AVRO_PAYLOAD_START
+    return F.substring(c, F.lit(start), F.length(c) - F.lit(start - 1))
+
+
+def wire_encode(payload: Column, schema_id: int, content_type: str = "avro") -> Column:
+    """Assemble Confluent wire format around an encoded payload
+    (reference ``kafka.py:86-109``): magic ++ 4-byte id ++ [index] ++
+    payload — all native ``concat`` on binary."""
+    id_bytes = F.unhex(F.lpad(F.hex(F.lit(schema_id)), 8, "0"))
+    parts = [F.lit(MAGIC_BYTE), id_bytes]
+    if content_type == "protobuf":
+        parts.append(F.lit(b"\x00"))
+    return F.concat(*parts, payload)
+
+
+def split_wire_format(df: DataFrame, content_type: str = "avro") -> DataFrame:
+    """Add ``keySchemaId, valueSchemaId, keyPayload, valuePayload``
+    columns from Kafka-shaped ``key``/``value`` binary columns
+    (reference ``avro_handler.py:31-40``)."""
+    return (
+        df.withColumn("keySchemaId", schema_id_of("key"))
+        .withColumn("valueSchemaId", schema_id_of("value"))
+        .withColumn("keyPayload", payload_of("key", content_type))
+        .withColumn("valuePayload", payload_of("value", content_type))
+    )
+
+
+# ------------------------------------------------------------------ registry
+
+
+class SchemaRegistry(Protocol):
+    """Interface of the reference's registry usage
+    (``utils.py:170-179`` fetch; ``utils.py:43-54`` register)."""
+
+    def get_schema(self, schema_id: int) -> str: ...
+
+    def register(self, subject: str, schema: str, schema_type: str = "AVRO") -> int: ...
+
+
+class InMemorySchemaRegistry:
+    """Deterministic in-process registry for tests and single-driver
+    pipelines (FIXTURES §2)."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, str] = {}
+        self._by_subject: dict[tuple[str, str], int] = {}
+        self._next = 1
+
+    def get_schema(self, schema_id: int) -> str:
+        return self._by_id[schema_id]
+
+    def register(self, subject: str, schema: str, schema_type: str = "AVRO") -> int:
+        key = (subject, schema)
+        if key in self._by_subject:
+            return self._by_subject[key]
+        sid = self._next
+        self._next += 1
+        self._by_id[sid] = schema
+        self._by_subject[key] = sid
+        return sid
+
+
+class HttpSchemaRegistry:
+    """Confluent Schema Registry over its REST API (stdlib urllib — the
+    reference pulls in ``confluent_kafka.schema_registry`` +
+    ``requests``; the two endpoints used need neither).
+
+    Endpoints: ``GET /schemas/ids/{id}`` (reference ``utils.py:178-179``)
+    and ``POST /subjects/{subject}/versions`` (``utils.py:43-54``).
+    """
+
+    def __init__(self, url: str) -> None:
+        self.url = url.rstrip("/")
+
+    def get_schema(self, schema_id: int) -> str:
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(f"{self.url}/schemas/ids/{schema_id}") as r:
+            return json.loads(r.read())["schema"]
+
+    def register(self, subject: str, schema: str, schema_type: str = "AVRO") -> int:
+        import json
+        import urllib.request
+
+        body = {"schema": schema}
+        if schema_type != "AVRO":
+            body["schemaType"] = schema_type
+        req = urllib.request.Request(
+            f"{self.url}/subjects/{subject}/versions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())["id"]
+
+
+# ----------------------------------------------------------------- decoders
+
+
+def _decode_json(payload: Column, schema_str: str) -> Column:
+    """JSON payload decode — ``schema_str`` is a Spark DDL or JSON
+    schema string.  Always available (no extra jars)."""
+    return F.from_json(payload.cast("string"), schema_str)
+
+
+def _decode_avro(payload: Column, schema_str: str) -> Column:
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pyspark avro module missing") from e
+    return from_avro(payload, schema_str, {"mode": "FAILFAST"})
+
+
+def _decode_protobuf(payload: Column, schema_str: str) -> Column:
+    """``schema_str`` here is ``{descriptor_path}:{message_name}`` —
+    the reference compiles registry .proto text with protoc and ships
+    the descriptor via ``sc.addFile`` (``utils.py:125-167``)."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pyspark protobuf module missing") from e
+    desc_path, _, message = schema_str.rpartition(":")
+    return from_protobuf(payload, message, descFilePath=desc_path)
+
+
+DECODERS: Mapping[str, Callable[[Column, str], Column]] = {
+    "json": _decode_json,
+    "avro": _decode_avro,
+    "protobuf": _decode_protobuf,
+}
+
+KAFKA_META_COLS = ["topic", "partition", "offset", "timestamp", "timestampType"]
+
+
+def decode_confluent_batch(
+    batch: DataFrame,
+    registry: SchemaRegistry,
+    content_type: str = "json",
+    schema_resolver: Callable[[str, int], str] | None = None,
+) -> list[DataFrame]:
+    """Schema-partitioned decode of one micro-batch (reference R7:
+    ``avro_handler.py:41-96`` / ``cdc.py:151-176``).
+
+    1. slice wire format → schema-id columns (native exprs)
+    2. distinct (keySchemaId, valueSchemaId) pairs → collect — bounded
+       by the number of in-flight schema versions, never by data size
+    3. per pair: fetch schemas from the registry (driver-side), filter
+       the batch to that pair (null-safe — keyless topics have null
+       key ids, reference ``cdc.py:167-176``), decode with exactly
+       that schema
+
+    Returns one decoded DataFrame per schema pair — callers append each
+    with ``mergeSchema`` (K2) or union them.  The common single-schema
+    batch avoids any extra pass: one filter job over the batch.
+    """
+    decode = DECODERS[content_type]
+    resolver = schema_resolver or (lambda _role, sid: registry.get_schema(sid))
+    sliced = split_wire_format(batch, content_type)
+    pairs = [
+        (r.keySchemaId, r.valueSchemaId)
+        for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
+    ]
+    out: list[DataFrame] = []
+    for key_id, value_id in sorted(pairs, key=lambda p: (p[0] is None, p)):
+        cond = (
+            F.col("keySchemaId").isNull()
+            if key_id is None
+            else (F.col("keySchemaId") == key_id)
+        ) & (
+            F.col("valueSchemaId").isNull()
+            if value_id is None
+            else (F.col("valueSchemaId") == value_id)
+        )
+        part = sliced.filter(cond)
+        cols = [
+            decode(F.col("keyPayload"), resolver("key", key_id)).alias("key")
+            if key_id is not None
+            # keyless topic (reference kafka.py:38-41): null key, typed
+            # binary so the column is writable (void type is not)
+            else F.lit(None).cast("binary").alias("key"),
+            decode(F.col("valuePayload"), resolver("value", value_id)).alias("value"),
+            *KAFKA_META_COLS,
+            "keySchemaId",
+            "valueSchemaId",
+        ]
+        out.append(part.select(*cols))
+    return out
+
+
+def encode_confluent(
+    df: DataFrame,
+    key_cols: list[str],
+    registry: SchemaRegistry,
+    topic: str,
+    content_type: str = "json",
+) -> DataFrame:
+    """DataFrame → Kafka-shaped (key binary, value binary) in Confluent
+    wire format (reverse path, reference ``kafka.py:22-119``).
+
+    Derives key/value schemas from the DataFrame schema, registers them
+    under ``{topic}-key`` / ``{topic}-value`` (reference
+    ``kafka.py:50-84``), and assembles the wire format natively.  With
+    no ``key_cols`` the key is null (keyless topic,
+    ``kafka.py:38-41``).
+
+    ``json`` encodes payloads with ``to_json`` (always available);
+    ``avro`` uses ``to_avro`` when the spark-avro jar is present.
+    """
+    from jibaro_spark.codecs.schemas import to_avro_schema
+
+    value_cols = [c for c in df.columns if c not in key_cols]
+    value_struct = F.struct(*value_cols)
+    if content_type == "json":
+        value_schema = df.select(*value_cols).schema.json()
+        schema_type = "JSON"
+        encode = lambda c, s: F.to_json(c).cast("binary")  # noqa: E731
+    elif content_type == "avro":
+        from pyspark.sql.avro.functions import to_avro
+
+        value_schema = to_avro_schema(
+            df.select(*value_cols).schema, "Envelope", namespace=topic
+        )
+        schema_type = "AVRO"
+        encode = to_avro  # type: ignore[assignment]
+    else:
+        raise ValueError(f"unsupported encode content_type {content_type!r}")
+
+    value_id = registry.register(f"{topic}-value", value_schema, schema_type)
+    value_bin = wire_encode(encode(value_struct, value_schema), value_id, content_type)
+
+    if key_cols:
+        key_struct = F.struct(*key_cols)
+        if content_type == "json":
+            key_schema = df.select(*key_cols).schema.json()
+        else:
+            key_schema = to_avro_schema(
+                df.select(*key_cols).schema, "Key", namespace=topic
+            )
+        key_id = registry.register(f"{topic}-key", key_schema, schema_type)
+        key_bin = wire_encode(encode(key_struct, key_schema), key_id, content_type)
+    else:
+        key_bin = F.lit(None).cast("binary")
+
+    return df.select(key_bin.alias("key"), value_bin.alias("value"))

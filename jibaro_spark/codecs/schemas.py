@@ -1,0 +1,155 @@
+"""Schema conversion: Spark StructType → Avro JSON / proto3 text.
+
+Re-creates the reference's DataFrame-schema derivation used when
+publishing to Kafka (``jibaro/utils.py:103-122``): Avro via a pure
+Python StructType→Avro converter (the reference calls the JVM
+``SchemaConverters.toAvroType`` over py4j, ``utils.py:37-40`` — a pure
+converter is version-stable and needs no JVM round-trip) and proto3 via
+the type map at ``jibaro/utils.py:57-88``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+#: Spark → Avro primitive map (logical types follow the Avro spec;
+#: mirrors the coverage of the JVM SchemaConverters used by the
+#: reference at ``utils.py:37-40``).
+_AVRO_PRIMITIVES: dict[type, Any] = {
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.DateType: {"type": "int", "logicalType": "date"},
+    T.TimestampType: {"type": "long", "logicalType": "timestamp-micros"},
+    T.TimestampNTZType: {"type": "long", "logicalType": "local-timestamp-micros"},
+}
+
+#: Spark → proto3 scalar map (reference ``jibaro/utils.py:57-88``:
+#: String, Short, Integer, Long, Float, Double, Boolean, Timestamp,
+#: Binary, Date).
+_PROTO_SCALARS: dict[type, str] = {
+    T.StringType: "string",
+    T.ShortType: "int32",
+    T.IntegerType: "int32",
+    T.LongType: "int64",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BooleanType: "bool",
+    T.TimestampType: "int64",
+    T.BinaryType: "bytes",
+    T.DateType: "int32",
+}
+
+
+def to_avro_schema(
+    schema: T.StructType,
+    record_name: str = "Envelope",
+    namespace: str | None = None,
+) -> str:
+    """StructType → Avro record schema JSON string.
+
+    Nullable fields become ``["null", type]`` unions with a null
+    default, matching what Debezium/Confluent producers emit.
+    """
+    rec = _avro_record(schema, record_name, namespace, path=record_name)
+    return json.dumps(rec)
+
+
+def _avro_record(
+    schema: T.StructType, name: str, namespace: str | None, path: str
+) -> dict:
+    fields = []
+    for f in schema.fields:
+        ftype = _avro_type(f.dataType, f"{path}_{f.name}")
+        if f.nullable:
+            entry: dict[str, Any] = {
+                "name": f.name,
+                "type": ["null", ftype],
+                "default": None,
+            }
+        else:
+            entry = {"name": f.name, "type": ftype}
+        fields.append(entry)
+    rec: dict[str, Any] = {"type": "record", "name": name, "fields": fields}
+    if namespace:
+        rec["namespace"] = namespace
+    return rec
+
+
+def _avro_type(dt: T.DataType, path: str) -> Any:
+    if isinstance(dt, T.StructType):
+        return _avro_record(dt, path, None, path)
+    if isinstance(dt, T.ArrayType):
+        items = _avro_type(dt.elementType, f"{path}_item")
+        if dt.containsNull:
+            items = ["null", items]
+        return {"type": "array", "items": items}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise TypeError(f"Avro maps require string keys, got {dt.keyType}")
+        values = _avro_type(dt.valueType, f"{path}_value")
+        if dt.valueContainsNull:
+            values = ["null", values]
+        return {"type": "map", "values": values}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    for spark_t, avro_t in _AVRO_PRIMITIVES.items():
+        if isinstance(dt, spark_t):
+            return avro_t
+    raise TypeError(f"no Avro mapping for Spark type {dt}")
+
+
+def to_proto_schema(schema: T.StructType, message_name: str = "Envelope") -> str:
+    """StructType → proto3 message text (reference ``utils.py:57-100``).
+
+    Nested structs become nested messages; arrays become ``repeated``.
+    Field numbers are assigned in declaration order starting at 1 —
+    identical input schema ⇒ identical descriptor, which is what makes
+    the registry subject stable.
+    """
+    body = _proto_message(schema, message_name, indent="")
+    return f'syntax = "proto3";\n\n{body}'
+
+
+def _proto_message(schema: T.StructType, name: str, indent: str) -> str:
+    lines = [f"{indent}message {name} {{"]
+    nested: list[str] = []
+    num = 0
+    for f in schema.fields:
+        num += 1
+        dt = f.dataType
+        repeated = ""
+        if isinstance(dt, T.ArrayType):
+            repeated = "repeated "
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            sub_name = f.name.capitalize() + "Msg"
+            nested.append(_proto_message(dt, sub_name, indent + "  "))
+            type_name = sub_name
+        else:
+            type_name = _proto_scalar(dt)
+        lines.append(f"{indent}  {repeated}{type_name} {f.name} = {num};")
+    lines.append(f"{indent}}}")
+    # nested messages render before the fields of this message
+    return "\n".join(lines[:1] + nested + lines[1:])
+
+
+def _proto_scalar(dt: T.DataType) -> str:
+    for spark_t, proto_t in _PROTO_SCALARS.items():
+        if isinstance(dt, spark_t):
+            return proto_t
+    raise TypeError(f"no proto3 mapping for Spark type {dt}")

@@ -1,0 +1,171 @@
+"""Table maintenance (SURVEY §7.2 M5): small-file compaction, history
+metrics, symlink manifest, vacuum policy.
+
+Delta-backed when delta-spark is on the classpath (transactional
+``dataChange=false`` rewrite, ``DeltaTable.history/generate/vacuum``,
+reference ``jibaro/datalake/delta_handler.py:9-35``, ``cdc.py:224-269``);
+on bare parquet, compaction and history degrade to honest emulations
+(non-transactional rewrite; file-listing metrics) and vacuum/manifest
+are no-ops with a warning — at 100 TB you run the Delta path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.catalog import Catalog, TableRef
+from jibaro_spark.session import has_delta
+
+
+@dataclass(frozen=True)
+class TableStats:
+    num_files: int
+    size_bytes: int
+
+
+def table_stats(spark: SparkSession, path: str) -> TableStats:
+    """File count + byte size of a table directory via the Hadoop FS
+    API (driver-side metadata only; reference ``delta_handler.py:15-24``
+    reads the same numbers from the Delta snapshot)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return TableStats(0, 0)
+    num, size = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        num += 1
+        size += f.getLen()
+    return TableStats(num, size)
+
+
+def compact(
+    spark: SparkSession,
+    catalog: Catalog,
+    ref: TableRef,
+    force: bool = False,
+) -> bool:
+    """Small-file compaction (reference ``delta_handler.py:9-35``):
+    when ``numFiles > compact_min_files``, rewrite the table into
+    ``ceil(sizeInBytes / compact_target_file_bytes)`` files.
+
+    The reference targets 1 MiB files — pathological at scale; our
+    default target is 128 MiB (Settings.compact_target_file_bytes).
+    Delta path sets ``dataChange=false`` so downstream streams skip the
+    rewrite.  Returns True when a rewrite happened.
+    """
+    s = catalog.settings
+    path = catalog.path(ref)
+    stats = table_stats(spark, path)
+    if not force and stats.num_files <= s.compact_min_files:
+        return False
+    if stats.num_files == 0:
+        return False
+    n_parts = max(1, math.ceil(stats.size_bytes / s.compact_target_file_bytes))
+    if has_delta(spark):
+        df = spark.read.format("delta").load(path)
+        (
+            df.repartition(n_parts)
+            .write.format("delta")
+            .mode("overwrite")
+            .option("dataChange", "false")
+            .save(path)
+        )
+    else:
+        df = spark.read.parquet(path).localCheckpoint(eager=True)
+        df.repartition(n_parts).write.mode("overwrite").parquet(path)
+    return True
+
+
+def append_history_metrics(
+    spark: SparkSession,
+    catalog: Catalog,
+    ref: TableRef,
+    operation: str,
+    extra: dict[str, str] | None = None,
+) -> None:
+    """Append per-operation metrics to the table's history table under
+    the control bucket (reference ``cdc.py:224-247``: Delta
+    ``history()`` + ``numFiles`` column → Delta append).
+
+    Delta path appends the latest ``DeltaTable.history(1)`` row; the
+    parquet emulation appends a minimal metrics row from file listing.
+    Schema evolves with ``mergeSchema`` like the reference (K2/K8).
+    """
+    path = catalog.path(ref)
+    hist_path = catalog.history_path(ref)
+    stats = table_stats(spark, path)
+    if has_delta(spark):
+        from delta.tables import DeltaTable
+
+        dt = DeltaTable.forPath(spark, path)
+        hist = (
+            dt.history(1)
+            .withColumn("numFiles", F.lit(stats.num_files))
+            .withColumn("sizeBytes", F.lit(stats.size_bytes))
+        )
+        writer = hist.write.format("delta").mode("append").option("mergeSchema", "true")
+        writer.save(hist_path)
+        return
+    row = {
+        "operation": operation,
+        "numFiles": stats.num_files,
+        "sizeBytes": stats.size_bytes,
+        **(extra or {}),
+    }
+    hist = spark.createDataFrame([row]).withColumn(
+        "recordedAt", F.current_timestamp()
+    )
+    hist.write.mode("append").option("mergeSchema", "true").parquet(hist_path)
+
+
+def generate_manifest(spark: SparkSession, catalog: Catalog, ref: TableRef) -> bool:
+    """Symlink manifest for Trino/Athena/Hive interop (reference
+    ``cdc.py:261-262``).  Delta-only; returns False on parquet."""
+    if not has_delta(spark):
+        return False
+    from delta.tables import DeltaTable
+
+    DeltaTable.forPath(spark, catalog.path(ref)).generate("symlink_format_manifest")
+    return True
+
+
+def vacuum_if_due(spark: SparkSession, catalog: Catalog, ref: TableRef) -> bool:
+    """Vacuum every ``vacuum_every_n_versions`` table versions with
+    ``vacuum_retention_hours`` retention (reference ``cdc.py:264-269``:
+    every 25 versions, 768 h).  Delta-only."""
+    if not has_delta(spark):
+        return False
+    from delta.tables import DeltaTable
+
+    s = catalog.settings
+    dt = DeltaTable.forPath(spark, catalog.path(ref))
+    version = dt.history(1).select(F.max("version")).collect()[0][0] or 0
+    if version % s.vacuum_every_n_versions != 0:
+        return False
+    dt.vacuum(s.vacuum_retention_hours)
+    return True
+
+
+def standard_post_hooks():
+    """The curated-layer maintenance sequence the reference runs after
+    every merge (``cdc.py:220-269``): compact → history → manifest →
+    vacuum-if-due, as ``staged_to_curated`` post_hooks."""
+
+    def run(spark: SparkSession, catalog: Catalog, ref: TableRef) -> None:
+        compact(spark, catalog, ref)
+        append_history_metrics(spark, catalog, ref, operation="MERGE")
+        generate_manifest(spark, catalog, ref)
+        vacuum_if_due(spark, catalog, ref)
+
+    return [run]

@@ -71,17 +71,25 @@ def has_delta(spark: SparkSession) -> bool:
     except Exception:
         return False
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "io.delta.tables.DeltaTable"
+        )
         return True
     except Exception:
         return False
 
 
 def has_kafka(spark: SparkSession) -> bool:
-    """True when the spark-sql-kafka connector jar is on the classpath."""
+    """True when the spark-sql-kafka connector jar is on the classpath.
+
+    Uses ``Class.forName`` — attribute access on ``spark._jvm`` returns
+    a ``JavaPackage`` placeholder for missing classes instead of
+    raising, so it cannot be used as an existence probe.
+    """
     try:
-        spark.read.format("kafka")
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False

@@ -1,0 +1,191 @@
+"""Layer-to-layer pipeline hops (reference ``jibaro/datalake/cdc.py``).
+
+Each hop is Structured Streaming with a bounded incremental trigger
+(``availableNow`` — stream-as-batch, reference ``cdc.py:41-45``), the
+per-table checkpoint convention (``streaming.py:60-62``), and
+``foreachBatch`` for the decode/merge loops (``avro_handler.py:117-137``,
+``cdc.py:249-256``).
+
+Source flexibility: ``kafka_to_raw`` uses the Kafka connector when its
+jar is on the classpath; ``source_to_raw`` accepts any streaming
+DataFrame with the Kafka record shape (key/value binary + metadata,
+FIXTURES §1.2) so the full 3-hop pipeline is testable against
+file-backed fixtures — same plans, same checkpoints, no broker.
+
+Exactly-once: every hop is Delta-source → foreachBatch → append/merge
+keyed by checkpoint; on bare parquet the source is a file stream and
+the same idempotence holds per ``batch_id`` (T4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jibaro_spark.catalog import Catalog, Layer, TableRef
+from jibaro_spark.codecs.confluent import SchemaRegistry, decode_confluent_batch
+from jibaro_spark.io import read_stream, write_stream, write_table
+from jibaro_spark.operators.cdc import cdc_merge_table
+from jibaro_spark.session import has_kafka
+
+
+def kafka_to_raw(
+    spark: SparkSession,
+    catalog: Catalog,
+    topic: str,
+    project: str,
+    database: str,
+    table: str,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Stream a Kafka topic into the raw layer, payload kept as opaque
+    binary (reference ``cdc.py:15-51``).
+
+    Applies ``options.items()`` — the reference iterated dict KEYS
+    (``for k, v in options:``), crashing on any custom option
+    (SURVEY §2.13); fixed here.
+    """
+    if not has_kafka(spark):
+        raise RuntimeError(
+            "kafka connector jar (spark-sql-kafka-0-10) not on the classpath"
+        )
+    s = catalog.settings
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", s.kafka_bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(s.max_offsets_per_trigger))
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    source_to_raw(reader.load(), catalog, project, database, table)
+
+
+def source_to_raw(
+    stream: DataFrame,
+    catalog: Catalog,
+    project: str,
+    database: str,
+    table: str,
+) -> None:
+    """Kafka-shaped streaming DataFrame → raw-layer table (binary
+    payloads + metadata, no decode — raw layer = exact source bytes,
+    reference ``cdc.py:38-51``)."""
+    ref = TableRef(str(Layer.RAW), project, database, table)
+    q = write_stream(stream, catalog, ref, output_mode="append")
+    q.awaitTermination()
+
+
+def raw_to_staged(
+    spark: SparkSession,
+    catalog: Catalog,
+    project: str,
+    database: str,
+    table: str,
+    registry: SchemaRegistry,
+    content_type: str = "json",
+    schema_resolver: Callable[[str, int], str] | None = None,
+) -> None:
+    """Decode Confluent-framed raw records into typed staged tables,
+    schema-id-partitioned (reference ``cdc.py:54-88`` →
+    ``avro_handler.py:99-138`` / ``protobuf_handler.py:136-180``).
+
+    Per micro-batch: wire-format slice → distinct schema pairs →
+    per-pair decode → append with schema evolution (K2).
+    """
+    from jibaro_spark.codecs.confluent import DECODERS
+
+    if content_type not in DECODERS:
+        # validate eagerly — inside foreachBatch the error would be
+        # silently skipped whenever the checkpoint yields an empty batch
+        raise ValueError(
+            f"unknown content_type {content_type!r}; known: {sorted(DECODERS)}"
+        )
+    src = TableRef(str(Layer.RAW), project, database, table)
+    dst = TableRef(str(Layer.STAGED), project, database, table)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        for decoded in decode_confluent_batch(
+            batch, registry, content_type, schema_resolver
+        ):
+            write_table(
+                decoded, catalog, dst, mode="append", merge_schema=True
+            )
+
+    stream = read_stream(
+        spark, catalog, src,
+        max_files_per_trigger=catalog.settings.max_files_per_trigger,
+    )
+    q = write_stream(stream, catalog, dst, foreach_batch=process)
+    q.awaitTermination()
+
+
+def staged_to_curated(
+    spark: SparkSession,
+    catalog: Catalog,
+    project: str,
+    database: str,
+    table: str,
+    key_cols: Sequence[str],
+    order_by: Sequence[str] = ("timestamp",),
+    post_hooks: Sequence[Callable[[SparkSession, Catalog, TableRef], Any]] = (),
+) -> None:
+    """Merge staged Debezium envelopes into the curated current-state
+    table (reference ``cdc.py:91-269``): per micro-batch latest-per-key
+    dedup + CDC MERGE; then maintenance hooks (compaction, history,
+    manifest, vacuum — see :mod:`jibaro_spark.maintenance`)."""
+    src = TableRef(str(Layer.STAGED), project, database, table)
+    dst = TableRef(str(Layer.CURATED), project, database, table)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        cdc_merge_table(
+            spark, catalog, batch, dst, key_cols=list(key_cols), order_by=list(order_by)
+        )
+
+    stream = read_stream(
+        spark, catalog, src,
+        max_files_per_trigger=catalog.settings.max_files_per_trigger,
+    )
+    q = write_stream(stream, catalog, dst, foreach_batch=process)
+    q.awaitTermination()
+    for hook in post_hooks:
+        hook(spark, catalog, dst)
+
+
+def publish_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    ref: TableRef,
+    key_cols: list[str],
+    registry: SchemaRegistry,
+    topic: str,
+    content_type: str = "json",
+    sink: Callable[[DataFrame], None] | None = None,
+) -> DataFrame:
+    """Reverse path — publish a table back in Confluent wire format
+    (reference ``kafka.py:22-119``).  Returns the Kafka-shaped frame;
+    ``sink`` defaults to the Kafka batch sink when the connector jar is
+    present, else the caller consumes the returned DataFrame.
+    """
+    from jibaro_spark.codecs.confluent import encode_confluent
+    from jibaro_spark.io import read_table
+
+    df = read_table(spark, catalog, ref)
+    framed = encode_confluent(df, key_cols, registry, topic, content_type)
+    if sink is not None:
+        sink(framed)
+    elif has_kafka(spark):
+        (
+            framed.write.format("kafka")
+            .option(
+                "kafka.bootstrap.servers",
+                catalog.settings.kafka_bootstrap_servers,
+            )
+            .option("topic", topic)
+            .save()
+        )
+    return framed

@@ -1,0 +1,210 @@
+"""Unit tests for the Confluent codec layer (SURVEY §7.2 M3):
+wire-format slice/assemble as native exprs, schema conversion,
+registry, and the schema-partitioned decode loop (R7)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jibaro_spark.codecs import confluent as cc
+from jibaro_spark.codecs import schemas as cs
+
+
+def frame(payload: bytes, schema_id: int, content_type: str = "json") -> bytes:
+    head = b"\x00" + struct.pack(">I", schema_id)
+    if content_type == "protobuf":
+        head += b"\x00"
+    return head + payload
+
+
+KAFKA_META = {"topic": "t", "partition": 0, "offset": 0, "timestampType": 0}
+
+
+def kafka_row(key: bytes | None, value: bytes, offset: int = 0) -> Row:
+    import datetime
+
+    return Row(
+        key=key,
+        value=value,
+        topic="dbserver1.inventory.products",
+        partition=0,
+        offset=offset,
+        timestamp=datetime.datetime(2026, 1, 1, 0, 0, offset % 60),
+        timestampType=0,
+    )
+
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def test_wire_roundtrip_native_exprs(spark):
+    """encode → decode is the identity, end to end in native exprs."""
+    payload = json.dumps({"id": 7}).encode()
+    df = spark.createDataFrame([(payload,)], "p binary")
+    framed = df.select(cc.wire_encode(F.col("p"), 1234, "avro").alias("v"))
+    back = framed.select(
+        cc.schema_id_of("v").alias("sid"),
+        cc.payload_of("v", "avro").alias("payload"),
+    ).collect()[0]
+    assert back.sid == 1234
+    assert bytes(back.payload) == payload
+
+
+def test_wire_protobuf_offset(spark):
+    """Protobuf frames carry the message-index byte: payload starts at
+    byte 7 (reference hardcodes the jump, protobuf_handler.py:48)."""
+    payload = b"\x08\x01"
+    df = spark.createDataFrame([(frame(payload, 9, "protobuf"),)], "v binary")
+    row = df.select(
+        cc.schema_id_of("v").alias("sid"),
+        cc.payload_of("v", "protobuf").alias("p"),
+    ).collect()[0]
+    assert row.sid == 9 and bytes(row.p) == payload
+
+
+def test_schema_id_null_safe(spark):
+    """Null and truncated frames produce null schema ids
+    (reference cdc.py:167-176 relies on null ids for keyless topics)."""
+    df = spark.createDataFrame(
+        [(None,), (b"\x00\x00",), (frame(b"x", 3),)], "v binary"
+    )
+    ids = [r.sid for r in df.select(cc.schema_id_of("v").alias("sid")).collect()]
+    assert ids == [None, None, 3]
+
+
+def test_avro_schema_conversion():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("weight", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField(
+                "tags", T.ArrayType(T.StringType(), containsNull=False), True
+            ),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("x", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    avro = json.loads(cs.to_avro_schema(schema, "Envelope", namespace="topic.v1"))
+    assert avro["type"] == "record" and avro["namespace"] == "topic.v1"
+    by_name = {f["name"]: f for f in avro["fields"]}
+    assert by_name["id"]["type"] == "int"  # non-nullable: no union
+    assert by_name["name"]["type"] == ["null", "string"]
+    assert by_name["ts"]["type"][1] == {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+    }
+    assert by_name["tags"]["type"][1] == {"type": "array", "items": "string"}
+    assert by_name["nested"]["type"][1]["type"] == "record"
+
+
+def test_proto_schema_conversion():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("weight", T.DoubleType(), True),
+            T.StructField("created", T.TimestampType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    text = cs.to_proto_schema(schema, "Envelope")
+    assert text.startswith('syntax = "proto3";')
+    assert "int32 id = 1;" in text
+    assert "string name = 2;" in text
+    assert "double weight = 3;" in text
+    assert "int64 created = 4;" in text  # Timestamp→int64 (utils.py:57-88)
+    assert "bytes blob = 5;" in text
+
+
+def test_registry_roundtrip():
+    reg = cc.InMemorySchemaRegistry()
+    a = reg.register("s-value", "schema-a")
+    b = reg.register("s-value", "schema-b")
+    assert reg.register("s-value", "schema-a") == a  # idempotent
+    assert reg.get_schema(a) == "schema-a" and reg.get_schema(b) == "schema-b"
+
+
+def test_schema_partitioned_decode(spark):
+    """R7: a batch with two value schema versions plus a keyless record
+    decodes into one typed DataFrame per (key,value) schema pair."""
+    reg = cc.InMemorySchemaRegistry()
+    key_id = reg.register("t-key", "id INT")
+    v1 = reg.register("t-value", "op STRING, id INT")
+    v2 = reg.register("t-value", "op STRING, id INT, extra STRING")
+
+    rows = [
+        kafka_row(
+            frame(json.dumps({"id": 1}).encode(), key_id),
+            frame(json.dumps({"op": "c", "id": 1}).encode(), v1),
+            offset=0,
+        ),
+        kafka_row(
+            frame(json.dumps({"id": 2}).encode(), key_id),
+            frame(json.dumps({"op": "c", "id": 2, "extra": "e"}).encode(), v2),
+            offset=1,
+        ),
+        kafka_row(
+            None,
+            frame(json.dumps({"op": "c", "id": 3}).encode(), v1),
+            offset=2,
+        ),
+    ]
+    batch = spark.createDataFrame(rows, KAFKA_SCHEMA)
+    parts = cc.decode_confluent_batch(batch, reg, "json")
+    assert len(parts) == 3  # (null,v1), (key,v1), (key,v2)
+    by_ids = {
+        (r.keySchemaId, r.valueSchemaId): r
+        for p in parts
+        for r in p.collect()
+    }
+    assert by_ids[(key_id, v1)].value.id == 1
+    assert by_ids[(key_id, v2)].value.extra == "e"
+    assert by_ids[(None, v1)].key is None
+    assert by_ids[(key_id, v1)].key.id == 1
+    # kafka metadata carried through (reference avro_handler.py:77-83)
+    assert by_ids[(key_id, v1)].topic == "dbserver1.inventory.products"
+
+
+def test_encode_confluent_roundtrip(spark):
+    """Reverse path (kafka.py:22-119): frame a DataFrame, decode it
+    back, recover the rows."""
+    reg = cc.InMemorySchemaRegistry()
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, weight double"
+    )
+    framed = cc.encode_confluent(df, ["id"], reg, "topic.products", "json")
+    assert framed.columns == ["key", "value"]
+    row = framed.orderBy(cc.schema_id_of("key")).collect()[0]
+    assert bytes(row.key)[0] == 0  # magic byte
+    key_id = cc.schema_id_of("key")
+    val_id = cc.schema_id_of("value")
+    ids = framed.select(key_id.alias("k"), val_id.alias("v")).distinct().collect()
+    assert len(ids) == 1
+    key_schema = reg.get_schema(ids[0].k)
+    val_schema = reg.get_schema(ids[0].v)
+    decoded = framed.select(
+        F.from_json(cc.payload_of("key", "json").cast("string"), key_schema).alias("k"),
+        F.from_json(cc.payload_of("value", "json").cast("string"), val_schema).alias("v"),
+    ).collect()
+    got = sorted((r.k.id, r.v.name, r.v.weight) for r in decoded)
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_encode_keyless(spark):
+    reg = cc.InMemorySchemaRegistry()
+    df = spark.createDataFrame([(1,)], "x int")
+    framed = cc.encode_confluent(df, [], reg, "t", "json")
+    assert framed.collect()[0].key is None

@@ -1,0 +1,172 @@
+"""End-to-end 3-hop pipeline test (SURVEY §3.1-3.3 re-created on
+file-backed fixtures): Kafka-shaped topic dump → raw → staged →
+curated, incl. checkpointed incremental re-runs and the maintenance
+hooks — the reference's whole `make testavro` flow without a broker
+(FIXTURES §1 scenarios)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.catalog import Catalog, Layer, TableRef
+from jibaro_spark.codecs.confluent import InMemorySchemaRegistry
+from jibaro_spark.config import Settings
+from jibaro_spark.maintenance import append_history_metrics, compact, table_stats
+from jibaro_spark.streaming import pipeline as pl
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+KEY_SCHEMA = "id INT"
+VALUE_SCHEMA = (
+    "op STRING, "
+    "before STRUCT<id INT, name STRING, weight DOUBLE>, "
+    "after STRUCT<id INT, name STRING, weight DOUBLE>"
+)
+
+
+def frame(payload: bytes, schema_id: int) -> bytes:
+    return b"\x00" + struct.pack(">I", schema_id) + payload
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    settings = Settings(protocol="file", base_path=str(tmp_path))
+    return Catalog(settings)
+
+
+@pytest.fixture()
+def registry():
+    reg = InMemorySchemaRegistry()
+    key_id = reg.register("products-key", KEY_SCHEMA)
+    val_id = reg.register("products-value", VALUE_SCHEMA)
+    return reg, key_id, val_id
+
+
+def change(key_id, val_id, op, row, before=None, offset=0):
+    key = frame(json.dumps({"id": row["id"]}).encode(), key_id)
+    env = {"op": op, "before": before, "after": None if op == "d" else row}
+    if op == "d":
+        env["before"] = before or row
+    value = frame(json.dumps(env).encode(), val_id)
+    return (
+        key,
+        value,
+        "dbserver1.inventory.products",
+        0,
+        offset,
+        datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=offset),
+        0,
+    )
+
+
+def run_hops(spark, lake, registry):
+    reg, _, _ = registry
+    src_dir = lake.settings.base_path + "/source_topic"
+    stream = (
+        spark.readStream.schema(KAFKA_SCHEMA).parquet(src_dir)
+    )
+    pl.source_to_raw(stream, lake, "lab", "inventory", "products")
+    pl.raw_to_staged(spark, lake, "lab", "inventory", "products", reg, "json")
+    pl.staged_to_curated(
+        spark, lake, "lab", "inventory", "products", key_cols=["id"]
+    )
+
+
+def write_topic_dump(spark, lake, rows, filename):
+    src_dir = lake.settings.base_path + "/source_topic"
+    df = spark.createDataFrame(rows, KAFKA_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def curated(spark, lake):
+    ref = TableRef(str(Layer.CURATED), "lab", "inventory", "products")
+    return spark.read.parquet(lake.path(ref))
+
+
+def test_three_hop_pipeline_with_incremental_rerun(spark, lake, registry):
+    reg, kid, vid = registry
+
+    # -- batch 1: snapshot (r) of 3 products, plus an insert+update of
+    # the same key in one batch (A3 dedup) and a delete.
+    rows1 = [
+        change(kid, vid, "r", {"id": 1, "name": "a", "weight": 1.0}, offset=0),
+        change(kid, vid, "r", {"id": 2, "name": "b", "weight": 2.0}, offset=1),
+        change(kid, vid, "r", {"id": 3, "name": "c", "weight": 3.0}, offset=2),
+        change(kid, vid, "c", {"id": 4, "name": "d", "weight": 4.0}, offset=3),
+        change(kid, vid, "u", {"id": 4, "name": "d2", "weight": 4.5}, offset=4),
+        change(
+            kid, vid, "d", {"id": 2, "name": "b", "weight": 2.0}, offset=5
+        ),
+    ]
+    write_topic_dump(spark, lake, rows1, "batch1")
+    run_hops(spark, lake, registry)
+
+    got = {r.id: (r.name, r.weight, r.op) for r in curated(spark, lake).collect()}
+    assert got == {
+        1: ("a", 1.0, "r"),
+        3: ("c", 3.0, "r"),
+        4: ("d2", 4.5, "u"),  # latest-per-key within the batch wins
+    }
+
+    # -- batch 2 (incremental: checkpoints skip batch 1 files):
+    # update key 1, delete key 3, re-insert key 2.
+    rows2 = [
+        change(kid, vid, "u", {"id": 1, "name": "a9", "weight": 9.0}, offset=10),
+        change(
+            kid, vid, "d", {"id": 3, "name": "c", "weight": 3.0}, offset=11
+        ),
+        change(kid, vid, "c", {"id": 2, "name": "b2", "weight": 2.2}, offset=12),
+    ]
+    write_topic_dump(spark, lake, rows2, "batch2")
+    run_hops(spark, lake, registry)
+
+    got = {r.id: (r.name, r.weight, r.op) for r in curated(spark, lake).collect()}
+    assert got == {
+        1: ("a9", 9.0, "u"),
+        2: ("b2", 2.2, "c"),
+        4: ("d2", 4.5, "u"),
+    }
+
+    # raw layer holds exact source bytes (no decode)
+    raw_ref = TableRef(str(Layer.RAW), "lab", "inventory", "products")
+    raw = spark.read.parquet(lake.path(raw_ref))
+    assert raw.count() == 9
+    assert dict(raw.dtypes)["value"] == "binary"
+
+    # staged layer: typed structs + kafka metadata + schema ids
+    staged_ref = TableRef(str(Layer.STAGED), "lab", "inventory", "products")
+    staged = spark.read.parquet(lake.path(staged_ref))
+    assert staged.count() == 9
+    assert staged.filter(F.col("valueSchemaId") == vid).count() == 9
+    assert "op" in staged.select("value.*").columns
+
+
+def test_maintenance_compact_and_history(spark, lake):
+    ref = TableRef(str(Layer.CURATED), "lab", "inventory", "widgets")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(lake.path(ref))
+    before = table_stats(spark, lake.path(ref))
+    assert before.num_files == 20
+
+    # under threshold → no-op; force → rewrite to sized partitions
+    assert compact(spark, lake, ref) is False
+    assert compact(spark, lake, ref, force=True) is True
+    after = table_stats(spark, lake.path(ref))
+    assert after.num_files < before.num_files
+    got = spark.read.parquet(lake.path(ref))
+    assert got.count() == 1000
+    assert got.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+
+    append_history_metrics(spark, lake, ref, operation="COMPACT")
+    hist = spark.read.parquet(lake.history_path(ref))
+    assert hist.count() == 1
+    row = hist.collect()[0]
+    assert row.operation == "COMPACT" and row.numFiles == after.num_files
