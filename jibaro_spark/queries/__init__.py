@@ -13,5 +13,7 @@ from jibaro_spark.queries import tpch  # noqa: E402,F401
 from jibaro_spark.queries import events  # noqa: E402,F401
 from jibaro_spark.queries import llm  # noqa: E402,F401
 from jibaro_spark.queries import pipeline  # noqa: E402,F401
+from jibaro_spark.queries import multimodal  # noqa: E402,F401
+from jibaro_spark.queries import extra  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "DeclaredQuery", "declare", "load_tables"]

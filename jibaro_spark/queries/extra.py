@@ -1,0 +1,317 @@
+"""Extra relational coverage (SURVEY §2.5 A9, §2.6 W3, §2.7 O4, §2.8
+F9): multi-dim aggregates, exact percentiles, set ops, analytic
+windows, regex/JSON functions — each oracle-checked against DuckDB.
+
+Determinism notes follow registry.py: decimal accumulation for
+double sums, explicit tiebreakers in every window, round(…, 6) where
+both engines interpolate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.queries.registry import declare, dsum, load_tables
+
+QCUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@declare(
+    "q_cube_qty",
+    oracle=QCUBE_ORACLE,
+    description="CUBE multi-dim aggregate with decimal-exact sums (A9 [ext])",
+)
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+QGSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@declare(
+    "q_grouping_sets",
+    oracle=QGSETS_ORACLE,
+    description="GROUPING SETS aggregate (A9 [ext])",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+QPCT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       ROUND(MIN(l_extendedprice), 6) AS lo,
+       ROUND(MAX(l_extendedprice), 6) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "q_percentile_prices",
+    oracle=QPCT_ORACLE,
+    description="exact interpolated percentiles per group (A9 [ext]; percentile_approx's exact sibling)",
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Variance from decimal-accumulated sum/sumsq — bit-identical doubles in
+# both engines (single-division formula; see registry.py rationale).
+QSTD_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(SQRT((sq - sm * sm / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((sq - sm * sm / n) / n, 6) AS var_pop_qty
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "q_stddev_qty",
+    oracle=QSTD_ORACLE,
+    description="stddev/variance via decimal-exact moment sums (A9 [ext])",
+)
+def q_stddev_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    dec = F.col("l_quantity").cast("decimal(18,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("double").alias("sm"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    sm, sq, n = F.col("sm"), F.col("sq"), F.col("n")
+    return agg.select(
+        "l_returnflag",
+        F.round(F.sqrt((sq - sm * sm / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((sq - sm * sm / n) / n, 6).alias("var_pop_qty"),
+    ).orderBy("l_returnflag")
+
+
+QSET_ORACLE = """
+SELECT n_nationkey AS nationkey FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+INTERSECT
+SELECT s_nationkey FROM supplier
+EXCEPT
+SELECT n_nationkey FROM nation WHERE n_name = 'FRANCE'
+ORDER BY nationkey
+"""
+
+
+@declare(
+    "q_intersect_except",
+    oracle=QSET_ORACLE,
+    description="INTERSECT / EXCEPT set operations (A8-adjacent [ext])",
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "nation", "customer", "supplier")
+    cust_nations = (
+        t["nation"]
+        .join(
+            t["customer"].select(F.col("c_nationkey").alias("n_nationkey")).distinct(),
+            "n_nationkey",
+        )
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    supp_nations = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    france = (
+        t["nation"]
+        .filter(F.col("n_name") == "FRANCE")
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return (
+        cust_nations.intersect(supp_nations).exceptAll(france).orderBy("nationkey")
+    )
+
+
+QSEMI_ORACLE = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+              AND l.l_quantity > 45)
+ORDER BY p_partkey
+"""
+
+
+@declare(
+    "q_semi_join_parts",
+    oracle=QSEMI_ORACLE,
+    description="left-semi join: parts with any high-quantity lineitem (J1 semi)",
+)
+def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    hot = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_partkey")
+    return (
+        t["part"]
+        .join(hot, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+QLAG_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value, 1, 0.0) OVER w, 6) AS delta_prev,
+       LEAD(event_type, 1, 'none') OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@declare(
+    "q_lag_lead_events",
+    oracle=QLAG_ORACLE,
+    description="lag/lead analytic windows over event streams (W3 [ext])",
+)
+def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 6).alias(
+            "delta_prev"
+        ),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+    ).orderBy("user_id", "event_id")
+
+
+QNTILE_ORACLE = """
+SELECT c_custkey,
+       NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@declare(
+    "q_ntile_customers",
+    oracle=QNTILE_ORACLE,
+    description="ntile bucketing with deterministic tiebreak (W1 family)",
+)
+def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey", F.ntile(4).over(w).alias("wealth_quartile")
+    ).orderBy("c_custkey")
+
+
+QREGEX_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+       regexp_matches(p_name, 'o.*o') AS has_double_o,
+       regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@declare(
+    "q_regexp_part_types",
+    oracle=QREGEX_ORACLE,
+    description="regexp extract/match/replace palette (F9 [ext])",
+)
+def q_regexp_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.col("p_name").rlike("o.*o").alias("has_double_o"),
+        F.regexp_replace("p_brand", r"[^0-9]", "").alias("brand_num"),
+    ).orderBy("p_partkey")
+
+
+QMAPJ_ORACLE = """
+SELECT event_id,
+       list_sort(json_keys(props)) AS prop_keys,
+       len(json_keys(props)) AS n_props,
+       json_extract_string(props, '$.device') AS device
+FROM events
+ORDER BY event_id
+"""
+
+
+@declare(
+    "q_map_from_json",
+    oracle=QMAPJ_ORACLE,
+    description="JSON → map: keys, cardinality, field access (F9 map/json [ext])",
+)
+def q_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_props"),
+        F.get_json_object("props", "$.device").alias("device"),
+    ).orderBy("event_id")
+
+
+@declare(
+    "q_approx_distinct",
+    oracle=None,
+    description="approx_count_distinct + percentile_approx sketches (A9 [ext]; rows-only — sketch values are engine-specific, accuracy asserted in tests)",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+    )

@@ -1,0 +1,120 @@
+"""Multimodal declared queries ([ext]) — binary content columns over
+the documents fixture (text bytes stand in for media payloads; the
+plumbing — binary columns, metadata structs, Arrow-batched
+mapInPandas — is identical for real media).
+
+The mapInPandas decode is oracle-checked end to end: the injected
+"decoder" derives its outputs from byte length, so DuckDB can verify
+the whole Arrow round-trip row for row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.operators import multimodal as mm
+from jibaro_spark.queries.registry import declare, load_tables
+
+
+def _with_content(docs: DataFrame) -> DataFrame:
+    """documents.text → opaque binary content + media metadata
+    (kind rotates image/audio/video deterministically by doc_id)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        mm.media_struct(
+            kind,
+            F.lit("application/octet-stream"),
+            duration_ms=(F.col("n_chars") * 40).cast("bigint"),
+        ).alias("media"),
+    )
+
+
+QMM_STATS_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       'application/octet-stream' AS sniffed_mime
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_multimodal_stats",
+    oracle=QMM_STATS_ORACLE,
+    description="codec-free binary stats: size, sha256, magic sniff (multimodal [ext])",
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        mm.content_stats(_with_content(docs))
+        .select("doc_id", "n_bytes", "sha256", "sniffed_mime")
+        .orderBy("doc_id")
+    )
+
+
+def _len_decoder(payload: bytes, media: dict) -> dict:
+    """SQL-expressible deterministic 'decoder' (see module docstring)."""
+    n = len(payload)
+    return {
+        "dec_width": n % 64 + 1,
+        "dec_height": (n // 64) % 64 + 1,
+        "dec_mean_luma": (n * 2654435761 % 1000) / 1000.0,
+        "dec_channels": 3,
+    }
+
+
+QMM_DECODE_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) % 64 + 1 AS dec_width,
+       (octet_length(encode(text)) // 64) % 64 + 1 AS dec_height,
+       CAST((octet_length(encode(text)) * 2654435761 % 1000) AS DOUBLE) / 1000.0 AS dec_mean_luma,
+       3 AS dec_channels
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_multimodal_decode",
+    oracle=QMM_DECODE_ORACLE,
+    description="Arrow-batched mapInPandas media decode plumbing, oracle-verified (multimodal [ext], U5)",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        mm.decode_media(_with_content(docs), decoder=_len_decoder)
+        .select("doc_id", "dec_width", "dec_height", "dec_mean_luma", "dec_channels")
+        .orderBy("doc_id")
+    )
+
+
+QMM_FRAMES_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 AND n_chars > 0
+            THEN range(0, n_chars * 40, 1000)
+            ELSE [] END AS frame_ts_ms
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_frame_sample_plan",
+    oracle=QMM_FRAMES_ORACLE,
+    description="video frame-sampling plan from metadata, native sequence (multimodal [ext])",
+)
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        mm.plan_frame_samples(_with_content(docs), every_ms=1000)
+        .select("doc_id", "frame_ts_ms")
+        .orderBy("doc_id")
+    )

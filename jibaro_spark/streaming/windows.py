@@ -1,0 +1,114 @@
+"""Event-time streaming operators ([ext] — SURVEY §2.10 T5: the
+reference has no watermarks/windows; these are the Structured-Streaming
+operators a 100 TB event pipeline needs).
+
+All functions take a streaming OR batch DataFrame — the expressions are
+identical; only the sink differs.  Watermarks bound state: without one,
+a windowed aggregation's state grows forever (T6 late-data policy).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: state timeout for the custom stateful operator (see running_counts)
+_STATE_SCHEMA = "count bigint, total double"
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark.
+
+    Late rows beyond ``watermark`` are dropped (deterministic late-data
+    policy); state per window is finalized and evicted once the
+    watermark passes the window end — bounded state at any scale.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "n",
+            "total",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: activity runs per key closed by ``gap`` of
+    inactivity (``F.session_window`` — dynamic, data-driven windows;
+    the streaming analogue of the batch sessionization query)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-key running (count, total) maintained across micro-batches —
+    the escape hatch for operators Spark's built-ins can't express
+    (reference has nothing comparable; this is the [ext] pattern for
+    e.g. CDC-aware sessionization or per-entity rate limiting).
+
+    State is a single (count,total) pair per key: O(distinct keys)
+    state, Arrow-batched updates.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, count bigint, total double"
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "count": [n], "total": [round(tot, 6)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,158 @@
+"""Streaming event-time operators driven as REAL streams (file source →
+availableNow → memory/foreachBatch sink), verified against the batch
+formulation of the same computation — plus multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.queries.registry import load_tables
+from jibaro_spark.streaming import windows as W
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events fixture re-written as a clean micro-batchable parquet dir
+    (ts normalized to TIMESTAMP so streaming needs no nanos conf)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_tables(spark, SF, "events")["events"]
+    # repartition (not coalesce — a 1-partition source stays 1 file
+    # under coalesce) so maxFilesPerTrigger=1 yields ≥2 micro-batches
+    ev.repartition(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events_dir)
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if sdf.isStreaming else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_tumbling_counts_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.total)
+        for r in W.tumbling_counts(batch).collect()
+    }
+
+    sdf = W.tumbling_counts(_stream(spark, events_dir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("tumbling")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.sql("SELECT * FROM tumbling").collect()
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.total)
+        for r in got_rows
+    }
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch result exactly, and most
+    # windows must have been finalized (only the trailing ones held).
+    assert got, "stream produced no finalized windows"
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
+    assert len(got) >= len(expected) * 0.5
+
+
+def test_session_windows_stream_runs_and_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in W.session_windows(batch, gap="30 minutes").collect()
+    }
+    sdf = W.session_windows(_stream(spark, events_dir), gap="30 minutes")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_running_counts_stateful_across_batches(spark, events_dir):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (maxFilesPerTrigger=1 over a 2-file dir → ≥2 batches); the final
+    update row per key equals the batch aggregate."""
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.user_id: (r["count"], r.total)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .collect()
+    }
+
+    sdf = W.running_counts(_stream(spark, events_dir))
+    rows = []
+    q = (
+        sdf.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: rows.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(rows) >= 2, "expected multiple micro-batches"
+    final = {}
+    for _, batch_rows in rows:
+        for r in batch_rows:
+            final[r.user_id] = (r["count"], r.total)
+    assert set(final) == set(expected)
+    for k in expected:
+        assert final[k][0] == expected[k][0]
+        assert abs(final[k][1] - expected[k][1]) < 1e-6
+
+
+def test_multimodal_stub_and_fake(spark):
+    from jibaro_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0data", ("image", "image/jpeg", None, None, None, None)),
+         (2, b"\x89PNG\r\n", ("image", "image/png", 10, 20, None, None))],
+        f"id int, content binary, media {mm.MEDIA_STRUCT.simpleString()}",
+    )
+    # stub decoder raises with guidance
+    with pytest.raises(Exception) as ei:
+        mm.decode_media(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+
+    out = {r.id: r for r in mm.decode_media(df, decoder=mm.fake_decoder).collect()}
+    assert out[2].dec_width == 10 and out[2].dec_height == 20  # metadata wins
+    assert 1 <= out[1].dec_width <= 64  # derived deterministically
+    assert 0.0 <= out[1].dec_mean_luma <= 1.0
+
+    stats = {r.id: r for r in mm.content_stats(df).collect()}
+    assert stats[1].sniffed_mime == "image/jpeg"
+    assert stats[2].sniffed_mime == "image/png"
+
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(df, 64, 64)
