@@ -29,15 +29,20 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "q_cube_qty",
+    "q_percentile_prices",
     "q_topk_orders_per_customer",
     "q_running_customer_spend",
     "q_rollup_qty",
+    "q_lag_lead_events",
+    "q_map_from_json",
     "q_sessionize_events",
     "q_asof_purchase_click",
     "q_cdc_merge_orders",
     "q_dedup_exact_docs",
     "q_text_token_stats",
     "q_text_language_id",
+    "q_multimodal_decode",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_knn_bruteforce",
@@ -55,6 +60,14 @@ def main() -> None:
     spark = build_session(app_name="jibaro_spark_bench")
 
     from jibaro_spark.queries import REGISTRY
+
+    # JVM/codegen/scan warmup so the first timed query isn't charged
+    # for session spin-up (we measure plans, not cold-start).
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -168,8 +168,8 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -178,9 +178,11 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 @declare("q6_forecast_revenue", oracle=Q6_ORACLE, description="TPC-H Q6: pushdown filter + global agg (P4,A9)")
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # literals cast to timestamp_ntz to match the column type exactly
+    # (UTC session tz makes LTZ equivalent, but ntz needs no conversion)
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -196,8 +198,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q4_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -208,8 +210,9 @@ ORDER BY o_orderpriority
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     orders = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        # 1996: fixture dates span 1995-2001; a 1994 filter is vacuous
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = t["lineitem"].select("l_orderkey", "l_shipdate")
     return (
@@ -227,10 +230,14 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Anti-join: customers with no orders (J1 anti).
 # --------------------------------------------------------------------------
+# Every fixture customer has at least one order, so the plain "no
+# orders" anti-join is vacuous; anti-join against HIGH-VALUE orders
+# instead (57 rows at sf0.001, 538 at sf0.01).
 QANTI_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
 ORDER BY c_custkey
 """
 
@@ -238,9 +245,10 @@ ORDER BY c_custkey
 @declare("q_customers_no_orders", oracle=QANTI_ORACLE, description="left-anti join / NOT EXISTS (J1 anti)")
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 450000)
     return (
         t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
