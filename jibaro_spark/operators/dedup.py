@@ -96,11 +96,19 @@ def shingles(col: Column, n: int = 3) -> Column:
     ``split`` → ``transform`` over a ``sequence`` of start offsets →
     ``concat_ws`` per window.  Stays entirely in Tungsten codegen; no
     Python round-trip.
+
+    The word array is bound ONCE per row via a 1-element-array lambda
+    (``transform(array(split(...)), words -> ...)``): referencing the
+    split expression directly inside the per-shingle lambda would
+    re-run split+regex for every shingle (~50× per document).
     """
-    words = F.split(_normalized(col), " ")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+    def over(words: Column) -> Column:
+        n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), n_sh - 1)
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+    return F.transform(F.array(F.split(_normalized(col), " ")), over)[0]
 
 
 _MAX_LONG = (1 << 63) - 1

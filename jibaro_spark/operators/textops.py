@@ -107,12 +107,15 @@ def fingerprint_md5(col: Column) -> Column:
 def rolling_hash_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:
     """Winnowing-style document fingerprint: k-gram rolling hashes →
     keep the ``keep`` smallest (as a sorted array) — a compact sketch
-    for containment checks.  Native exprs only."""
-    sh = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.greatest(F.length(normalized_text(col)) - window, F.lit(0)),
-        ),
-        lambda i: F.xxhash64(F.substring(normalized_text(col), i + 1, window)),
-    )
-    return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
+    for containment checks.  Native exprs only; the normalized text is
+    bound once per row via a 1-element-array lambda (inlining it in the
+    per-position lambda would re-run the regex ~|text| times)."""
+
+    def over(t: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(t) - window, F.lit(0))),
+            lambda i: F.xxhash64(F.substring(t, i + 1, F.lit(window))),
+        )
+        return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
+
+    return F.transform(F.array(normalized_text(col)), over)[0]

@@ -315,3 +315,138 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
     )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@declare(
+    "q10_returned_revenue",
+    oracle=Q10_ORACLE,
+    description="TPC-H Q10-ish: returned-item revenue per customer, top-20 (J1,A9,O4)",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        returned.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+)
+SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@declare(
+    "q18_large_orders",
+    oracle=Q18_ORACLE,
+    description="TPC-H Q18-ish: HAVING-filtered agg joined back to facts (A9,J1)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+# Price-band range join: static overlapping intervals × lineitem points,
+# via the bucketed equi-join strategy (J4 [ext]; operators/relational.py).
+QRANGE_ORACLE = """
+WITH bands AS (
+  SELECT i AS band_id, i * 40000.0 AS lo, i * 40000.0 + 60000.0 AS hi
+  FROM range(0, 10) t(i)
+)
+SELECT band_id, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+FROM bands JOIN lineitem
+  ON l_extendedprice >= lo AND l_extendedprice <= hi
+GROUP BY band_id
+ORDER BY band_id
+"""
+
+
+@declare(
+    "q_range_join_price_bands",
+    oracle=QRANGE_ORACLE,
+    description="point-in-interval range join via bucketed equi-join (J4 [ext])",
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import range_join_bucketed
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_extendedprice", "l_quantity"
+    )
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 40000.0).alias("lo"),
+        (F.col("id") * 40000.0 + 60000.0).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        li, bands, left_point="l_extendedprice",
+        right_start="lo", right_end="hi", bucket_width=20000,
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "qty"),
+        )
+        .orderBy("band_id")
+    )

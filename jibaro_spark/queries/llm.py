@@ -210,11 +210,99 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@declare("q_embedding_near_dup", oracle=None, description="embedding-cosine near-dup pairs via sign-LSH (dedup [ext])")
+# Fixture max pairwise cosine is ~0.6 — below the LSH regime, so the
+# declared query uses the exact block-matmul path (which also makes it
+# oracle-checkable); the LSH variant is exercised in tests at its
+# high-threshold design point.
+QEMBDUP_ORACLE = """
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+WHERE cosine_sim >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@declare(
+    "q_embedding_near_dup",
+    oracle=QEMBDUP_ORACLE,
+    description="embedding-cosine near-dup pairs, exact block-matmul mapInPandas (dedup [ext])",
+)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fixture max pairwise cosine is ~0.6 (no true near-dups); threshold
-    # 0.5 keeps the query non-vacuous while exercising the LSH path.
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return sim.embedding_near_duplicates(
-        emb, "vec_id", "embedding", dim=64, threshold=0.5
+    return sim.embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+QQUAL_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS n_char,
+         CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_uniq
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(n_alpha / n_char * 0.5
+             + n_uniq / n_tok * 0.4
+             + (1.0 - n_punct / n_char) * 0.1, 6) AS quality
+FROM f
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_text_quality_score",
+    oracle=QQUAL_ORACLE,
+    description="composite text quality score, native exprs (text analysis [ext])",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+QBPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '([a-z]{{1,4}}|[0-9]|[^a-z0-9\\s])', 1)) AS n_bpe_tokens,
+       len({_TOKS}) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_bpe_token_count",
+    oracle=QBPE_ORACLE,
+    description="BPE-ish subword token estimate vs whitespace tokens (token counting [ext])",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        tx.token_count(F.col("text")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "q_rolling_fingerprint",
+    oracle=None,
+    description="winnowing rolling-hash document sketch (xxhash64 — no DuckDB equivalent; rows-only, verified in tests)",
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        tx.rolling_hash_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -172,22 +172,44 @@ def test_knn_lsh_recall(spark, sf_dir, emb_local):
     assert hits / total >= 0.4, f"LSH recall {hits}/{total}"
 
 
-def test_embedding_near_dup_exact_precision(spark, sf_dir, emb_local):
-    """Reported pairs are exact-cosine verified, so precision is 1.0 by
-    construction — check against numpy ground truth."""
+def _numpy_pairs(emb_local, threshold):
     import numpy as np
 
+    ids = [r[0] for r in emb_local]
+    V = np.array([r[1] for r in emb_local], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    out = {}
+    for i, a in enumerate(ids):
+        for j, b in enumerate(ids):
+            if a < b and S[i, j] >= threshold:
+                out[(a, b)] = S[i, j]
+    return out
+
+
+def test_embedding_near_dup_exact_matches_numpy(spark, sf_dir, emb_local):
+    """The block-matmul exact path equals brute-force numpy ground
+    truth as a SET of pairs (the low-threshold regime's right plan)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_near_duplicates_exact(
+            emb, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    want = _numpy_pairs(emb_local, 0.5)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=2e-6)
+
+
+def test_embedding_near_dup_lsh_precision(spark, sf_dir, emb_local):
+    """LSH path: every reported pair must be exact-cosine ≥ threshold
+    (precision 1.0 by construction — candidates are exact-verified)."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     out = sim.embedding_near_duplicates(
         emb, "vec_id", "embedding", dim=64, threshold=0.5
     ).collect()
-    ids = [r[0] for r in emb_local]
-    V = np.array([r[1] for r in emb_local], dtype=np.float64)
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    S = Vn @ Vn.T
-    idx = {v: i for i, v in enumerate(ids)}
+    want = _numpy_pairs(emb_local, 0.5)
     for r in out:
-        assert round(S[idx[r.id_a], idx[r.id_b]], 6) >= 0.5
-        assert math.isclose(
-            r.cosine_sim, round(S[idx[r.id_a], idx[r.id_b]], 6), abs_tol=2e-6
-        )
+        assert (r.id_a, r.id_b) in want  # subset of exact ground truth
