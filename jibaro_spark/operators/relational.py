@@ -107,3 +107,40 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join via key salting (the manual complement
+    to AQE's skew-join splitting, for when one hot key dominates a
+    partition beyond what AQE re-planning fixes).
+
+    The left (skewed) side gets a random salt in [0, salt); the right
+    side is EXPLODED ``salt``× so every salted left key finds its
+    match.  Join key becomes (key, salt) — the hot key's rows spread
+    over ``salt`` reducers.  Right-side replication cost: |right| ×
+    salt rows — use for dimension-sized right sides.
+
+    ``rand`` is seeded for deterministic plans; results are
+    row-identical to the plain join regardless of salt placement.
+    """
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_l.join(
+        salted_r,
+        # frame-qualified refs: left_on/right_on may share a name
+        (salted_l[left_on] == salted_r[right_on])
+        & (salted_l["__salt"] == salted_r["__salt"]),
+        how,
+    )
+    return out.drop(salted_l["__salt"]).drop(salted_r["__salt"])

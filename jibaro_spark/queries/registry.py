@@ -71,6 +71,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation of TIMESTAMP_NS.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC so LTZ conversions (timestamp_micros below) are invariant to
+    # the host session's timezone — the driver runs queries under ITS
+    # session, not ours, and DuckDB is timezone-naive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

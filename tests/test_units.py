@@ -1,0 +1,76 @@
+"""Unit tests: catalog/config path conventions (M0), relational helper
+operators, salted join equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.catalog import Catalog, Layer, TableRef
+from jibaro_spark.config import Settings
+from jibaro_spark.operators.relational import salted_join, top_k_per_group
+
+
+def test_catalog_paths():
+    cat = Catalog(Settings(protocol="s3a"))
+    ref = TableRef(str(Layer.CURATED), "proj", "db", "tbl")
+    assert cat.path(ref) == "s3a://curated/proj/db/tbl"
+    assert (
+        cat.checkpoint_path(ref)
+        == "s3a://spark-control/_checkpoint/curated/proj/db/tbl"
+    )
+    assert cat.history_path(ref) == "s3a://spark-control/_history/curated/proj/db/tbl"
+
+
+def test_catalog_file_protocol(tmp_path):
+    cat = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    ref = cat.ref(Layer.RAW, "p", "d", "t")
+    assert cat.path(ref) == f"{tmp_path}/raw/p/d/t"
+
+
+def test_tableref_validation():
+    with pytest.raises(ValueError):
+        TableRef("raw", "a/b", "db", "t")
+    with pytest.raises(ValueError):
+        TableRef("raw", "", "db", "t")
+    assert TableRef("raw", "p", "d", "t").with_layer(Layer.STAGED).layer == "staged"
+
+
+def test_settings_env_and_toml(tmp_path):
+    toml = tmp_path / "s.toml"
+    toml.write_text('protocol = "s3a"\ncompact_min_files = 5\n')
+    s = Settings.load(str(toml), env={"JIBARO_SPARK_VACUUM_RETENTION_HOURS": "24"})
+    assert s.protocol == "s3a"
+    assert s.compact_min_files == 5
+    assert s.vacuum_retention_hours == 24
+    with pytest.raises(ValueError):
+        s.bucket_for("nope")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be semantically invisible — identical rows to the
+    plain join, with the hot key spread across salt buckets."""
+    left = spark.range(0, 2000).select(
+        (F.when(F.col("id") % 10 != 0, F.col("id") % 50).otherwise(7)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(50)], "k long, name string"
+    )
+    plain = sorted((r.k, r.v, r.name) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(left, right, "k", "k", salt=8).drop(right.k).collect()
+    )
+    assert salted == plain
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)], "g string, x int"
+    )
+    got = {
+        (r.g, r.x)
+        for r in top_k_per_group(df, ["g"], [F.col("x").desc()], k=2).collect()
+    }
+    assert got == {("a", 3), ("a", 2), ("b", 9), ("b", 8)}
