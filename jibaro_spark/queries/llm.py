@@ -202,7 +202,31 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@declare("q_ngram_jaccard_pairs", oracle=None, description="exact n-gram Jaccard over inverted-index candidates (dedup [ext])")
+# Exact math → full oracle: DuckDB builds the same 3-gram shingle sets
+# with a list comprehension (slice clamping matches Spark's slice()).
+QNGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS s
+  FROM toks
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+) WHERE jaccard >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@declare("q_ngram_jaccard_pairs", oracle=QNGRAM_ORACLE, description="exact n-gram Jaccard over inverted-index candidates (dedup [ext])")
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return dd.ngram_jaccard_pairs(
