@@ -3,9 +3,12 @@
 ``queries()`` / ``oracle_sql()`` are populated from the declared-query
 registry in :mod:`jibaro_spark.queries` — one entry per implemented
 operator from SURVEY.md §2 (plus the [ext] LLM-pipeline operators).
-Queries without an oracle entry are genuinely non-SQL-expressible
-(LSH-approximate ops) and get the driver's rows-only check; each one is
-verified in ``tests/`` against its exact counterpart instead.
+Queries without an oracle entry are genuinely non-SQL-expressible —
+LSH-approximate ops (minhash/simhash/knn-lsh), engine-specific sketches
+(approx_count_distinct/percentile_approx), and xxhash64-based
+fingerprints DuckDB cannot reproduce; each gets the driver's rows-only
+check and is verified in ``tests/test_approx_ops.py`` against exact
+ground truth instead.
 """
 
 from __future__ import annotations

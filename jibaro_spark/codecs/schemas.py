@@ -153,3 +153,51 @@ def _proto_scalar(dt: T.DataType) -> str:
         if isinstance(dt, spark_t):
             return proto_t
     raise TypeError(f"no proto3 mapping for Spark type {dt}")
+
+
+def generate_proto_descriptors(
+    proto_texts: dict[str, str],
+    out_dir: str,
+    spark=None,
+) -> dict[str, str]:
+    """Write ``.proto`` files and compile them to descriptor sets
+    (reference ``jibaro/utils.py:125-167``: protoc via ``grpc_tools``,
+    descriptors shipped to executors with ``sc.addFile``).
+
+    Returns ``{name: descriptor_path}``.  Gated on ``grpc_tools``
+    (not in the base environment) with a clear error; when a
+    SparkSession is passed, each descriptor is ``addFile``-distributed
+    so ``from_protobuf(descFilePath=...)`` resolves on executors.
+    """
+    import os
+
+    try:
+        from grpc_tools import protoc
+    except ImportError as e:
+        raise RuntimeError(
+            "proto descriptor compilation requires grpc_tools "
+            "(pip install grpcio-tools); the json/avro paths need no compiler"
+        ) from e
+
+    os.makedirs(out_dir, exist_ok=True)
+    out: dict[str, str] = {}
+    for name, text in proto_texts.items():
+        proto_path = os.path.join(out_dir, f"{name}.proto")
+        desc_path = os.path.join(out_dir, f"{name}.desc")
+        with open(proto_path, "w") as f:
+            f.write(text)
+        rc = protoc.main(
+            [
+                "protoc",
+                f"-I{out_dir}",
+                f"--descriptor_set_out={desc_path}",
+                "--include_imports",
+                proto_path,
+            ]
+        )
+        if rc != 0:
+            raise RuntimeError(f"protoc failed for {name} (rc={rc})")
+        if spark is not None:
+            spark.sparkContext.addFile(desc_path)
+        out[name] = desc_path
+    return out
