@@ -527,3 +527,50 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# Full-outer join (completing the J1 family: inner/left/semi/anti are
+# exercised elsewhere): per-nation customer vs supplier account
+# balances — nations may have customers but no suppliers or vice versa.
+QFULL_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS cust_bal
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS supp_bal
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, cust_bal, supp_bal
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
+@declare(
+    "q_full_outer_balances",
+    oracle=QFULL_ORACLE,
+    description="full-outer join of per-nation aggregates (J1 full)",
+)
+def q_full_outer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    # balance filters keep each side sparse so the OUTER part is
+    # non-vacuous (11-vs-1 nations at sf0.001, 25-vs-20 at sf0.01)
+    c = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("c_acctbal", "cust_bal"))
+    )
+    s = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(dsum("s_acctbal", "supp_bal"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select("nationkey", "cust_bal", "supp_bal")
+        .orderBy("nationkey")
+    )
