@@ -98,7 +98,13 @@ def read_stream(
         options = {**options, "maxFilesPerTrigger": str(max_files_per_trigger)}
     reader = spark.readStream.format(fmt).options(**options)
     if schema is None and fmt in PATH_FORMATS - {"delta"}:
-        schema = spark.read.format(fmt).load(path).schema
+        infer = spark.read.format(fmt)
+        if fmt == "parquet":
+            # union of ALL file schemas, not the first file's — staged
+            # tables evolve mid-stream (K2 mergeSchema appends) and a
+            # first-file schema would silently drop evolved columns
+            infer = infer.option("mergeSchema", "true")
+        schema = infer.load(path).schema
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)

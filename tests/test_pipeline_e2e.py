@@ -170,3 +170,57 @@ def test_maintenance_compact_and_history(spark, lake):
     assert hist.count() == 1
     row = hist.collect()[0]
     assert row.operation == "COMPACT" and row.numFiles == after.num_files
+
+
+VALUE_SCHEMA_V2 = (
+    "op STRING, "
+    "before STRUCT<id INT, name STRING, weight DOUBLE, color STRING>, "
+    "after STRUCT<id INT, name STRING, weight DOUBLE, color STRING>"
+)
+
+
+def test_schema_evolution_mid_stream(spark, lake, registry):
+    """FIXTURES §1 scenario: the value schema gains a column between
+    batches. The staged table must carry BOTH schema versions (merged
+    parquet read — a first-file-schema inference would silently drop
+    the new column) and the curated table must surface the new column
+    with nulls for pre-evolution rows."""
+    reg, kid, vid = registry
+    vid2 = reg.register("products-value", VALUE_SCHEMA_V2)
+
+    rows1 = [
+        change(kid, vid, "r", {"id": 1, "name": "a", "weight": 1.0}, offset=0),
+        change(kid, vid, "r", {"id": 2, "name": "b", "weight": 2.0}, offset=1),
+    ]
+    write_topic_dump(spark, lake, rows1, "b1")
+    run_hops(spark, lake, registry)
+
+    # batch 2 uses the evolved schema (extra 'color' field)
+    rows2 = [
+        change(
+            kid, vid2, "u",
+            {"id": 2, "name": "b2", "weight": 2.5, "color": "red"}, offset=10,
+        ),
+        change(
+            kid, vid2, "c",
+            {"id": 3, "name": "c", "weight": 3.0, "color": "blue"}, offset=11,
+        ),
+    ]
+    write_topic_dump(spark, lake, rows2, "b2")
+    run_hops(spark, lake, registry)
+
+    got = {
+        r.id: (r.name, r.weight, getattr(r, "color", None), r.op)
+        for r in curated(spark, lake).collect()
+    }
+    assert got == {
+        1: ("a", 1.0, None, "r"),
+        2: ("b2", 2.5, "red", "u"),
+        3: ("c", 3.0, "blue", "c"),
+    }
+
+    staged_ref = TableRef(str(Layer.STAGED), "lab", "inventory", "products")
+    staged = spark.read.option("mergeSchema", "true").parquet(lake.path(staged_ref))
+    assert "color" in staged.select("value.after.*").columns
+    ids = {r.valueSchemaId for r in staged.select("valueSchemaId").collect()}
+    assert ids == {vid, vid2}
