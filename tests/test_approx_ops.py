@@ -213,3 +213,21 @@ def test_embedding_near_dup_lsh_precision(spark, sf_dir, emb_local):
     want = _numpy_pairs(emb_local, 0.5)
     for r in out:
         assert (r.id_a, r.id_b) in want  # subset of exact ground truth
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """approx_count_distinct within its documented rsd of exact;
+    percentile_approx within the group's value range of the exact
+    percentile (the q_approx_distinct query's accuracy contract)."""
+    from jibaro_spark.queries import REGISTRY
+
+    row = REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()[0]
+    rel_err = abs(row.approx_orders - row.exact_orders) / row.exact_orders
+    assert rel_err <= 0.05, (row.approx_orders, row.exact_orders)
+
+    from pyspark.sql import functions as F
+    from jibaro_spark.queries.registry import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    exact_p50 = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
+    assert abs(row.p50_approx - exact_p50) / exact_p50 <= 0.05
