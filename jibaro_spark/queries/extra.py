@@ -279,7 +279,7 @@ def q_regexp_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QMAPJ_ORACLE = """
 SELECT event_id,
-       list_sort(json_keys(props)) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        len(json_keys(props)) AS n_props,
        json_extract_string(props, '$.device') AS device
 FROM events
@@ -295,9 +295,11 @@ ORDER BY event_id
 def q_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
     m = F.from_json("props", "map<string,string>")
+    # prop_keys joined to a string: the driver's canonicalizer can't
+    # sort array cells (same fix as q_frame_sample_plan).
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_props"),
         F.get_json_object("props", "$.device").alias("device"),
     ).orderBy("event_id")

@@ -326,7 +326,19 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return docs.select(
-        "doc_id",
-        tx.rolling_hash_fingerprint(F.col("text")).alias("fingerprint"),
-    ).orderBy("doc_id")
+    # Scalar projection of the sketch (the driver's canonicalizer can't
+    # sort array cells); the array itself is covered in test_units.
+    fp = F.col("fingerprint")
+    return (
+        docs.select(
+            "doc_id", tx.rolling_hash_fingerprint(F.col("text")).alias("fingerprint")
+        )
+        .select(
+            "doc_id",
+            F.size(fp).cast("long").alias("n_hashes"),
+            F.get(fp, 0).alias("fp_min"),
+            F.get(fp, F.size(fp) - 1).alias("fp_max"),
+            F.concat_ws(",", fp.cast("array<string>")).alias("fp_sig"),
+        )
+        .orderBy("doc_id")
+    )

@@ -97,11 +97,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QMM_FRAMES_ORACLE = """
+WITH plan AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 AND n_chars > 0
+              THEN range(0, CAST(n_chars AS BIGINT) * 40, 1000)
+              ELSE [] END AS frame_ts_ms
+  FROM documents
+)
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 AND n_chars > 0
-            THEN range(0, n_chars * 40, 1000)
-            ELSE [] END AS frame_ts_ms
-FROM documents
+       len(frame_ts_ms) AS n_frames,
+       frame_ts_ms[1] AS first_frame_ms,
+       frame_ts_ms[-1] AS last_frame_ms
+FROM plan
 ORDER BY doc_id
 """
 
@@ -113,8 +120,16 @@ ORDER BY doc_id
 )
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # Scalar projection (driver canonicalizer can't sort array cells);
+    # the plan array itself is exercised in tests.
+    fts = F.col("frame_ts_ms")
     return (
         mm.plan_frame_samples(_with_content(docs), every_ms=1000)
-        .select("doc_id", "frame_ts_ms")
+        .select(
+            "doc_id",
+            F.size(fts).cast("long").alias("n_frames"),
+            F.get(fts, 0).alias("first_frame_ms"),
+            F.get(fts, F.size(fts) - 1).alias("last_frame_ms"),
+        )
         .orderBy("doc_id")
     )
