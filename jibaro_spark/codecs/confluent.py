@@ -161,9 +161,27 @@ class HttpSchemaRegistry:
 
 
 def _decode_json(payload: Column, schema_str: str) -> Column:
-    """JSON payload decode — ``schema_str`` is a Spark DDL or JSON
-    schema string.  Always available (no extra jars)."""
-    return F.from_json(payload.cast("string"), schema_str)
+    """JSON payload decode — ``schema_str`` may be a JSON Schema
+    (draft-07, what a real registry stores under schemaType JSON), a
+    Spark StructType JSON, or a Spark DDL string.  Always available
+    (no extra jars)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema: str | T.StructType = schema_str
+    try:
+        doc = _json.loads(schema_str)
+    except (ValueError, TypeError):
+        doc = None  # DDL string
+    if isinstance(doc, dict):
+        if doc.get("type") == "struct":
+            schema = T.StructType.fromJson(doc)
+        else:
+            from jibaro_spark.codecs.schemas import json_schema_to_struct
+
+            schema = json_schema_to_struct(doc)
+    return F.from_json(payload.cast("string"), schema)
 
 
 def _decode_avro(payload: Column, schema_str: str) -> Column:
@@ -200,6 +218,7 @@ def decode_confluent_batch(
     registry: SchemaRegistry,
     content_type: str = "json",
     schema_resolver: Callable[[str, int], str] | None = None,
+    on_tombstone: str = "drop",
 ) -> list[DataFrame]:
     """Schema-partitioned decode of one micro-batch (reference R7:
     ``avro_handler.py:41-96`` / ``cdc.py:151-176``).
@@ -212,10 +231,41 @@ def decode_confluent_batch(
        key ids, reference ``cdc.py:167-176``), decode with exactly
        that schema
 
+    Kafka tombstones (null value → null ``valueSchemaId``; Debezium
+    emits one after every delete for log compaction) carry no payload
+    to decode.  ``on_tombstone`` routes them: ``"drop"`` (default —
+    they are compaction markers, the preceding ``op='d'`` event carries
+    the delete), ``"keep"`` (emitted with a null binary ``value``;
+    callers must route them to a separate sink, a struct-decoded append
+    cannot merge with a binary column), or ``"error"``.
+
     Returns one decoded DataFrame per schema pair — callers append each
     with ``mergeSchema`` (K2) or union them.  The common single-schema
     batch avoids any extra pass: one filter job over the batch.
+    ``decode_confluent_batch_pairs`` additionally yields the
+    ``(key_id, value_id)`` of each frame (known from the distinct pass
+    — re-deriving it with ``first()`` would cost a job per pair, the
+    reference defect at ``protobuf_handler.py:89``, SURVEY §2.13).
     """
+    return [
+        df
+        for _pair, df in decode_confluent_batch_pairs(
+            batch, registry, content_type, schema_resolver, on_tombstone
+        )
+    ]
+
+
+def decode_confluent_batch_pairs(
+    batch: DataFrame,
+    registry: SchemaRegistry,
+    content_type: str = "json",
+    schema_resolver: Callable[[str, int], str] | None = None,
+    on_tombstone: str = "drop",
+) -> list[tuple[tuple[int | None, int | None], DataFrame]]:
+    """:func:`decode_confluent_batch`, yielding
+    ``((keySchemaId, valueSchemaId), decoded_frame)`` per schema pair."""
+    if on_tombstone not in ("drop", "keep", "error"):
+        raise ValueError(f"on_tombstone must be drop|keep|error, got {on_tombstone!r}")
     decode = DECODERS[content_type]
     resolver = schema_resolver or (lambda _role, sid: registry.get_schema(sid))
     sliced = split_wire_format(batch, content_type)
@@ -223,8 +273,18 @@ def decode_confluent_batch(
         (r.keySchemaId, r.valueSchemaId)
         for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
     ]
-    out: list[DataFrame] = []
-    for key_id, value_id in sorted(pairs, key=lambda p: (p[0] is None, p)):
+    # None-safe ordering: (kid, None) and (kid, vid) coexist in any
+    # batch that mixes deletes with their tombstones (ADVICE r1).
+    pairs.sort(key=lambda p: (p[0] is None, p[1] is None, p[0] or 0, p[1] or 0))
+    out: list[tuple[tuple[int | None, int | None], DataFrame]] = []
+    for key_id, value_id in pairs:
+        if value_id is None:
+            if on_tombstone == "error":
+                raise ValueError(
+                    f"tombstone rows (null value) in batch for keySchemaId={key_id}"
+                )
+            if on_tombstone == "drop":
+                continue
         cond = (
             F.col("keySchemaId").isNull()
             if key_id is None
@@ -241,12 +301,14 @@ def decode_confluent_batch(
             # keyless topic (reference kafka.py:38-41): null key, typed
             # binary so the column is writable (void type is not)
             else F.lit(None).cast("binary").alias("key"),
-            decode(F.col("valuePayload"), resolver("value", value_id)).alias("value"),
+            decode(F.col("valuePayload"), resolver("value", value_id)).alias("value")
+            if value_id is not None
+            else F.lit(None).cast("binary").alias("value"),
             *KAFKA_META_COLS,
             "keySchemaId",
             "valueSchemaId",
         ]
-        out.append(part.select(*cols))
+        out.append(((key_id, value_id), part.select(*cols)))
     return out
 
 
@@ -269,12 +331,16 @@ def encode_confluent(
     ``json`` encodes payloads with ``to_json`` (always available);
     ``avro`` uses ``to_avro`` when the spark-avro jar is present.
     """
-    from jibaro_spark.codecs.schemas import to_avro_schema
+    from jibaro_spark.codecs.schemas import to_avro_schema, to_json_schema
 
     value_cols = [c for c in df.columns if c not in key_cols]
     value_struct = F.struct(*value_cols)
     if content_type == "json":
-        value_schema = df.select(*value_cols).schema.json()
+        # Real JSON Schema draft-07 (ADVICE r1) — what external registry
+        # consumers expect; our decoder accepts it alongside DDL/StructType.
+        value_schema = to_json_schema(
+            df.select(*value_cols).schema, title=f"{topic}.Envelope"
+        )
         schema_type = "JSON"
         encode = lambda c, s: F.to_json(c).cast("binary")  # noqa: E731
     elif content_type == "avro":
@@ -294,7 +360,9 @@ def encode_confluent(
     if key_cols:
         key_struct = F.struct(*key_cols)
         if content_type == "json":
-            key_schema = df.select(*key_cols).schema.json()
+            key_schema = to_json_schema(
+                df.select(*key_cols).schema, title=f"{topic}.Key"
+            )
         else:
             key_schema = to_avro_schema(
                 df.select(*key_cols).schema, "Key", namespace=topic

@@ -113,6 +113,152 @@ def _avro_type(dt: T.DataType, path: str) -> Any:
     raise TypeError(f"no Avro mapping for Spark type {dt}")
 
 
+# ------------------------------------------------------ JSON Schema (draft-07)
+
+#: Spark → (json type, connect.type hint). ``connect.type`` is the
+#: public Confluent/Kafka-Connect annotation convention for preserving
+#: numeric width through JSON Schema; external consumers ignore it,
+#: our decoder round-trips it.
+_JSON_SCALARS: list[tuple[type, str, str | None]] = [
+    (T.StringType, "string", None),
+    (T.BooleanType, "boolean", None),
+    (T.ByteType, "integer", "int8"),
+    (T.ShortType, "integer", "int16"),
+    (T.IntegerType, "integer", "int32"),
+    (T.LongType, "integer", "int64"),
+    (T.FloatType, "number", "float32"),
+    (T.DoubleType, "number", "float64"),
+    (T.BinaryType, "string", "bytes"),
+]
+
+_CONNECT_TO_SPARK: dict[str, T.DataType] = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def to_json_schema(schema: T.StructType, title: str = "Envelope") -> str:
+    """StructType → JSON Schema (draft-07) document string — what a
+    real Confluent Schema Registry expects under ``schemaType: JSON``
+    (ADVICE r1: registering Spark's ``schema.json()`` only round-trips
+    against this engine's own decoder)."""
+    doc = _json_schema_object(schema)
+    doc = {"$schema": "http://json-schema.org/draft-07/schema#", "title": title, **doc}
+    return json.dumps(doc)
+
+
+def _json_schema_object(schema: T.StructType) -> dict:
+    props: dict[str, Any] = {}
+    required: list[str] = []
+    for f in schema.fields:
+        props[f.name] = _json_schema_type(f.dataType, f.nullable)
+        if not f.nullable:
+            required.append(f.name)
+    doc: dict[str, Any] = {"type": "object", "properties": props}
+    if required:
+        doc["required"] = required
+    return doc
+
+
+def _json_schema_type(dt: T.DataType, nullable: bool = False) -> dict:
+    if isinstance(dt, T.StructType):
+        out: dict[str, Any] = _json_schema_object(dt)
+    elif isinstance(dt, T.ArrayType):
+        out = {"type": "array", "items": _json_schema_type(dt.elementType, dt.containsNull)}
+    elif isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise TypeError(f"JSON Schema maps require string keys, got {dt.keyType}")
+        out = {
+            "type": "object",
+            "additionalProperties": _json_schema_type(dt.valueType, dt.valueContainsNull),
+            "connect.type": "map",
+        }
+    elif isinstance(dt, T.DecimalType):
+        out = {
+            "type": "number",
+            "connect.type": "decimal",
+            "connect.parameters": {"precision": dt.precision, "scale": dt.scale},
+        }
+    elif isinstance(dt, T.DateType):
+        out = {"type": "string", "format": "date"}
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        out = {"type": "string", "format": "date-time"}
+    else:
+        for spark_t, json_t, hint in _JSON_SCALARS:
+            if isinstance(dt, spark_t):
+                out = {"type": json_t}
+                if hint:
+                    out["connect.type"] = hint
+                break
+        else:
+            raise TypeError(f"no JSON Schema mapping for Spark type {dt}")
+    if nullable and isinstance(out.get("type"), str):
+        out["type"] = ["null", out["type"]]
+    return out
+
+
+def json_schema_to_struct(doc: str | dict) -> T.StructType:
+    """JSON Schema (draft-07) → StructType — decode-side inverse of
+    :func:`to_json_schema`.  Without ``connect.type`` hints, ``integer``
+    maps to LongType and ``number`` to DoubleType (JSON has one integer
+    / one number type)."""
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+    dt = _json_type_to_spark(doc)
+    if not isinstance(dt, T.StructType):
+        raise TypeError("top-level JSON Schema must be an object")
+    return dt
+
+
+def _json_type_to_spark(node: dict) -> T.DataType:
+    jt = node.get("type")
+    if isinstance(jt, list):  # ["null", X] nullable form
+        jt = next((t for t in jt if t != "null"), "string")
+    hint = node.get("connect.type")
+    if hint == "decimal":
+        params = node.get("connect.parameters", {})
+        return T.DecimalType(
+            int(params.get("precision", 38)), int(params.get("scale", 18))
+        )
+    if hint in _CONNECT_TO_SPARK:
+        return _CONNECT_TO_SPARK[hint]
+    if jt == "object":
+        if hint == "map" or "properties" not in node:
+            ap = node.get("additionalProperties")
+            value_t = (
+                _json_type_to_spark(ap) if isinstance(ap, dict) else T.StringType()
+            )
+            return T.MapType(T.StringType(), value_t)
+        required = set(node.get("required", []))
+        return T.StructType(
+            [
+                T.StructField(name, _json_type_to_spark(sub), name not in required)
+                for name, sub in node["properties"].items()
+            ]
+        )
+    if jt == "array":
+        return T.ArrayType(_json_type_to_spark(node.get("items", {"type": "string"})))
+    if jt == "string":
+        fmt = node.get("format")
+        if fmt == "date":
+            return T.DateType()
+        if fmt == "date-time":
+            return T.TimestampType()
+        return T.StringType()
+    if jt == "integer":
+        return T.LongType()
+    if jt == "number":
+        return T.DoubleType()
+    if jt == "boolean":
+        return T.BooleanType()
+    return T.StringType()
+
+
 def to_proto_schema(schema: T.StructType, message_name: str = "Envelope") -> str:
     """StructType → proto3 message text (reference ``utils.py:57-100``).
 

@@ -336,33 +336,46 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
-    max_block: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+    """Exact n-gram Jaccard similarity join via prefix filtering
+    (AllPairs/PPJoin candidate generation — Bayardo et al., WWW'07).
 
-    Candidates are restricted to documents sharing a rare shingle
-    (inverted-index style: explode shingles → drop shingles occurring
-    in > ``max_block`` docs → self-join on shingle), then exact Jaccard
-    is computed on the distinct shingle arrays.  This is the exact
-    verifier for the MinHash estimate.
+    Each document's distinct shingles are ordered by ascending global
+    document frequency (rarest first, shingle text as tie-break) and
+    only the first ``|d| − ceil(threshold·|d|) + 1`` are indexed.  For
+    any pair with ``J(A,B) ≥ threshold``, the globally-smallest shared
+    shingle provably sits inside both prefixes (elements ordered before
+    it in either doc are non-shared, and there are at most
+    ``(1−τ)·|d|`` of them), so the prefix self-join generates every
+    qualifying pair — no frequency cap, no missed pairs (ADVICE r1:
+    the previous ``max_block`` pruning could drop pairs whose overlap
+    was all high-frequency shingles).  Exact Jaccard on the full
+    shingle sets then verifies each candidate.
+
+    Scale: the rare-first ordering keeps hot shingles out of prefixes,
+    so posting-list blocks stay small without correctness loss; the
+    per-doc ranking window shuffles by doc id once.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
-    posting = (
-        sh.select("__id", F.explode("__sh").alias("shingle"))
+    posting = sh.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
     )
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_block)
+    freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("__id").orderBy("df", "shingle")
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = (
+        posting.join(freq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select("__id", "shingle")
     )
-    posting = posting.join(F.broadcast(rare.select("shingle")), "shingle")
     cand = (
-        posting.alias("a")
+        prefix.alias("a")
         .join(
-            posting.alias("b"),
+            prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.__id") < F.col("b.__id")),
         )

@@ -127,9 +127,20 @@ def salted_join(
     over ``salt`` reducers.  Right-side replication cost: |right| ×
     salt rows — use for dimension-sized right sides.
 
-    ``rand`` is seeded for deterministic plans; results are
-    row-identical to the plain join regardless of salt placement.
+    ``rand`` is seeded for deterministic plans.  Results are
+    row-identical to the plain join for ``how`` in {inner, left,
+    left_semi, left_anti} — each left row carries exactly one salt, so
+    left-side multiplicity is preserved.  Right/full outer joins are
+    rejected: an unmatched right row would surface once per salt copy
+    (ADVICE r1); salt the other side instead (swap the operands).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (got {how!r}): the exploded "
+            "right side would emit unmatched right rows salt times under "
+            "right/full outer joins — swap operands to salt the other side"
+        )
     salted_l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

@@ -12,9 +12,15 @@ DataFrame with the Kafka record shape (key/value binary + metadata,
 FIXTURES §1.2) so the full 3-hop pipeline is testable against
 file-backed fixtures — same plans, same checkpoints, no broker.
 
-Exactly-once: every hop is Delta-source → foreachBatch → append/merge
-keyed by checkpoint; on bare parquet the source is a file stream and
-the same idempotence holds per ``batch_id`` (T4).
+Delivery semantics (T4, tightened per ADVICE r1): the staged append is
+made replay-idempotent explicitly, not by claim — on Delta via
+transactional ``txnAppId``/``txnVersion`` (a replayed ``batch_id`` is
+skipped by the commit protocol); on the parquet emulation by writing
+each micro-batch under a ``_batch_id``/``_schema_pair`` partition with
+dynamic partition overwrite, so a replay after a crash between write
+and checkpoint commit REWRITES the same partition instead of
+duplicating rows.  The curated hop is idempotent by construction
+(latest-per-key dedup + keyed MERGE absorbs replays).
 """
 
 from __future__ import annotations
@@ -24,7 +30,10 @@ from typing import Any, Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from jibaro_spark.catalog import Catalog, Layer, TableRef
-from jibaro_spark.codecs.confluent import SchemaRegistry, decode_confluent_batch
+from jibaro_spark.codecs.confluent import (
+    SchemaRegistry,
+    decode_confluent_batch_pairs,
+)
 from jibaro_spark.io import read_stream, write_stream, write_table
 from jibaro_spark.operators.cdc import cdc_merge_table
 from jibaro_spark.session import has_kafka
@@ -93,9 +102,16 @@ def raw_to_staged(
     ``avro_handler.py:99-138`` / ``protobuf_handler.py:136-180``).
 
     Per micro-batch: wire-format slice → distinct schema pairs →
-    per-pair decode → append with schema evolution (K2).
+    per-pair decode → idempotent append with schema evolution (K2).
+    Replay safety (module docstring): Delta appends carry
+    ``txnAppId``/``txnVersion=batch_id``; parquet appends land in a
+    ``_batch_id``/``_schema_pair`` partition overwritten dynamically,
+    so re-processing a micro-batch cannot duplicate staged rows.
     """
+    from pyspark.sql import functions as F
+
     from jibaro_spark.codecs.confluent import DECODERS
+    from jibaro_spark.io import default_table_format
 
     if content_type not in DECODERS:
         # validate eagerly — inside foreachBatch the error would be
@@ -107,12 +123,24 @@ def raw_to_staged(
     dst = TableRef(str(Layer.STAGED), project, database, table)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        for decoded in decode_confluent_batch(
+        fmt = default_table_format(batch.sparkSession)
+        for (key_id, value_id), decoded in decode_confluent_batch_pairs(
             batch, registry, content_type, schema_resolver
         ):
-            write_table(
-                decoded, catalog, dst, mode="append", merge_schema=True
-            )
+            if fmt == "delta":
+                write_table(
+                    decoded, catalog, dst, mode="append", merge_schema=True,
+                    txnAppId=f"raw_to_staged:{catalog.path(dst)}",
+                    txnVersion=str(batch_id),
+                )
+            else:
+                write_table(
+                    decoded.withColumn("_batch_id", F.lit(batch_id))
+                    .withColumn("_schema_pair", F.lit(f"{key_id}-{value_id}")),
+                    catalog, dst, mode="overwrite",
+                    partition_by=["_batch_id", "_schema_pair"],
+                    partitionOverwriteMode="dynamic",
+                )
 
     stream = read_stream(
         spark, catalog, src,

@@ -178,6 +178,42 @@ def test_schema_partitioned_decode(spark):
     assert by_ids[(key_id, v1)].topic == "dbserver1.inventory.products"
 
 
+def test_decode_tombstones(spark):
+    """Kafka tombstones (null value, the Debezium post-delete
+    compaction marker) must not crash the schema-pair sort or hit the
+    registry with a null id (ADVICE r1 medium)."""
+    reg = cc.InMemorySchemaRegistry()
+    key_id = reg.register("t-key", "id INT")
+    v1 = reg.register("t-value", "op STRING, id INT")
+    rows = [
+        kafka_row(
+            frame(json.dumps({"id": 1}).encode(), key_id),
+            frame(json.dumps({"op": "d", "id": 1}).encode(), v1),
+            offset=0,
+        ),
+        # tombstone: same key, null value
+        kafka_row(frame(json.dumps({"id": 1}).encode(), key_id), None, offset=1),
+    ]
+    batch = spark.createDataFrame(rows, KAFKA_SCHEMA)
+
+    # default: tombstones dropped, delete event decoded
+    parts = cc.decode_confluent_batch(batch, reg, "json")
+    got = [r for p in parts for r in p.collect()]
+    assert len(got) == 1 and got[0].value.op == "d"
+
+    # keep: emitted with a null binary value, schema ids preserved
+    parts = cc.decode_confluent_batch(batch, reg, "json", on_tombstone="keep")
+    got = {(r.keySchemaId, r.valueSchemaId): r for p in parts for r in p.collect()}
+    assert got[(key_id, None)].value is None
+    assert got[(key_id, None)].key.id == 1
+    assert got[(key_id, v1)].value.op == "d"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tombstone"):
+        cc.decode_confluent_batch(batch, reg, "json", on_tombstone="error")
+
+
 def test_encode_confluent_roundtrip(spark):
     """Reverse path (kafka.py:22-119): frame a DataFrame, decode it
     back, recover the rows."""
@@ -195,9 +231,17 @@ def test_encode_confluent_roundtrip(spark):
     assert len(ids) == 1
     key_schema = reg.get_schema(ids[0].k)
     val_schema = reg.get_schema(ids[0].v)
+    # registered documents are real JSON Schema draft-07 (registry-
+    # compatible for external consumers), not Spark schema JSON
+    import json
+
+    vdoc = json.loads(val_schema)
+    assert vdoc["$schema"] == "http://json-schema.org/draft-07/schema#"
+    assert vdoc["type"] == "object"
+    assert set(vdoc["properties"]) == {"name", "weight"}
     decoded = framed.select(
-        F.from_json(cc.payload_of("key", "json").cast("string"), key_schema).alias("k"),
-        F.from_json(cc.payload_of("value", "json").cast("string"), val_schema).alias("v"),
+        cc._decode_json(cc.payload_of("key", "json"), key_schema).alias("k"),
+        cc._decode_json(cc.payload_of("value", "json"), val_schema).alias("v"),
     ).collect()
     got = sorted((r.k.id, r.v.name, r.v.weight) for r in decoded)
     assert got == [(1, "a", 1.5), (2, "b", 2.5)]

@@ -226,12 +226,43 @@ def test_schema_evolution_mid_stream(spark, lake, registry):
     assert ids == {vid, vid2}
 
 
+def test_staged_append_replay_idempotent(spark, lake, registry):
+    """A replayed micro-batch (crash between staged write and
+    checkpoint commit) must not duplicate staged rows (ADVICE r1): the
+    parquet emulation lands each batch in a ``_batch_id``/pair
+    partition rewritten via dynamic partition overwrite."""
+    import shutil
+
+    reg, kid, vid = registry
+    rows = [
+        change(kid, vid, "r", {"id": 1, "name": "a", "weight": 1.0}, offset=0),
+        change(kid, vid, "r", {"id": 2, "name": "b", "weight": 2.0}, offset=1),
+    ]
+    write_topic_dump(spark, lake, rows, "batch1")
+    run_hops(spark, lake, registry)
+
+    staged_ref = TableRef(str(Layer.STAGED), "lab", "inventory", "products")
+    staged = spark.read.parquet(lake.path(staged_ref))
+    assert staged.count() == 2
+    assert "_batch_id" in staged.columns and "_schema_pair" in staged.columns
+
+    # simulate replay: drop the staged-hop checkpoint so the file
+    # stream re-delivers every raw file as batch 0 again
+    shutil.rmtree(lake.checkpoint_path(staged_ref), ignore_errors=True)
+    pl.raw_to_staged(spark, lake, "lab", "inventory", "products", reg, "json")
+    assert spark.read.parquet(lake.path(staged_ref)).count() == 2  # no dupes
+
+
 def test_publish_table_roundtrip(spark, lake, registry):
     """Reverse path (kafka.py:22-119 analogue): curated table → Confluent
     wire frame → decode recovers the rows; schemas land in the registry."""
     import json
 
-    from jibaro_spark.codecs.confluent import payload_of, schema_id_of
+    from jibaro_spark.codecs.confluent import (
+        _decode_json,
+        payload_of,
+        schema_id_of,
+    )
 
     reg, _, _ = registry
     ref = TableRef(str(Layer.CURATED), "lab", "inventory", "pub")
@@ -250,13 +281,15 @@ def test_publish_table_roundtrip(spark, lake, registry):
         schema_id_of("key").alias("k"), schema_id_of("value").alias("v")
     ).distinct().collect()
     assert len(ids) == 1
-    # registered schemas decode the frames back to the original rows
+    # registered schemas are JSON Schema draft-07; the engine's decode
+    # path converts them back to StructType and recovers the rows
     # (key columns live in the key struct, the rest in the value)
     kschema = reg.get_schema(ids[0].k)
     vschema = reg.get_schema(ids[0].v)
+    assert json.loads(vschema)["$schema"] == "http://json-schema.org/draft-07/schema#"
     decoded = framed.select(
-        F.from_json(payload_of("key", "json").cast("string"), kschema).alias("k"),
-        F.from_json(payload_of("value", "json").cast("string"), vschema).alias("v"),
+        _decode_json(payload_of("key", "json"), kschema).alias("k"),
+        _decode_json(payload_of("value", "json"), vschema).alias("v"),
     ).collect()
     got = sorted((r.k.id, r.v.name, r.v.weight) for r in decoded)
     assert got == [(1, "a", 1.0), (2, "b", 2.0)]
