@@ -204,6 +204,68 @@ def _decode_protobuf(payload: Column, schema_str: str) -> Column:
     return from_protobuf(payload, message, descFilePath=desc_path)
 
 
+def parse_json_quarantine(
+    df: DataFrame,
+    payload_col: str,
+    schema_str: str,
+    out_col: str = "value",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON decode with bad-record routing ([ext] — the
+    reference decodes FAILFAST only, ``avro_handler.py:25``, so one
+    poison record aborts the whole micro-batch; at 100 TB a quarantine
+    path is mandatory).
+
+    Parses ``payload_col`` (binary or string) with
+    ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord``; returns
+    ``(good, quarantined)``: good rows carry the typed ``out_col``
+    struct, quarantined rows carry the raw payload string in
+    ``corrupt_col`` for replay after a schema fix.  Single pass, no
+    Python UDFs; the split is two filters over one parsed projection.
+    """
+    from pyspark.sql import types as T
+
+    import json as _json
+
+    try:
+        doc = _json.loads(schema_str)
+    except (ValueError, TypeError):
+        schema = T._parse_datatype_string(schema_str)
+    else:
+        if isinstance(doc, dict) and doc.get("type") == "struct":
+            schema = T.StructType.fromJson(doc)
+        else:
+            from jibaro_spark.codecs.schemas import json_schema_to_struct
+
+            schema = json_schema_to_struct(doc)
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    parsed = df.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(payload_col).cast("string"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+    )
+    bad_cond = F.col(f"__parsed.{corrupt_col}").isNotNull() | F.col("__parsed").isNull()
+    good = (
+        parsed.filter(~bad_cond)
+        .withColumn(
+            out_col,
+            F.struct(*[F.col(f"__parsed.{f.name}") for f in schema.fields]),
+        )
+        .drop("__parsed")
+    )
+    quarantined = (
+        parsed.filter(bad_cond)
+        .withColumn(corrupt_col, F.col(payload_col).cast("string"))
+        .drop("__parsed")
+    )
+    return good, quarantined
+
+
 DECODERS: Mapping[str, Callable[[Column, str], Column]] = {
     "json": _decode_json,
     "avro": _decode_avro,

@@ -179,6 +179,135 @@ def knn_lsh(
     )
 
 
+def _nearest_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Indexes of the ``n_probe`` nearest centroids (squared-L2), as
+    array<int>.  Centroids are embedded as literals so assignment is
+    map-side only — no shuffle, no join.  Plan size is k×dim literals:
+    fine for k ≲ 256; larger codebooks should switch to a broadcast
+    centroid table + min-by aggregation.
+
+    The distance array is bound once via a 1-element transform (the
+    Column-tree inlining trap: referencing ``dists`` twice would
+    re-evaluate k dot products per reference)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    k = len(centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            # named_struct: .alias() does not name fields inside HOF
+            # lambdas (they surface as x_N/y_N)
+            lambda d, i: F.named_struct(F.lit("d"), d, F.lit("i"), i),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Lloyd refinement of a centroid codebook in pure DataFrame ops
+    (no pyspark.ml dependency): assign each vector to its nearest
+    centroid, recompute element-wise means via posexplode + two-key
+    aggregation, collect the k×dim result (bounded by the codebook
+    size, never by data size).  Deterministic given the seed centroids.
+    """
+    for _ in range(iterations):
+        assigned = df.select(
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+            F.posexplode(vec_col).alias("__pos", "__val"),
+        )
+        means = (
+            assigned.groupBy("__cell", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in means:
+            new[r["__cell"]][r["__pos"]] = r["__m"]
+        centroids = new
+    return centroids
+
+
+def seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[list[float]]:
+    """Deterministic codebook seed: the vectors at evenly-strided
+    ranks of the id ordering (one bounded collect of k vectors)."""
+    n = df.count()
+    stride = max(n // n_centroids, 1)
+    w = Window.orderBy(id_col)
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_centroids))
+        .select(vec_col)
+        .collect()
+    )
+    return [list(r[0]) for r in rows]
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF-Flat approximate kNN: corpus vectors are inverted-listed by
+    nearest centroid (map-side assignment, no shuffle); each query
+    probes its ``n_probe`` nearest cells; exact cosine re-ranks the
+    candidates.
+
+    This is the 100 TB similarity-search path when the codebook is
+    trained (``seed_centroids`` + ``kmeans_refine``): the corpus is
+    scanned once to build cell assignments (in production, persisted /
+    bucketed by cell), and each query touches ~``n_probe/k`` of the
+    corpus.  With ``n_probe == len(centroids)`` results equal
+    :func:`knn_bruteforce` (full scan) — the property the recall test
+    pins.
+    """
+    c_cells = ensure_parallelism(corpus).select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        _nearest_cells(F.col(corpus_vec), centroids, 1)[0].alias("__cell"),
+    )
+    q_cells = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(_nearest_cells(F.col(query_vec), centroids, n_probe)).alias("__cell"),
+    )
+    sim = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_decimals)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        c_cells.join(F.broadcast(q_cells), "__cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates_exact(
     df: DataFrame,
     id_col: str,

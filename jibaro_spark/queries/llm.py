@@ -186,6 +186,70 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "cosine_sim", "rank").orderBy("q_id", "rank")
 
 
+@declare(
+    "q_knn_ivf",
+    oracle=None,
+    description="approximate cosine top-k via IVF-Flat cells + exact re-rank (J6 scale path; recall pinned in tests)",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = sim.seed_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    cents = sim.kmeans_refine(emb, "embedding", cents, iterations=1)
+    return (
+        sim.knn_ivf(
+            queries, emb, "q_id", "q_vec", "vec_id", "embedding",
+            k=5, centroids=cents, n_probe=3,
+        )
+        .select("q_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+# Element-wise centroid per label: the distributed form of "mean
+# embedding per cluster" — posexplode shuffles (label, pos) keys, so
+# the reduction parallelizes over dimensions × groups rather than
+# collecting vectors.  Cross-row determinism: elements are rounded to
+# 6 dp FIRST (engine-agnostic — a rounding tie would need the double
+# to be an exact 7-digit decimal, which no binary fraction is), then
+# cast to decimal(18,6) exactly, so the sum is order-independent and
+# bit-identical to DuckDB.
+QCENT_ORACLE = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_val
+FROM e GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+@declare(
+    "q_embedding_centroid",
+    oracle=QCENT_ORACLE,
+    description="element-wise centroid per label via posexplode + two-key agg (J6 support, clustering building block)",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("val")
+            ).alias("mean_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
 @declare("q_minhash_near_dup", oracle=None, description="MinHash+LSH near-duplicate pairs (dedup scale path [ext])")
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]

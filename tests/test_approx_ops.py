@@ -172,6 +172,45 @@ def test_knn_lsh_recall(spark, sf_dir, emb_local):
     assert hits / total >= 0.4, f"LSH recall {hits}/{total}"
 
 
+def test_knn_ivf_full_probe_is_exact(spark, sf_dir, emb_local):
+    """With n_probe == n_centroids IVF degenerates to a full scan, so
+    results must equal the exact brute-force top-k — the correctness
+    anchor for the cell partitioning + re-rank plumbing."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = sim.seed_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    cents = sim.kmeans_refine(emb, "embedding", cents, iterations=1)
+    got = {}
+    for r in sim.knn_ivf(
+        queries, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k=5, centroids=cents, n_probe=8,
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    got = {q: [v for _, v in sorted(rs)] for q, rs in got.items()}
+    assert got == _exact_topk(emb_local)
+
+
+def test_knn_ivf_partial_probe_recall(spark, sf_dir, emb_local):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = sim.seed_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    cents = sim.kmeans_refine(emb, "embedding", cents, iterations=1)
+    got = {}
+    for r in sim.knn_ivf(
+        queries, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k=5, centroids=cents, n_probe=3,
+    ).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    exact = _exact_topk(emb_local)
+    hits = sum(len(got.get(q, set()) & set(v)) for q, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4, f"IVF recall {hits}/{total}"
+
+
 def _numpy_pairs(emb_local, threshold):
     import numpy as np
 

@@ -214,6 +214,27 @@ def test_decode_tombstones(spark):
         cc.decode_confluent_batch(batch, reg, "json", on_tombstone="error")
 
 
+def test_parse_json_quarantine(spark):
+    """PERMISSIVE decode routes poison records to a quarantine frame
+    instead of aborting the batch (FAILFAST, the reference's only
+    mode) or silently nulling fields."""
+    df = spark.createDataFrame(
+        [
+            (1, b'{"id": 1, "name": "ok"}'),
+            (2, b'{"id": 2, "name": "also ok"}'),
+            (3, b'{"id": broken'),          # malformed JSON
+            (4, b"not json at all"),
+        ],
+        "offset int, payload binary",
+    )
+    good, bad = cc.parse_json_quarantine(df, "payload", "id INT, name STRING")
+    got = {r.offset: (r.value.id, r.value.name) for r in good.collect()}
+    assert got == {1: (1, "ok"), 2: (2, "also ok")}
+    quarantined = {r.offset: r._corrupt_record for r in bad.collect()}
+    assert set(quarantined) == {3, 4}
+    assert quarantined[4] == "not json at all"  # raw payload kept for replay
+
+
 def test_encode_confluent_roundtrip(spark):
     """Reverse path (kafka.py:22-119): frame a DataFrame, decode it
     back, recover the rows."""

@@ -97,6 +97,63 @@ def test_session_windows_stream_runs_and_matches_batch(spark, events_dir):
         assert expected[k] == v
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T5/T6 late-data policy: a row arriving after its window has been
+    finalized (evicted in an earlier micro-batch) is DROPPED — the
+    closed window is neither re-emitted nor corrected.
+
+    Measured Spark semantics this pins: eviction happens at the END of
+    the batch in which the watermark passes the window; a late row
+    landing in that SAME batch still merges (merge precedes eviction),
+    and only rows arriving in LATER batches are discarded — hence the
+    three-file sequence below."""
+    import datetime
+    import time
+
+    src = str(tmp_path / "late_events")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write(*ts):
+        spark.createDataFrame(
+            [(datetime.datetime.fromisoformat(t), "x", 1.0) for t in ts],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtime → file-source batch ordering
+
+    # batch 0: [10:00,11:00) gets a row; 20:00 will push the watermark
+    # to 18:00 at commit
+    write("2026-01-01 10:00:00", "2026-01-01 20:00:00")
+    # batch 1: watermark 18:00 in effect → [10:00,11:00) finalized
+    # with n=1 and evicted; 23:00 pushes the watermark to 21:00
+    write("2026-01-01 23:00:00")
+    # batch 2: 10:30 targets the already-evicted window → dropped;
+    # 23:30 keeps the stream advancing
+    write("2026-01-01 10:30:00", "2026-01-01 23:30:00")
+
+    sdf = W.tumbling_counts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        window="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.window_start.strftime("%H:%M"): r.n
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    # the 10:00 window was finalized with ONE row; the late 10:30 row
+    # never surfaced — no duplicate emission, no correction
+    assert got == {"10:00": 1, "20:00": 1}, got
+
+
 def test_running_counts_stateful_across_batches(spark, events_dir):
     """applyInPandasWithState: state must accumulate across micro-batches
     (maxFilesPerTrigger=1 over a 2-file dir → ≥2 batches); the final
