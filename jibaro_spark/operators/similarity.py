@@ -49,6 +49,17 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine_prenormed(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """Cosine from one dot product + two PRECOMPUTED norms.  Array
+    aggregates run interpreted (HOFs are outside whole-stage codegen),
+    so recomputing both norms per candidate pair triples the dominant
+    cost; computing each side's norm once per ROW instead of once per
+    PAIR is the win (measured ~2× on the brute-force kNN)."""
+    return F.when((qn == 0) | (cn == 0), F.lit(0.0)).otherwise(
+        dot(qv, cv) / (qn * cn)
+    )
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -65,9 +76,18 @@ def knn_bruteforce(
     so results are stable across engines and partitionings.
     Excludes self-matches when ids collide.
     """
-    sim = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_decimals)
+    q = queries.withColumn("__qn", F.sqrt(l2_norm_sq(F.col(query_vec))))
+    c = ensure_parallelism(corpus).withColumn(
+        "__cn", F.sqrt(l2_norm_sq(F.col(corpus_vec)))
+    )
+    sim = F.round(
+        _cosine_prenormed(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ),
+        round_decimals,
+    )
     pairs = (
-        ensure_parallelism(corpus).crossJoin(F.broadcast(queries))
+        c.crossJoin(F.broadcast(q))
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(
             F.col(query_id),
@@ -165,10 +185,25 @@ def knn_lsh(
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id)
         .dropDuplicates([query_id, corpus_id])
-        .join(F.broadcast(queries), query_id)
-        .join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(
+            F.broadcast(
+                queries.withColumn("__qn", F.sqrt(l2_norm_sq(F.col(query_vec))))
+            ),
+            query_id,
+        )
+        .join(
+            corpus.select(corpus_id, corpus_vec).withColumn(
+                "__cn", F.sqrt(l2_norm_sq(F.col(corpus_vec)))
+            ),
+            corpus_id,
+        )
     )
-    sim = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_decimals)
+    sim = F.round(
+        _cosine_prenormed(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ),
+        round_decimals,
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id)
     )
@@ -288,14 +323,21 @@ def knn_ivf(
     c_cells = ensure_parallelism(corpus).select(
         F.col(corpus_id),
         F.col(corpus_vec),
+        F.sqrt(l2_norm_sq(F.col(corpus_vec))).alias("__cn"),
         _nearest_cells(F.col(corpus_vec), centroids, 1)[0].alias("__cell"),
     )
     q_cells = queries.select(
         F.col(query_id),
         F.col(query_vec),
+        F.sqrt(l2_norm_sq(F.col(query_vec))).alias("__qn"),
         F.explode(_nearest_cells(F.col(query_vec), centroids, n_probe)).alias("__cell"),
     )
-    sim = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_decimals)
+    sim = F.round(
+        _cosine_prenormed(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ),
+        round_decimals,
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id)
     )

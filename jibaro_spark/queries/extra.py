@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jibaro_spark.operators.util import ensure_parallelism
 from jibaro_spark.queries.registry import declare, dsum, load_tables
 
 QCUBE_ORACLE = """
@@ -90,17 +91,23 @@ ORDER BY l_returnflag
     description="exact interpolated percentiles per group (A9 [ext]; percentile_approx's exact sibling)",
 )
 def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import exact_quantiles
+
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
-            F.round(F.min("l_extendedprice"), 6).alias("lo"),
-            F.round(F.max("l_extendedprice"), 6).alias("hi"),
-        )
-        .orderBy("l_returnflag")
+    # count-based exact quantiles (see exact_quantiles): the builtin
+    # exact percentile buffers every raw value per group and merges
+    # single-threaded — measured 3.5 s at sf0.1 vs ~1 s for this form
+    li = ensure_parallelism(li.select("l_returnflag", "l_extendedprice"))
+    q = exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [(0.5, "p50"), (0.95, "p95")]
     )
+    return q.select(
+        "l_returnflag",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    ).orderBy("l_returnflag")
 
 
 # Variance from decimal-accumulated sum/sumsq — bit-identical doubles in
@@ -294,6 +301,8 @@ ORDER BY event_id
 )
 def q_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
+    # JSON parsing is per-row CPU: prune + spread (gated, see above)
+    ev = ensure_parallelism(ev.select("event_id", "props"))
     m = F.from_json("props", "map<string,string>")
     # prop_keys joined to a string: the driver's canonicalizer can't
     # sort array cells (same fix as q_frame_sample_plan).
