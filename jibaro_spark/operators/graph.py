@@ -1,0 +1,130 @@
+"""Distributed connected components over pair/edge DataFrames.
+
+The reference has no graph operator; this is [ext] infrastructure for
+the dedup pipeline: near-duplicate PAIRS (minhash / simhash / n-gram /
+embedding, ``operators/dedup.py``, ``operators/similarity.py``) become
+dedup GROUPS only after a connected-components pass — A~B and B~C must
+collapse to one cluster {A,B,C} even though (A,C) was never emitted as
+a pair.  The cluster id then drives canonical-document selection
+(keep one row per cluster).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds on any graph, each round two shuffles on the node key.
+A plain min-label propagation needs diameter-many rounds (a 1M-node
+chain = 1M joins); large-star halves long paths every round, which is
+the property that survives a 100 TB edge list.
+
+Iteration mechanics on Spark: each round ends in ``localCheckpoint``
+(lineage truncation — without it the plan doubles every round and
+Catalyst analysis goes quadratic) and a single ``count`` action for the
+convergence check.  Both are per-ROUND (≤ ~log n of them), not per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) → for every neighbor v > u of u: (v, m) where m is the
+    min of u's closed neighborhood.  Strictly-greater guard keeps the
+    root's self-edge from oscillating."""
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+    # one shuffle for the groupBy; the join re-uses the same key
+    return (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) with v ≤ u: (v, m) ∪ (u, m) — hang small neighbors and
+    self under the neighborhood min."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = e.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+    joined = e.join(m, "src")
+    return (
+        joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(joined.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with its
+    component's minimum node id.
+
+    Returns ``(node, component)`` — one row per node that appears in
+    ``pairs`` (callers union isolated nodes back with
+    ``component = node`` if they need total coverage; see
+    ``dedup_clusters``).
+
+    ``src``/``dst`` must be mutually comparable orderable types (the
+    min-label is the cluster id).  Raises if ``max_iter`` rounds don't
+    converge — at the default 25 that would take a graph of diameter
+    ~2^25, i.e. never for real near-dup graphs; the guard exists so a
+    driver bug fails loudly instead of looping.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select("src").union(edges.select("dst")).distinct().localCheckpoint(True)
+    )
+    for _ in range(max_iter):
+        edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # converged ⟺ edge multiset unchanged (both are distinct sets:
+        # two anti-join counts ≡ symmetric difference empty)
+        changed = (
+            edges2.join(edges, ["src", "dst"], "left_anti").limit(1).count()
+            or edges.join(edges2, ["src", "dst"], "left_anti").limit(1).count()
+        )
+        edges = edges2
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # post-convergence the edge set is a star forest: src → root(=min).
+    labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = (
+        nodes.join(labels, nodes["src"] == labels["node"], "left_anti")
+        .select(F.col("src").alias("node"), F.col("src").alias("component"))
+    )
+    return labels.union(roots)
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Attach a ``cluster_id`` to every row of ``df`` from a near-dup
+    pair list: connected component minimum for paired ids, own id for
+    singletons.  ``filter(id == cluster_id)`` then keeps one canonical
+    row per cluster — the standard minhash→pairs→components→canonical
+    dedup pipeline tail.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("node", "component")
+    )

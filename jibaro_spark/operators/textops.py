@@ -104,17 +104,27 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
-def rolling_hash_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:
+def rolling_hash_fingerprint(
+    col: Column, window: int = 8, keep: int = 4, hasher: str = "xxhash64"
+) -> Column:
     """Winnowing-style document fingerprint: k-gram rolling hashes →
     keep the ``keep`` smallest (as a sorted array) — a compact sketch
     for containment checks.  Native exprs only; the normalized text is
     bound once per row via a 1-element-array lambda (inlining it in the
-    per-position lambda would re-run the regex ~|text| times)."""
+    per-position lambda would re-run the regex ~|text| times).
+
+    ``hasher``: ``"xxhash64"`` (default — fastest JVM hash, sketch is
+    ``array<long>``) or ``"md5"`` (hex-string hashes, bit-identical in
+    DuckDB/Trino/Postgres — the cross-engine-verifiable mode, ~3×
+    slower; sketch is ``array<string>``)."""
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f"hasher must be xxhash64|md5, got {hasher!r}")
+    hash_fn = F.xxhash64 if hasher == "xxhash64" else F.md5
 
     def over(t: Column) -> Column:
         sh = F.transform(
             F.sequence(F.lit(0), F.greatest(F.length(t) - window, F.lit(0))),
-            lambda i: F.xxhash64(F.substring(t, i + 1, F.lit(window))),
+            lambda i: hash_fn(F.substring(t, i + 1, F.lit(window))),
         )
         return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
 

@@ -383,26 +383,268 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+QROLLFP_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), sk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(list_transform(
+           range(0, greatest(length(t) - 8, 0) + 1),
+           i -> md5(substring(t, CAST(i + 1 AS INTEGER), 8))))), 1, 4) AS fp
+  FROM norm
+)
+SELECT doc_id,
+       CAST(len(fp) AS BIGINT)  AS n_hashes,
+       fp[1]                    AS fp_min,
+       fp[len(fp)]              AS fp_max,
+       array_to_string(fp, ',') AS fp_sig
+FROM sk
+ORDER BY doc_id
+"""
+
+
 @declare(
     "q_rolling_fingerprint",
-    oracle=None,
-    description="winnowing rolling-hash document sketch (xxhash64 — no DuckDB equivalent; rows-only, verified in tests)",
+    oracle=QROLLFP_ORACLE,
+    description="winnowing rolling-hash document sketch (md5 k-gram mode — cross-engine verifiable; xxhash64 fast path in tests)",
 )
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # Scalar projection of the sketch (the driver's canonicalizer can't
     # sort array cells); the array itself is covered in test_units.
+    # md5 hasher: hex-string k-gram hashes DuckDB reproduces
+    # bit-identically (the xxhash64 fast path has no DuckDB equivalent
+    # and stays exact-tested in pytest).
     fp = F.col("fingerprint")
     return (
         docs.select(
-            "doc_id", tx.rolling_hash_fingerprint(F.col("text")).alias("fingerprint")
+            "doc_id",
+            tx.rolling_hash_fingerprint(F.col("text"), hasher="md5").alias(
+                "fingerprint"
+            ),
         )
         .select(
             "doc_id",
             F.size(fp).cast("long").alias("n_hashes"),
             F.get(fp, 0).alias("fp_min"),
             F.get(fp, F.size(fp) - 1).alias("fp_max"),
-            F.concat_ws(",", fp.cast("array<string>")).alias("fp_sig"),
+            F.concat_ws(",", fp).alias("fp_sig"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs → connected components → cluster ids.
+# The oracle recomputes the exact n-gram pairs (QNGRAM_ORACLE's CTEs) and
+# closes them transitively with a recursive CTE — an independent
+# formulation of the same graph semantics the alternating-star operator
+# computes in O(log n) distributed rounds.
+QCLUSTER_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS s
+  FROM toks
+), pr AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pr
+), reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), comp AS (
+  SELECT src AS did, MIN(dst) AS cid FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.cid, d.doc_id) AS cluster_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.cid, d.doc_id)) AS cluster_size
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.did
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_dedup_clusters",
+    oracle=QCLUSTER_ORACLE,
+    description="near-dup pairs → connected components (alternating large/small-star) → canonical cluster ids (dedup [ext])",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jibaro_spark.operators.graph import dedup_clusters
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
+    clustered = dedup_clusters(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+    return (
+        clustered.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+# TF-IDF top terms per document.  Ranking is by (tf DESC, df ASC, term
+# ASC) — integer keys only, so the top-3 choice is engine-independent;
+# the float tfidf value is reported (rounded) but never ranked on.
+QTFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE len(term) > 0
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * LN((CAST(nd.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)), 6) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, tfidf, rn FROM ranked
+WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
+@declare(
+    "q_tfidf_top_terms",
+    oracle=QTFIDF_ORACLE,
+    description="TF-IDF top-3 terms per document, integer-keyed ranking (text analysis [ext])",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+# Exact heavy hitters: global term frequencies, two-level hash
+# aggregate (partial map-side combine after the explode keeps the
+# shuffle at |distinct terms|, not |tokens|).
+QHH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM toks WHERE len(term) > 0 GROUP BY term
+)
+SELECT term, n_occurrences, n_docs FROM tf
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 50
+"""
+
+
+@declare(
+    "q_heavy_hitter_terms",
+    oracle=QHH_ORACLE,
+    description="exact top-50 heavy-hitter terms (occurrences + doc frequency; text analysis [ext])",
+)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+# Deterministic train/validation/test split: bucket on the first hex
+# nibble of md5(doc_id) — reproducible across engines, machines and
+# partitionings (the property a 100 TB training pipeline needs: the
+# split of any given document never depends on what else is in the
+# batch).  0-b → train (12/16), c-d → valid (2/16), e-f → test (2/16).
+QSPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'valid'
+              ELSE 'train' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@declare(
+    "q_train_test_split",
+    oracle=QSPLIT_ORACLE,
+    description="deterministic md5-bucket train/valid/test split, per-language counts (training pipeline [ext])",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.queries.registry import davg
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib >= "e", "test").when(nib >= "c", "valid").otherwise("train")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars", "avg_chars", scale=2),
+        )
+        .orderBy("split", "lang")
     )

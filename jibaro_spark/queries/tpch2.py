@@ -342,3 +342,71 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q22 (adapted) — global sales opportunity: customers richer than the
+# average positive balance with no RECENT orders (since 1999 — every
+# fixture customer has ordered at least once, so TPC-H's lifetime
+# NOT EXISTS is vacuous here; the original Q22 likewise scopes to "in
+# the last 7 years"), grouped by nation (the fixture customer table
+# has no c_phone, so nation replaces the phone-prefix country code).
+# Semantics otherwise intact: scalar-average subquery + anti join +
+# group-aggregate.
+# --------------------------------------------------------------------------
+Q22_ORACLE = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.00
+)
+SELECT n_name AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@declare(
+    "q22_sales_opportunity",
+    oracle=Q22_ORACLE,
+    description="TPC-H Q22 adapted: scalar-avg threshold + anti join + nation rollup (J1 anti, A9)",
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "nation")
+    cust, orders, nation = t["customer"], t["orders"], t["nation"]
+    # scalar threshold: 1-row aggregate broadcast, never a driver collect
+    thr = cust.filter(F.col("c_acctbal") > 0.00).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    # anti join BEFORE the threshold filter would scan all orders for
+    # customers the filter discards — filter first (predicate is cheap,
+    # anti join shuffles), then anti join the survivors.  The date
+    # predicate prunes the orders side ahead of its shuffle too.
+    rich = cust.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    never_ordered = rich.join(
+        orders.filter(F.col("o_orderdate") >= "1999-01-01").select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        never_ordered.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal", scale=2),
+        )
+        .orderBy("cntrycode")
+    )

@@ -1,0 +1,55 @@
+"""Connected components / dedup clustering (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df, **kw).collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_cc_two_components(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # a 64-node path has diameter 63: min-label propagation would need
+    # ~63 rounds, alternating-star must finish well inside max_iter=10
+    chain = [(i, i + 1) for i in range(63)]
+    got = _labels(spark, chain, max_iter=10)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_dense_clique_and_reversed_edges(spark):
+    clique = [(a, b) for a in range(5, 10) for b in range(5, 10) if a != b]
+    got = _labels(spark, clique + [(3, 2)])
+    assert got == {**{i: 5 for i in range(5, 10)}, 2: 2, 3: 2}
+
+
+def test_cc_self_loops_ignored(spark):
+    got = _labels(spark, [(7, 7), (7, 8)])
+    assert got == {7: 7, 8: 7}
+
+
+def test_cc_non_convergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(df, max_iter=0)
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["id", "text"])
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], ["id_a", "id_b"])
+    out = dedup_clusters(df, pairs, "id")
+    got = {r.id: r.cluster_id for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+    # canonical selection: one row per cluster survives
+    kept = out.filter(F.col("id") == F.col("cluster_id"))
+    assert sorted(r.id for r in kept.collect()) == [0, 1, 2, 3]
