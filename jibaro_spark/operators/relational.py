@@ -175,6 +175,130 @@ def exact_quantiles(
     return out.drop(*drop)
 
 
+def exact_quantiles_bucketed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[tuple[float, str]],
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exact interpolated quantiles for CONTINUOUS value columns, via
+    two-pass histogram refinement — no full sort, no large window.
+
+    :func:`exact_quantiles` compresses via ``(group, value) → count``,
+    which works when values repeat but degrades to a near-full
+    single-threaded-per-group window sort on continuous data (the sf0.1
+    fixture: 583k distinct prices in 600k rows).  This variant is the
+    selection-algorithm form every engine uses for exact distributed
+    quantiles:
+
+    1. per-group ``(n, min, max)`` — one parallel scan;
+    2. histogram: bucket each value into ``buckets`` equi-width bins,
+       count per bin (map-side partial agg → ``groups × buckets`` rows),
+       cumulative-sum the tiny histogram, locate the bin holding each
+       target rank ``⌊(n−1)p⌋+1`` / ``+2``;
+    3. re-scan, keep only rows in target bins (broadcast semi join —
+       ~``n/buckets`` rows per group), rank them with a window over
+       those few rows, read off the exact values; interpolate
+       ``v = v_lo + (h−⌊h⌋)·(v_hi−v_lo)`` (type-7, identical to the
+       builtin / DuckDB ``quantile_cont``).
+
+    Three parallel scans, shuffles bounded by ``groups × buckets`` —
+    the shape that survives 100 TB.  Degenerate duplicate-heavy bins
+    only cost extra candidate rows, never correctness.  Group count
+    must be broadcastable (true for any GROUP BY you'd quantile).
+    Output schema matches :func:`exact_quantiles`.
+    """
+    gcols = list(group_cols)
+    nb = F.lit(buckets)
+    v = F.col(value_col)
+
+    # The three passes re-scan the same 2-column projection; Catalyst
+    # does not reuse non-deterministic exchanges, so without this each
+    # pass repeats scan+decode (5 scans observed).  The projection is
+    # 2 columns — caching it is the "reuse a partitioning across
+    # stages" move, MEMORY_AND_DISK so 100 TB inputs spill, not OOM.
+    proj = df.select(*gcols, value_col).cache()
+
+    stats = proj.groupBy(*gcols).agg(
+        F.count(value_col).alias("__n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )
+    d = proj.join(F.broadcast(stats), gcols)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            nb - 1,
+            F.floor((v - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nb)).cast(
+                "int"
+            ),
+        )
+    )
+    db = d.withColumn("__b", bucket)
+    hist = db.groupBy(*gcols, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = Window.partitionBy(*gcols).orderBy("__b")
+    cum = (
+        hist.withColumn("__cum", F.sum("__c").over(wb))
+        .join(F.broadcast(stats.select(*gcols, "__n")), gcols)
+    )
+
+    def rank_exprs():
+        for p, name in probs:
+            h = (F.col("__n") - 1) * F.lit(p)
+            r_lo = F.floor(h) + 1
+            yield name, "lo", r_lo
+            yield name, "hi", r_lo + 1
+
+    # per rank: first bin with cum ≥ r, carrying the count before it
+    targets = cum.groupBy(*gcols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= r,
+                    F.struct(
+                        F.col("__b").alias("b"),
+                        (F.col("__cum") - F.col("__c")).alias("before"),
+                    ),
+                )
+            ).alias(f"__t_{name}_{s}")
+            for name, s, r in rank_exprs()
+        ]
+    )
+    tcols = [f"__t_{name}_{s}" for name, s, _ in rank_exprs()]
+    cand_bins = (
+        targets.select(
+            *gcols, F.explode(F.array(*[F.col(c) for c in tcols])).alias("t")
+        )
+        .select(*gcols, F.col("t.b").alias("__b"), F.col("t.before").alias("__before"))
+        .filter(F.col("__b").isNotNull())
+        .distinct()
+    )
+
+    wr = Window.partitionBy(*gcols, "__b").orderBy(value_col)
+    ranked = (
+        db.join(F.broadcast(cand_bins), gcols + ["__b"])
+        .withColumn("__rank", F.col("__before") + F.row_number().over(wr))
+    )
+    picks = [
+        F.first("__n").alias("__n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    ]
+    for name, s, r in rank_exprs():
+        picks.append(
+            F.min(F.when(F.col("__rank") == r, v)).alias(f"__{name}_{s}")
+        )
+    out = ranked.groupBy(*gcols).agg(*picks)
+    for p, name in probs:
+        h = (F.col("__n") - 1) * F.lit(p)
+        frac = h - F.floor(h)
+        v_lo = F.col(f"__{name}_lo")
+        v_hi = F.coalesce(F.col(f"__{name}_hi"), v_lo)
+        out = out.withColumn(name, v_lo + frac * (v_hi - v_lo))
+    drop = ["__n"] + [f"__{n}_{s}" for n, s, _ in rank_exprs()]
+    return out.drop(*drop)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -5,19 +5,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition ONLY when the input is under-partitioned.
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """Repartition ONLY when the input is under-partitioned.
 
     Compute-heavy operators (minhash/simhash signatures, cosine
     verification) are bottlenecked by per-row expression cost, not I/O;
     a small parquet file arrives as 1 partition and would serialize the
     whole job onto one core.  At real scale the input already has ≥
     ``defaultParallelism`` partitions and this is a no-op — so the full
-    round-robin shuffle only ever happens on small inputs where it is
-    cheap.
+    shuffle only ever happens on small inputs where it is cheap.
+
+    ``by``: optional column to hash-partition on instead of the default
+    round-robin.  Round-robin is non-deterministic, which blocks BOTH
+    cache-plan matching and ReusedExchange — operators that scan their
+    input more than once (e.g. ``exact_quantiles_bucketed``) need a
+    deterministic exchange or every pass repeats the scan+shuffle.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        from pyspark.sql import functions as F
+
+        if by is not None:
+            return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df

@@ -74,3 +74,44 @@ def test_top_k_per_group(spark):
         for r in top_k_per_group(df, ["g"], [F.col("x").desc()], k=2).collect()
     }
     assert got == {("a", 3), ("a", 2), ("b", 9), ("b", 8)}
+
+
+def test_exact_quantiles_both_forms_match_builtin(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.relational import (
+        exact_quantiles,
+        exact_quantiles_bucketed,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (g, round(rng.uniform(0, 1000), 2) if g != "c" else 42.0)
+        for g in ("a", "b", "c")
+        for _ in range(997)
+    ] + [("d", 5.0)]  # constant group + singleton group edge cases
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    probs = [(0.5, "p50"), (0.95, "p95"), (0.01, "p01")]
+    expected = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {p})").alias(name)
+                for p, name in probs
+            ]
+        )
+        .collect()
+    }
+    for fn in (exact_quantiles, exact_quantiles_bucketed):
+        got = {r["g"]: r for r in fn(df, ["g"], "v", probs).collect()}
+        assert set(got) == set(expected), fn.__name__
+        for g, row in expected.items():
+            for _, name in probs:
+                assert got[g][name] == pytest.approx(row[name], abs=1e-9), (
+                    fn.__name__,
+                    g,
+                    name,
+                )
