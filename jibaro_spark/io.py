@@ -136,3 +136,33 @@ def write_stream(
         return writer.foreachBatch(foreach_batch).start()
     fmt = fmt or default_table_format(df.sparkSession)
     return writer.format(fmt).start(catalog.path(ref))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a session-catalog table bucketed (and optionally sorted)
+    by ``bucket_cols`` — the co-located-join primitive ([ext]; the
+    reference, being Delta-path-only, has no bucketing surface).
+
+    Two tables bucketed by the same columns into the same bucket count
+    join WITHOUT a shuffle: each bucket pairs 1:1 and Spark plans a
+    SortMergeJoin with no Exchange on either side (verified by plan
+    assertion in tests).  At 100 TB this converts the nightly
+    fact-to-fact join from the dominant shuffle into a local merge —
+    the batch analogue of co-partitioned Kafka topics.
+
+    Bucketing requires ``saveAsTable`` (bucket metadata lives in the
+    session catalog, not the files): pick ``num_buckets`` so a bucket
+    of the LARGER table stays executor-memory-sized.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

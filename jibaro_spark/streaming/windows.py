@@ -75,6 +75,45 @@ def session_windows(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Event-time interval join: pair each left row with right rows of
+    the same ``key`` whose timestamp falls in
+    ``[left_ts − lower, left_ts + upper]``.
+
+    Batch or streaming with one code path.  Streaming is the
+    stream-stream join: both sides get watermarks and the BOUNDED time
+    condition — exactly what lets Spark evict join state (an unbounded
+    stream-stream join would buffer both streams forever; with the
+    bound, state per side is ``watermark + interval`` of data).
+
+    Right columns are prefixed with ``right_prefix`` (stream-stream
+    self-joins share column names).
+    """
+    if left.isStreaming != right.isStreaming:
+        raise ValueError("interval_join: both sides must be batch or both streams")
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    rk, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(r, cond, "inner")
+
+
 def running_counts(
     events: DataFrame,
     key_col: str = "user_id",

@@ -1,0 +1,105 @@
+"""Plan-shape assertions for the scale-critical paths: bucketed
+shuffle-free joins, partition pruning, predicate pushdown, broadcast
+selection.  These test the PLAN (what a 1000-executor cluster would
+execute), not row counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.io import write_bucketed_table
+from jibaro_spark.queries.registry import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    t = load_tables(spark, SF, "orders", "lineitem")
+    write_bucketed_table(
+        t["orders"], "b_orders", ["o_orderkey"], num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        t["lineitem"], "b_lineitem", ["l_orderkey"], num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    o, l = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(l)
+            .join(spark.table(o), F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_quantity", "o_totalprice")
+        )
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # row-level sanity: same count as the plain join
+    t = load_tables(spark, SF, "orders", "lineitem")
+    expected = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert joined.count() == expected
+
+
+def test_bucketed_groupby_on_bucket_key_has_no_shuffle(spark, bucketed_tables):
+    _, l = bucketed_tables
+    agg = spark.table(l).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    plan = _executed_plan(agg)
+    assert "Exchange" not in plan, plan
+
+
+def test_partition_pruning_reads_one_partition(spark, tmp_path):
+    ev = load_tables(spark, SF, "events")["events"]
+    out = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    n_types = ev.select("event_type").distinct().count()
+    assert n_types > 1
+
+    q = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    q.write.format("noop").mode("overwrite").save()
+    qe = q._jdf.queryExecution()
+    scan = qe.executedPlan().toString()
+    # pruned scan: the partition filter reached the file source
+    assert "PartitionFilters" in scan
+    assert "event_type" in scan.split("PartitionFilters")[1][:200]
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert q.count() == expected
+
+
+def test_predicate_and_projection_pushdown(spark):
+    li = load_tables(spark, SF, "lineitem")["lineitem"]
+    q = li.filter(F.col("l_shipdate") >= "1996-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read_schema
+    # only the projected + filtered columns reach the scan
+    assert "l_extendedprice" in read_schema
+
+
+def test_small_dim_join_is_broadcast(spark):
+    t = load_tables(spark, SF, "nation", "customer")
+    q = t["customer"].join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+    plan = _executed_plan(q)
+    assert "BroadcastHashJoin" in plan

@@ -213,3 +213,42 @@ def test_multimodal_stub_and_fake(spark):
 
     with pytest.raises(NotImplementedError):
         mm.resize_images(df, 64, 64)
+
+
+def test_interval_join_stream_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    buys_b = batch.filter(F.col("event_type") == "purchase")
+    expected = {
+        (r.event_id, r.r_event_id)
+        for r in W.interval_join(
+            buys_b, clicks_b, key="user_id", lower="30 minutes", upper="0 seconds"
+        ).collect()
+    }
+    assert expected, "batch interval join empty — fixture degenerate"
+
+    s = _stream(spark, events_dir)
+    sdf = W.interval_join(
+        s.filter(F.col("event_type") == "purchase"),
+        s.filter(F.col("event_type") == "click"),
+        key="user_id",
+        lower="30 minutes",
+        upper="0 seconds",
+    )
+    assert sdf.isStreaming
+    _run_to_memory(sdf, "ssjoin")
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    # stream-stream inner join with availableNow processes everything;
+    # every emitted pair must be a true pair, and the join must emit
+    # (at minimum) all pairs the watermark fully closed
+    assert got == expected
+
+
+def test_interval_join_rejects_mixed_modes(spark, events_dir):
+    with pytest.raises(ValueError, match="both"):
+        W.interval_join(
+            _stream(spark, events_dir), spark.read.parquet(events_dir), key="user_id"
+        )
