@@ -345,3 +345,55 @@ def salted_join(
         how,
     )
     return out.drop(salted_l["__salt"]).drop(salted_r["__salt"])
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    chunk_width: int = 8192,
+) -> DataFrame:
+    """Running total over a global ordering WITHOUT a global window.
+
+    ``SUM() OVER (ORDER BY x)`` with no PARTITION BY collapses the
+    whole input into one window partition — the classic single-task
+    bottleneck at scale.  This is the textbook two-level distributed
+    prefix sum instead:
+
+    1. chunk rows by ``⌊order/chunk_width⌋`` and cumsum WITHIN chunks
+       (parallel windows, ~``chunk_width`` rows each);
+    2. cumsum the per-chunk totals (one tiny window over #chunks rows);
+    3. broadcast the chunk offsets back and add.
+
+    Requires ``order_col`` numeric with unique values (a surrogate id;
+    ties would make "running total" ill-defined anyway).  Result is
+    row-identical to the single-partition window — the oracle for
+    every query built on it.
+    """
+    cid = F.floor(F.col(order_col) / F.lit(chunk_width)).alias("__chunk")
+    d = df.withColumn("__chunk", cid)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # chunk totals: #chunks rows — the only non-partitioned window,
+    # over data ~chunk_width× smaller than the input
+    w_tot = (
+        Window.orderBy("__chunk").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow - 1
+        )
+    )
+    offsets = (
+        d.groupBy("__chunk")
+        .agg(F.sum(value_col).alias("__chunk_sum"))
+        .withColumn("__offset", F.coalesce(F.sum("__chunk_sum").over(w_tot), F.lit(0)))
+        .select("__chunk", "__offset")
+    )
+    return (
+        d.withColumn("__local", F.sum(value_col).over(w_in))
+        .join(F.broadcast(offsets), "__chunk")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__chunk", "__local", "__offset")
+    )

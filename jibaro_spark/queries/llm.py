@@ -648,3 +648,128 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# Sequence packing: assign docs to fixed-token-budget training
+# sequences by contiguous doc_id order.  The running total comes from
+# the two-level distributed prefix sum (no global window); the oracle
+# is the plain single-window SQL the operator must be row-identical to.
+QPACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS seq_id
+FROM c
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_sequence_packing",
+    oracle=QPACK_ORACLE,
+    description="fixed-budget training-sequence packing via distributed two-level prefix sum (training pipeline [ext])",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import partitioned_prefix_sum
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    cum = partitioned_prefix_sum(
+        toks, "doc_id", "n_tokens", out_col="cum_tokens", chunk_width=64
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(512.0)).alias(
+            "seq_id"
+        ),
+    ).orderBy("doc_id")
+
+
+# Vocabulary building: contiguous token ids by (global frequency desc,
+# term asc).  Counts shrink corpus → vocab before any ordering; the
+# rank window runs over the top-k survivors only.
+QVOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS freq FROM toks WHERE len(term) > 0 GROUP BY term
+), top AS (
+  SELECT term, freq FROM tf ORDER BY freq DESC, term ASC LIMIT 100
+)
+SELECT term, freq,
+       ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) - 1 AS token_id
+FROM top
+ORDER BY token_id
+"""
+
+
+@declare(
+    "q_vocab_ids",
+    oracle=QVOCAB_ORACLE,
+    description="vocabulary construction: contiguous token ids by global frequency (training pipeline [ext])",
+)
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tf = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(100)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return (
+        top.withColumn("token_id", F.row_number().over(w) - 1)
+        .select("term", "freq", "token_id")
+        .orderBy("token_id")
+    )
+
+
+# Exact deterministic stratified sample: n-per-stratum chosen by
+# md5(doc_id) order — reproducible across engines/partitionings, no
+# RNG (sampleBy is approximate AND seed-implementation-dependent).
+QSTRAT_ORACLE = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
+@declare(
+    "q_stratified_sample",
+    oracle=QSTRAT_ORACLE,
+    description="exact deterministic stratified sample (5 per language, md5 order; training pipeline [ext])",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )

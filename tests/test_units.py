@@ -115,3 +115,21 @@ def test_exact_quantiles_both_forms_match_builtin(spark):
                     g,
                     name,
                 )
+
+
+def test_partitioned_prefix_sum_matches_global_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from jibaro_spark.operators.relational import partitioned_prefix_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    ).repartition(8)
+    got = {
+        r.id: r.cum
+        for r in partitioned_prefix_sum(df, "id", "v", chunk_width=64).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == expected
