@@ -42,6 +42,8 @@ HEADLINE = [
     "q_dedup_exact_docs",
     "q_text_token_stats",
     "q_text_language_id",
+    "q_repetition_stats",
+    "q_decontaminate",
     "q_multimodal_decode",
     "q_minhash_near_dup",
     "q_simhash_near_dup",

@@ -479,3 +479,50 @@ def embedding_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    compression step before ANN indexing at scale (4× smaller than
+    float32, distance computable in integer space).
+
+    ``scale = max|x| / 127``; ``q_i = floor(x_i/scale + 0.5)`` (explicit
+    half-up rounding — ``round()`` tie semantics differ across engines,
+    ``floor(+0.5)`` does not).  Zero vectors quantize to all zeros.
+
+    Everything is per-row array math (one Project, zero shuffles).
+    Returns scalar summaries alongside the quantized array:
+    ``scale``, ``q_sum``/``q_min``/``q_max`` (exact integers), and
+    ``n_sat`` (count of saturated ±127 slots).
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    d = df.select(F.col(id_col), v.alias("__v"), amax.alias("__amax"))
+    scale = F.col("__amax") / F.lit(127.0)
+    qv = F.when(
+        F.col("__amax") == 0,
+        F.transform(F.col("__v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x.cast("double") / (F.col("__amax") / F.lit(127.0)) + F.lit(0.5)),
+        )
+    )
+    d = d.select(
+        id_col,
+        "__v",
+        scale.alias("scale"),
+        qv.alias("qvec"),
+    )
+    return d.select(
+        id_col,
+        "__v",
+        "scale",
+        "qvec",
+        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, q: a + q).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.size(F.filter(F.col("qvec"), lambda q: F.abs(q) == 127)).alias("n_sat"),
+    )

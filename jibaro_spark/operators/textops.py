@@ -129,3 +129,123 @@ def rolling_hash_fingerprint(
         return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
 
     return F.transform(F.array(normalized_text(col)), over)[0]
+
+
+def repetition_stats(
+    df: "DataFrame", id_col: str, text_col: str, n: int = 2
+) -> "DataFrame":
+    """Gopher-style per-document repetition signals over word n-grams.
+
+    For each doc: total / distinct n-gram counts, the most frequent
+    n-gram (ties broken by lexicographic order), the duplicate-n-gram
+    fraction, and the fraction of normalized characters covered by the
+    top n-gram's occurrences — the "rep-2gram" family of quality
+    filters used to drop boilerplate / looping text from training
+    corpora.
+
+    Shape: ZERO shuffles.  A document's n-grams all live in its own
+    row, so the per-doc mode never needs an explode→groupBy over the
+    corpus (that variant shuffles every n-gram instance — measured 4×
+    slower at sf0.1 and unbounded shuffle growth with corpus size).
+    Instead: sort the gram array, then one ``aggregate`` pass finds the
+    longest run (ascending sort order makes strict-``>`` replacement
+    implement the lexicographic tie-break for free).  Everything stays
+    in a single Project — embarrassingly parallel at any scale.
+    Shingling reuses :func:`jibaro_spark.operators.dedup.shingles`
+    (short docs yield one clamped shingle); the sorted array is bound
+    once via the 1-element-array lambda (see the expression-inlining
+    note on ``shingles``).
+    """
+    from jibaro_spark.operators.dedup import shingles
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("bestrun"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        newrun = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.when(newrun > acc["bestrun"], x).otherwise(acc["best"]).alias("best"),
+            F.greatest(newrun, acc["bestrun"]).alias("bestrun"),
+        )
+
+    def over(a: Column) -> Column:
+        return F.struct(
+            F.size(a).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(a)).cast("long").alias("n_distinct"),
+            F.aggregate(a, zero, step).alias("agg"),
+        )
+
+    stats = df.select(
+        F.col(id_col),
+        F.length(normalized_text(F.col(text_col))).alias("__len"),
+        F.transform(
+            F.array(F.array_sort(shingles(F.col(text_col), n))), over
+        )[0].alias("__s"),
+    )
+    top_gram = F.col("__s.agg.best")
+    top_count = F.col("__s.agg.bestrun")
+    return stats.select(
+        id_col,
+        F.col("__s.n_grams").alias("n_grams"),
+        F.col("__s.n_distinct").alias("n_distinct"),
+        top_gram.alias("top_gram"),
+        top_count.alias("top_count"),
+        (
+            (F.col("__s.n_grams") - F.col("__s.n_distinct")).cast("double")
+            / F.col("__s.n_grams").cast("double")
+        ).alias("dup_frac"),
+        F.when(F.col("__len") == 0, F.lit(0.0))
+        .otherwise(
+            (F.length(top_gram) * top_count).cast("double")
+            / F.col("__len").cast("double")
+        )
+        .alias("top_char_frac"),
+    )
+
+
+def ngram_contamination(
+    train_df: "DataFrame",
+    eval_df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    broadcast_eval: bool = True,
+) -> "DataFrame":
+    """Benchmark decontamination: count, per training doc, the distinct
+    word ``n``-grams it shares with ANY document of ``eval_df`` — docs
+    with ``n_shared > 0`` are contamination candidates to drop.
+
+    The eval side collapses to its distinct n-gram set (benchmarks are
+    tiny next to a corpus) and is broadcast by default, so the check is
+    a map-side hash semi-join over the corpus — no corpus shuffle.  Set
+    ``broadcast_eval=False`` for a shuffled join if the eval n-gram set
+    is itself huge.
+    """
+    from jibaro_spark.operators.dedup import shingles
+
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        tr.join(ev, "gram")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("__id").alias(id_col), "n_shared")
+    )

@@ -773,3 +773,194 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+# Gopher-style repetition signals: duplicate-bigram fraction and
+# top-bigram character coverage — the "rep-ngram" boilerplate filters.
+# Oracle mirrors dedup.shingles exactly (clamped 1-shingle short docs).
+QREP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS nt, {_TOKS} AS w FROM documents
+), g AS (
+  SELECT doc_id, LENGTH(nt) AS len,
+         unnest(list_transform(generate_series(0, greatest(len(w)-1,1)-1),
+                               i -> array_to_string(list_slice(w, i+1, i+2), ' '))) AS gram
+  FROM t
+), c AS (
+  SELECT doc_id, len, gram, COUNT(*) AS cnt FROM g GROUP BY 1,2,3
+), s AS (
+  SELECT doc_id, len, SUM(cnt) AS n_grams, COUNT(*) AS n_distinct FROM c GROUP BY 1,2
+), top AS (
+  SELECT doc_id, gram AS top_gram, cnt AS top_count
+  FROM (SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        FROM c) WHERE rn = 1
+)
+SELECT s.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       top_gram, CAST(top_count AS BIGINT) AS top_count,
+       CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+       CASE WHEN len = 0 THEN 0.0
+            ELSE CAST(LENGTH(top_gram) * top_count AS DOUBLE) / CAST(len AS DOUBLE)
+       END AS top_char_frac
+FROM s JOIN top USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@declare(
+    "q_repetition_stats",
+    oracle=QREP_ORACLE,
+    description="Gopher-style duplicate/top-bigram repetition quality signals (training pipeline [ext])",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        tx.repetition_stats(docs, "doc_id", "text", n=2)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "top_gram",
+            F.col("top_count").cast("long").alias("top_count"),
+            "dup_frac",
+            "top_char_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Benchmark decontamination: training docs sharing any word 4-gram with
+# the "eval" subset (doc_id % 50 == 0 stands in for a benchmark set).
+# The eval n-gram set is broadcast — map-side semi-join, no corpus
+# shuffle before the per-doc count.
+QDECON_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(0, greatest(len(w)-3,1)-1),
+                i -> array_to_string(list_slice(w, i+1, i+4), ' ')))) AS gram
+  FROM t
+),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh s JOIN ev USING (gram)
+WHERE s.doc_id % 50 != 0
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@declare(
+    "q_decontaminate",
+    oracle=QDECON_ORACLE,
+    description="eval-set decontamination: 4-gram overlap vs broadcast benchmark n-grams (training pipeline [ext])",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        tx.ngram_contamination(tr, ev, "doc_id", "text", n=4)
+        .select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# Data-mixture report: per (source, lang) token shares and the
+# resampling weight that would equalize token mass across groups —
+# the bookkeeping behind mixture reweighting.  One grouped aggregate +
+# a broadcast 1-row totals join; division order fixed for bit-identical
+# doubles in both engines.
+QMIX_ORACLE = f"""
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+), t AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot, CAST(COUNT(*) AS DOUBLE) AS ng FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / tot AS token_share,
+       (tot / ng) / CAST(n_tokens AS DOUBLE) AS resample_weight
+FROM g, t
+ORDER BY source, lang
+"""
+
+
+@declare(
+    "q_source_mix",
+    oracle=QMIX_ORACLE,
+    description="data-mixture report: per (source, lang) token share + equalizing resample weight (training pipeline [ext])",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    t = g.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("ng"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tot")).alias("token_share"),
+            ((F.col("tot") / F.col("ng")) / F.col("n_tokens").cast("double")).alias(
+                "resample_weight"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# int8 embedding quantization: per-vector symmetric scale + quantized
+# summaries.  Zero-shuffle array math; the array itself is exercised in
+# pytest (reconstruction-error bound) — the driver compare gets the
+# scalarized summaries.
+QQUANT_ORACLE = """
+WITH a AS (
+  SELECT vec_id, embedding,
+         COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS amax
+  FROM embeddings
+), q AS (
+  SELECT vec_id, amax,
+         CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / (amax/127.0) + 0.5) AS BIGINT))
+         END AS qv
+  FROM a
+)
+SELECT vec_id, amax / 127.0 AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(len(list_filter(qv, q -> abs(q) = 127)) AS BIGINT) AS n_sat
+FROM q
+ORDER BY vec_id
+"""
+
+
+@declare(
+    "q_quantize_int8",
+    oracle=QQUANT_ORACLE,
+    description="symmetric int8 embedding quantization summaries (ANN scale path [ext])",
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        sim.quantize_int8(emb, "vec_id", "embedding")
+        .select(
+            "vec_id",
+            "scale",
+            "q_sum",
+            "q_min",
+            "q_max",
+            F.col("n_sat").cast("long").alias("n_sat"),
+        )
+        .orderBy("vec_id")
+    )

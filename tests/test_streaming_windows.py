@@ -252,3 +252,34 @@ def test_interval_join_rejects_mixed_modes(spark, events_dir):
         W.interval_join(
             _stream(spark, events_dir), spark.read.parquet(events_dir), key="user_id"
         )
+
+
+def test_dedup_within_watermark_drops_in_window_duplicates(spark, tmp_path):
+    """Feed a stream whose second micro-batch replays rows from the
+    first (within the watermark): the replayed keys must be dropped,
+    and every key emitted exactly once."""
+    out = str(tmp_path / "dup_stream")
+    ev = load_tables(spark, SF, "events")["events"].limit(200).cache()
+    # batch 1 = rows as-is; batch 2 = first 100 rows replayed (dups)
+    ev.write.mode("overwrite").parquet(out + "/b1")
+    ev.limit(100).write.mode("overwrite").parquet(out + "/b2")
+    schema = spark.read.parquet(out + "/b1").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out + "/{b1,b2}")
+    )
+    deduped = W.dedup_within_watermark(sdf, keys=["event_id"], watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id, COUNT(*) c FROM wm_dedup GROUP BY 1").collect()
+    n_total = ev.count()
+    assert len(got) == n_total, f"expected {n_total} distinct keys, got {len(got)}"
+    assert all(r.c == 1 for r in got), "a duplicate key was emitted twice"
+    ev.unpersist()

@@ -133,3 +133,72 @@ def test_partitioned_prefix_sum_matches_global_window(spark):
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
     expected = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == expected
+
+
+def test_repetition_stats_edges_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: "a b","b a","a b","b a" -> tie at 2, "a b" wins
+            (2, "x"),            # single token -> one clamped shingle "x"
+            (3, "  "),           # whitespace-only -> norm "" -> one gram ""
+            (4, "c c c c"),      # "c c" x3 -> dup_frac 2/3
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].top_gram == "a b" and rows[1].top_count == 2
+    assert rows[1].n_grams == 4 and rows[1].n_distinct == 2
+    assert rows[2].n_grams == 1 and rows[2].top_gram == "x"
+    assert rows[2].top_char_frac == 1.0
+    assert rows[3].top_char_frac == 0.0  # len-0 guard, no NaN
+    assert abs(rows[4].dup_frac - 2.0 / 3.0) < 1e-12
+    assert rows[4].top_count == 3
+
+
+def test_ngram_contamination_overlap_and_disjoint(spark):
+    from jibaro_spark.operators.textops import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here entirely now"),
+            (3, "quick brown fox jumps again and again today"),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox jumps happily")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in ngram_contamination(train, ev, "doc_id", "text", n=4).collect()
+    }
+    # doc1 shares "quick brown fox jumps"; doc3 shares it too; doc2 none
+    assert got == {1: 1, 3: 1}
+
+
+def test_quantize_int8_reconstruction_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [3.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    # max |x| maps to exactly ±127; reconstruction error bounded by scale/2
+    assert out[1].q_min == -127 and out[1].n_sat == 1
+    for r in (out[1], out[3]):
+        for x, q in zip(r["__v"], r.qvec):
+            assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
+    assert out[2].scale == 0.0 and out[2].q_sum == 0 and out[2].n_sat == 0
+    assert out[3].q_max == 127
