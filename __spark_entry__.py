@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    """Flagship: the composed curation pipeline (replay-dup injection →
+    quality filter → exact dedup → deterministic split → per-split/lang
+    token accounting) on /root/testdata/sf0.001."""
     from jibaro_spark.queries import REGISTRY
 
-    return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["q_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

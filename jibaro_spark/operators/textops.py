@@ -249,3 +249,50 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("__id").alias(id_col), "n_shared")
     )
+
+
+def chunk_documents(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> "DataFrame":
+    """Split each document into overlapping token windows (training
+    context chunks): chunk ``i`` covers tokens ``[i·stride, i·stride +
+    chunk_tokens)``; the last chunk may be short.  ``stride <
+    chunk_tokens`` gives overlap.
+
+    Native ``sequence``→``transform``→``explode`` — one generator per
+    row, no shuffle; chunk rows inherit the parent's partitioning.
+    Returns ``(id, chunk_id, n_tokens, chunk_text)``; hash
+    ``chunk_text`` (or drop it) downstream if only fingerprints are
+    needed.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def over(toks: Column) -> Column:
+        n_chunks = F.floor((F.size(toks) - 1) / F.lit(stride)) + 1
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.array(tokens(F.col(text_col))), over)[0]
+        ).alias("__c"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.size(F.split(F.col("__c.chunk_text"), " ")).cast("long").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )

@@ -590,3 +590,34 @@ def q_full_outer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nationkey", "cust_bal", "supp_bal")
         .orderBy("nationkey")
     )
+
+
+@declare(
+    "q_hll_mergeable_distinct",
+    oracle=None,
+    description="mergeable HLL sketches: per-group hll_sketch_agg → hll_union_agg rollup (A9 [ext]; rows-only — sketch estimates are engine-specific, merge-consistency asserted in tests)",
+)
+def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale pattern behind incremental distinct counting: build a
+    Datasketches HLL per partition-group (here: per order status), then
+    merge sketches with ``hll_union_agg`` instead of re-scanning — at
+    100 TB, sketches are the only way to roll up distinct counts
+    across partitions/days without a global shuffle of raw keys.
+    """
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", 14).alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+    )
+    merged = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    return (
+        per_status.select(
+            "o_orderstatus",
+            F.hll_sketch_estimate("sk").alias("approx_custs"),
+            "exact_custs",
+        )
+        .crossJoin(F.broadcast(merged))
+        .orderBy("o_orderstatus")
+    )

@@ -964,3 +964,121 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# Composed end-to-end curation pipeline — the flagship: simulate a
+# replayed ingest (10% of docs re-keyed as duplicates), then
+# quality-filter → exact-dedup (must remove exactly the injected
+# copies) → deterministic split → per-split/lang token accounting.
+# Every stage is a covered operator; this query checks their
+# COMPOSITION end-to-end against one SQL oracle.
+QCURATE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % 10 = 0
+), f AS (
+  SELECT doc_id, text, lang,
+         CAST(LENGTH(text) AS DOUBLE) AS n_char,
+         CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_uniq
+  FROM base
+), scored AS (
+  SELECT doc_id, lang, n_tok,
+         n_alpha / n_char * 0.5 + n_uniq / n_tok * 0.4 + (1.0 - n_punct / n_char) * 0.1 AS quality,
+         {_NORM} AS norm
+  FROM f
+), kept AS (
+  SELECT doc_id, lang, n_tok FROM (
+    SELECT doc_id, lang, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM scored WHERE quality >= 0.68 AND n_tok >= 15
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT lang, n_tok,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'valid'
+              ELSE 'train' END AS split
+  FROM kept
+)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@declare(
+    "q_curation_pipeline",
+    oracle=QCURATE_ORACLE,
+    description="composed curation pipeline: replay-dup injection → quality filter → exact dedup → split → token accounting (flagship [ext])",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.select("doc_id", "text", "lang").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+        )
+    )
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tx.tokens(F.col("text"))).cast("double").alias("n_tok"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    ).filter((F.col("quality") >= 0.68) & (F.col("n_tok") >= 15))
+    kept = dd.dedup_exact(scored, content_cols=["text"], keep_order_col="doc_id")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(nib >= "e", "test").when(nib >= "c", "valid").otherwise("train")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# Overlapping token-window chunking (training context windows):
+# chunk i = tokens [i*24, i*24+32).  Scalarized output: per-chunk token
+# count + md5 fingerprint (the text column itself is for downstream
+# use; the driver compare gets scalars).
+QCHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, CAST(floor(CAST(len(w)-1 AS DOUBLE)/24.0) AS BIGINT)),
+                i -> struct_pack(chunk_id := CAST(i AS BIGINT),
+                                 chunk_text := array_to_string(list_slice(w, i*24+1, i*24+32), ' ')))) AS ch
+  FROM t
+)
+SELECT doc_id, ch.chunk_id AS chunk_id,
+       CAST(len(string_split(ch.chunk_text, ' ')) AS BIGINT) AS n_tokens,
+       md5(ch.chunk_text) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+@declare(
+    "q_chunk_documents",
+    oracle=QCHUNK_ORACLE,
+    description="overlapping token-window chunking for training contexts (training pipeline [ext])",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        tx.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=24)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -270,3 +270,20 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     exact_p50 = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
     assert abs(row.p50_approx - exact_p50) / exact_p50 <= 0.05
+
+
+def test_hll_mergeable_sketches_accuracy(spark, sf_dir):
+    """Per-group HLL estimates within 3% of exact; the UNION-MERGED
+    estimate must approximate the global distinct count (merge
+    consistency — the property that makes sketches rollup-safe)."""
+    from jibaro_spark.queries import REGISTRY
+    from jibaro_spark.queries.registry import load_tables
+
+    rows = REGISTRY["q_hll_mergeable_distinct"].fn(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert abs(r.approx_custs - r.exact_custs) / r.exact_custs <= 0.03, r
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    exact_global = o.select("o_custkey").distinct().count()
+    merged = rows[0].merged_estimate
+    assert abs(merged - exact_global) / exact_global <= 0.03, (merged, exact_global)

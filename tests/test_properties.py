@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): random inputs vs pure-Python
+reference implementations of the distributed operators.  Few examples
+per property (each example is a Spark job), but adversarial shapes —
+negatives, ties, empty strings, zero vectors — that fixture data
+never produces.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+FEW = settings(max_examples=6, deadline=None, derandomize=True)
+
+
+@FEW
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200),
+    chunk=st.integers(min_value=1, max_value=64),
+)
+def test_prefix_sum_property(spark, vals, chunk):
+    from jibaro_spark.operators.relational import partitioned_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(4)
+    got = {
+        r.id: r.cum
+        for r in partitioned_prefix_sum(df, "id", "v", chunk_width=chunk).collect()
+    }
+    run = 0
+    for i, v in enumerate(vals):
+        run += v
+        assert got[i] == run
+
+
+def _py_repetition(text: str, n: int = 2):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    words = norm.split(" ")
+    n_sh = max(len(words) - (n - 1), 1)
+    grams = [" ".join(words[i : i + n]) for i in range(n_sh)]
+    c = Counter(grams)
+    # top by (count desc, gram asc)
+    top_gram, top_count = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    return {
+        "n_grams": len(grams),
+        "n_distinct": len(c),
+        "top_gram": top_gram,
+        "top_count": top_count,
+        "len": len(norm),
+    }
+
+
+@FEW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60), min_size=1, max_size=20
+    )
+)
+def test_repetition_stats_property(spark, texts):
+    from jibaro_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        ref = _py_repetition(t)
+        r = got[i]
+        assert r.n_grams == ref["n_grams"], (t, r)
+        assert r.n_distinct == ref["n_distinct"], (t, r)
+        assert r.top_gram == ref["top_gram"], (t, r)
+        assert r.top_count == ref["top_count"], (t, r)
+
+
+@FEW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantize_int8_property(spark, vecs):
+    from jibaro_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for i, v in enumerate(vecs):
+        r = out[i]
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        if r.scale == 0.0:
+            assert all(q == 0 for q in r.qvec)
+            continue
+        for x, q in zip(r["__v"], r.qvec):
+            # float32 round-trip of x, then half-up quantization bound
+            assert abs(x - q * r.scale) <= r.scale / 2 + 1e-9
+
+
+@FEW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.text(alphabet="xy z", max_size=20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dedup_exact_property(spark, rows):
+    from jibaro_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id int, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_exact(df, content_cols=["text"], keep_order_col="doc_id").collect()
+    )
+    seen, ref = set(), []
+    import re
+
+    for i, (_, t) in enumerate(rows):
+        key = re.sub(r"\s+", " ", t.strip().lower())
+        if key not in seen:
+            seen.add(key)
+            ref.append(i)
+    assert kept == sorted(ref)

@@ -103,3 +103,35 @@ def test_small_dim_join_is_broadcast(spark):
     q = t["customer"].join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
     plan = _executed_plan(q)
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_plan_has_no_exchange(spark):
+    """The zero-shuffle claim, asserted on the executed plan."""
+    from jibaro_spark.operators.textops import repetition_stats
+
+    docs = load_tables(spark, SF, "documents")["documents"]
+    plan = _executed_plan(repetition_stats(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_quantize_int8_plan_has_no_exchange(spark):
+    from jibaro_spark.operators.similarity import quantize_int8
+
+    emb = load_tables(spark, SF, "embeddings")["embeddings"]
+    plan = _executed_plan(quantize_int8(emb, "vec_id", "embedding"))
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The corpus side must NOT shuffle before the semi-join: the eval
+    n-gram set is broadcast."""
+    from jibaro_spark.operators.textops import ngram_contamination
+
+    docs = load_tables(spark, SF, "documents")["documents"]
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _executed_plan(ngram_contamination(tr, ev, "doc_id", "text", n=4))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchanges allowed: broadcast of eval grams + the final
+    # per-doc aggregation; no SortMergeJoin over corpus n-grams
+    assert "SortMergeJoin" not in plan, plan

@@ -202,3 +202,24 @@ def test_quantize_int8_reconstruction_and_zero_vector(spark):
             assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
     assert out[2].scale == 0.0 and out[2].q_sum == 0 and out[2].n_sat == 0
     assert out[3].q_max == 127
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from jibaro_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only three tokens")],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 10 tokens, stride 3 -> chunks start at 0,3,6,9 -> 4 chunks
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert d1[0].chunk_text == "t0 t1 t2 t3"
+    assert d1[1].chunk_text == "t3 t4 t5 t6"      # 1-token overlap
+    assert d1[3].chunk_text == "t9" and d1[3].n_tokens == 1
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "only three tokens"
