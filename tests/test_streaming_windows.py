@@ -283,3 +283,43 @@ def test_dedup_within_watermark_drops_in_window_duplicates(spark, tmp_path):
     assert len(got) == n_total, f"expected {n_total} distinct keys, got {len(got)}"
     assert all(r.c == 1 for r in got), "a duplicate key was emitted twice"
     ev.unpersist()
+
+
+def test_windows_with_rocksdb_state_store(spark, events_dir):
+    """Same windowed aggregation, RocksDB state store (the provider a
+    100 TB streaming job needs: state spills to disk instead of
+    executor heap).  Results must be identical to the default
+    (HDFS-backed in-memory) provider's batch equivalent."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, "")
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = W.tumbling_counts(_stream(spark, events_dir))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("rocksdb_tumbling")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM rocksdb_tumbling").collect()
+    }
+    assert got, "no finalized windows under RocksDB provider"
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.total)
+        for r in W.tumbling_counts(batch).collect()
+    }
+    for k, v in got.items():
+        assert expected[k] == v, k
