@@ -395,3 +395,35 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_signature_md5(
+    col: Column, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """Cross-engine-verifiable MinHash signature: slot ``i`` is the
+    MINIMUM of ``md5(i || '|' || shingle)`` hex strings over the doc's
+    distinct shingles; the signature collapses to one md5 of the
+    comma-joined slots.
+
+    This is the verifiable sibling of :func:`minhash_signature` (same
+    pattern as ``rolling_hash_fingerprint``'s md5 mode): md5 hex
+    compares identically in Spark/DuckDB/Trino/Postgres, so the WHOLE
+    signature computation gets a SQL oracle — at ~3× the cost of the
+    xxhash64 production path, which remains estimator-tested in pytest.
+    The shingle array is bound once (see :func:`shingles`); each slot
+    re-traverses the bound array, never the split/regex subtree.
+    """
+
+    def slot_min(sh: Column, i: int) -> Column:
+        # NB: a 2-parameter lambda would make transform() pass the
+        # array INDEX as the second arg — bind the slot constant via
+        # closure, keep the lambda unary.
+        prefix = F.lit(f"{i}|")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    def over(sh: Column) -> Column:
+        return F.md5(
+            F.concat_ws(",", *[slot_min(sh, i) for i in range(num_hashes)])
+        )
+
+    return F.transform(F.array(F.array_distinct(shingles(col, shingle_n))), over)[0]

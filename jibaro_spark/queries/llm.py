@@ -1082,3 +1082,34 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# Verifiable-mode MinHash: md5-hex slot minima (identical in DuckDB),
+# whole signature oracle-checked — the cross-engine contract for the
+# xxhash64 production signatures (estimator accuracy tested in pytest).
+QMHSIG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
+            i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
+  FROM documents
+), s AS (
+  SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
+  FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i
+  GROUP BY doc_id, i.range
+)
+SELECT doc_id, md5(string_agg(m, ',' ORDER BY slot)) AS sig_md5
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_minhash_signature",
+    oracle=QMHSIG_ORACLE,
+    description="MinHash signatures, md5 verifiable mode — slot-wise cross-engine equality (dedup [ext])",
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", dd.minhash_signature_md5(F.col("text")).alias("sig_md5")
+    ).orderBy("doc_id")

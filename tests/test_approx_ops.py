@@ -287,3 +287,40 @@ def test_hll_mergeable_sketches_accuracy(spark, sf_dir):
     exact_global = o.select("o_custkey").distinct().count()
     merged = rows[0].merged_estimate
     assert abs(merged - exact_global) / exact_global <= 0.03, (merged, exact_global)
+
+
+def test_quantized_knn_recall(spark, sf_dir):
+    """int8 quantization must preserve neighborhood structure: kNN over
+    dequantized vectors (q * scale) recalls ≥ 90% of the exact float
+    top-5 — the property that makes quantized ANN indexes usable."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators import similarity as sim
+    from jibaro_spark.operators.similarity import quantize_int8
+    from jibaro_spark.queries.registry import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec_f")
+    )
+
+    def topk(corpus, vec_col):
+        rows = sim.knn_bruteforce(
+            queries, corpus, "qid", "qvec_f", "vec_id", vec_col, k=5
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.qid, set()).add(r.vec_id)
+        return out
+
+    exact = topk(emb, "embedding")
+    deq = quantize_int8(emb, "vec_id", "embedding").select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda q: (q * F.col("scale")).cast("float")
+        ).alias("emb_q"),
+    )
+    approx = topk(deq, "emb_q")
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, f"recall {hits}/{total}"

@@ -273,3 +273,60 @@ def test_encode_keyless(spark):
     df = spark.createDataFrame([(1,)], "x int")
     framed = cc.encode_confluent(df, [], reg, "t", "json")
     assert framed.collect()[0].key is None
+
+
+def test_http_schema_registry_round_trip():
+    """R1-R3 over a real HTTP round-trip: a stdlib server emulating the
+    two Confluent REST endpoints the engine uses (GET /schemas/ids/{id},
+    POST /subjects/{s}/versions) — no confluent-kafka dependency."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from jibaro_spark.codecs.confluent import HttpSchemaRegistry
+
+    store: dict[int, str] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            sid = int(self.path.rsplit("/", 1)[-1])
+            if sid not in store:
+                self.send_response(404)
+                self.end_headers()
+                return
+            payload = json.dumps({"schema": store[sid]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            assert self.path.startswith("/subjects/") and self.path.endswith("/versions")
+            n = int(self.headers["Content-Length"])
+            schema = json.loads(self.rfile.read(n))["schema"]
+            sid = next(
+                (k for k, v in store.items() if v == schema), len(store) + 1
+            )
+            store[sid] = schema
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(json.dumps({"id": sid}).encode())
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        reg = HttpSchemaRegistry(f"http://127.0.0.1:{srv.server_port}")
+        schema = '{"type":"record","name":"r","fields":[{"name":"x","type":"int"}]}'
+        sid = reg.register("topic-value", schema)
+        assert reg.get_schema(sid) == schema
+        # idempotent re-register returns the same id (registry contract)
+        assert reg.register("topic-value", schema) == sid
+        # JSON schemaType goes through the same endpoint
+        sid2 = reg.register("t2-value", '{"type":"object"}', schema_type="JSON")
+        assert sid2 != sid and reg.get_schema(sid2) == '{"type":"object"}'
+    finally:
+        srv.shutdown()

@@ -223,3 +223,26 @@ def test_chunk_documents_overlap_and_short_docs(spark):
     assert d1[3].chunk_text == "t9" and d1[3].n_tokens == 1
     d2 = [r for r in rows if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].chunk_text == "only three tokens"
+
+
+def test_minhash_signature_md5_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.dedup import minhash_signature_md5
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "  ALPHA   beta GAMMA delta epsilon "),  # normalizes to same
+            (3, "totally different content here now"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", minhash_signature_md5(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert rows[1] == rows[2], "normalization-equal docs must share signatures"
+    assert rows[1] != rows[3]
