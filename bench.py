@@ -44,6 +44,7 @@ HEADLINE = [
     "q_text_language_id",
     "q_repetition_stats",
     "q_decontaminate",
+    "q_curation_pipeline",
     "q_multimodal_decode",
     "q_minhash_near_dup",
     "q_simhash_near_dup",

@@ -427,3 +427,60 @@ def minhash_signature_md5(
         )
 
     return F.transform(F.array(F.array_distinct(shingles(col, shingle_n))), over)[0]
+
+
+def simhash_md5_bits(col: Column, shingle_n: int = 2, bits: int = 64) -> Column:
+    """Cross-engine-verifiable SimHash: bit ``p`` of each shingle comes
+    from nibble ``p//4`` of ``md5(shingle)`` hex; per-position ±1 votes
+    fold to the fingerprint bit.  Returns the fingerprint as a
+    ``bits``-char '0'/'1' string — identical in any engine with md5 +
+    substring (the verifiable sibling of :func:`with_simhash`'s
+    xxhash64 production path; same pattern as
+    :func:`minhash_signature_md5`).
+
+    The md5 array is computed ONCE per row (bind-once lambda); each of
+    the ``bits`` vote-aggregates traverses the bound hex strings with
+    scalar nibble ops only.  Bit positions are Python constants closed
+    over unary lambdas — a default-arg capture would change the lambda
+    arity and make Spark pass the array index instead.
+    """
+
+    if bits % 4 != 0:
+        raise ValueError("bits must be a multiple of 4 (hex nibbles)")
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    shift_div = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))
+
+    def bit_votes(nibs: Column) -> Column:
+        # ±1 vote per bit position, from the pre-parsed nibble array —
+        # arithmetic only, no per-bit string parsing
+        def one(p: Column) -> Column:
+            nib = F.get(nibs, F.floor(p / 4).cast("int"))
+            sd = F.get(shift_div, (p % 4).cast("int"))
+            bit = F.floor(nib / sd).cast("int") % 2
+            return bit * 2 - 1
+
+        return F.transform(positions, one)
+
+    def over(nib_arr: Column) -> Column:
+        votes = F.aggregate(
+            nib_arr,
+            F.expr(f"array_repeat(0, {bits})"),
+            lambda acc, nibs: F.zip_with(acc, bit_votes(nibs), lambda a, b: a + b),
+        )
+        return F.array_join(
+            F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), ""
+        )
+
+    # each shingle's md5 computed once (inner bind-once) and parsed
+    # once into bits//4 nibble ints
+    nibbles = F.transform(
+        F.array_distinct(shingles(col, shingle_n)),
+        lambda g: F.transform(
+            F.array(F.md5(g)),
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.lit(bits // 4)),
+                lambda j: F.conv(F.substring(h, j, 1), 16, 10).cast("int"),
+            ),
+        )[0],
+    )
+    return F.transform(F.array(nibbles), over)[0]

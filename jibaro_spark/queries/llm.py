@@ -1113,3 +1113,37 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", dd.minhash_signature_md5(F.col("text")).alias("sig_md5")
     ).orderBy("doc_id")
+
+
+# Verifiable-mode SimHash: md5-nibble bit votes (identical in DuckDB) —
+# the cross-engine contract for the xxhash64 production fingerprints.
+QSIMSIG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-1,1)-1),
+            i -> array_to_string(list_slice({_TOKS}, i+1, i+2), ' '))) AS sh
+  FROM documents
+), b AS (
+  SELECT doc_id, p.range AS pos,
+         SUM(CASE WHEN (CAST(('0x' || substr(md5(u.g), CAST(p.range//4 AS BIGINT)+1, 1)) AS INTEGER)
+                        >> CAST(3 - p.range%4 AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM t, unnest(t.sh) AS u(g), range(0, 64) AS p
+  GROUP BY doc_id, p.range
+)
+SELECT doc_id,
+       string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash_bits
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_simhash_signature",
+    oracle=QSIMSIG_ORACLE,
+    description="SimHash fingerprints, md5 verifiable mode — bit-wise cross-engine equality (dedup [ext])",
+)
+def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", dd.simhash_md5_bits(F.col("text")).alias("simhash_bits")
+    ).orderBy("doc_id")

@@ -246,3 +246,30 @@ def test_minhash_signature_md5_determinism(spark):
     }
     assert rows[1] == rows[2], "normalization-equal docs must share signatures"
     assert rows[1] != rows[3]
+
+
+def test_simhash_md5_bits_properties(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.dedup import simhash_md5_bits
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, " Alpha  BETA gamma delta epsilon zeta"),  # same normalized
+            (3, "alpha beta gamma delta epsilon eta"),     # 1 token changed
+            (4, "completely unrelated words appear here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.bits
+        for r in df.select(
+            "doc_id", simhash_md5_bits(F.col("text")).alias("bits")
+        ).collect()
+    }
+    assert all(len(b) == 64 and set(b) <= {"0", "1"} for b in rows.values())
+    assert rows[1] == rows[2]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    # near-dup hamming must be well under unrelated hamming
+    assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])
