@@ -293,6 +293,7 @@ QMAPJ_ORACLE = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        len(json_keys(props)) AS n_props,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
        json_extract_string(props, '$.device') AS device
 FROM events
 ORDER BY event_id
@@ -315,6 +316,9 @@ def q_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_props"),
+        # the VARYING field (fixture props = {"k": <int>}); `device`
+        # stays as the documented missing-key → NULL semantics
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
         F.get_json_object("props", "$.device").alias("device"),
     ).orderBy("event_id")
 

@@ -64,7 +64,8 @@ SELECT doc_id, labeled_lang,
        CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
             WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
             WHEN c_de >= c_fr THEN 'de'
-            ELSE 'fr' END AS detected_lang
+            ELSE 'fr' END AS detected_lang,
+       CAST(c_en AS BIGINT) AS en_hits
 FROM scored
 ORDER BY doc_id
 """
@@ -73,10 +74,14 @@ ORDER BY doc_id
 @declare("q_text_language_id", oracle=QLANG_ORACLE, description="heuristic stopword-vote language ID (text analysis [ext])")
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # en_hits is the varying evidence column (fixture text is word-soup
+    # whose stopwords are English-only, so detected_lang is uniformly
+    # 'en' — the vote COUNTS are what the oracle can meaningfully check)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         tx.language_id(F.col("text")).alias("detected_lang"),
+        tx.stopword_hits(F.col("text"), "en").cast("long").alias("en_hits"),
     ).orderBy("doc_id")
 
 
@@ -120,18 +125,29 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QNORM_ORACLE = """
 SELECT vec_id,
        ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END)), 6) AS dot_alt,
        label
 FROM embeddings
 ORDER BY vec_id
 """
 
 
-@declare("q_embedding_norms", oracle=QNORM_ORACLE, description="vector L2 norms via native array aggregate (J6 support)")
+@declare("q_embedding_norms", oracle=QNORM_ORACLE, description="vector L2 norms + alternating-sign dot via native array aggregate (J6 support)")
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # l2_norm is uniformly 1.0 (fixture vectors are unit-normalized —
+    # itself a verified property); dot_alt VARIES per vector, so the
+    # hash check exercises real dot-product values too.
+    alt = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("embedding"))),
+        lambda i: F.when(i % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
     return emb.select(
         "vec_id",
         F.round(F.sqrt(sim.l2_norm_sq(F.col("embedding"))), 6).alias("l2_norm"),
+        F.round(sim.dot(F.col("embedding"), alt), 6).alias("dot_alt"),
         "label",
     ).orderBy("vec_id")
 
@@ -1147,3 +1163,63 @@ def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", dd.simhash_md5_bits(F.col("text")).alias("simhash_bits")
     ).orderBy("doc_id")
+
+
+# Unigram LM quality score (perplexity-filter stand-in): per-doc mean
+# -ln p(token) under the corpus's own unigram distribution.  Global
+# term frequencies are one shuffle; the per-token -ln p values are
+# rounded to 10 dp (absorbs libm 1-ulp differences) and accumulated as
+# DECIMAL so the per-doc sum is order-independent and engine-exact.
+QULM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM tf
+), scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(-LN(CAST(tf.freq AS DOUBLE) / tot.total), 10) AS DECIMAL(18,12)) AS nll
+  FROM toks t JOIN tf USING (term), tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_unigram_logprob",
+    oracle=QULM_ORACLE,
+    description="unigram LM mean negative log-prob per doc — perplexity-filter stand-in (training pipeline [ext])",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    tot = tf.agg(F.sum("freq").cast("double").alias("total"))
+    # vocab ≪ corpus: broadcast both the frequency table and the 1-row
+    # total so scoring is a map-side join over the exploded tokens
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("freq").cast("double") / F.col("total")), 10)
+            .cast("decimal(18,12)")
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .orderBy("doc_id")
+    )

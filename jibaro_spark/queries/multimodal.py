@@ -17,17 +17,30 @@ from jibaro_spark.operators import multimodal as mm
 from jibaro_spark.queries.registry import declare, load_tables
 
 
+#: container magic bytes per rotating kind — so the magic-byte sniffer
+#: has real positives to detect (PNG 8B, MP4 ftyp 8B, ID3 3B)
+_MAGIC_PNG = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+_MAGIC_MP4 = bytes([0x00, 0x00, 0x00, 0x20]) + b"ftyp"
+_MAGIC_ID3 = b"ID3"
+
+
 def _with_content(docs: DataFrame) -> DataFrame:
-    """documents.text → opaque binary content + media metadata
-    (kind rotates image/audio/video deterministically by doc_id)."""
+    """documents.text → opaque binary content (with the container's
+    magic header prepended) + media metadata (kind rotates
+    image/audio/video deterministically by doc_id)."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "video")
         .when(F.col("doc_id") % 3 == 1, "image")
         .otherwise("audio")
     )
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MAGIC_MP4))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_MAGIC_PNG))
+        .otherwise(F.lit(_MAGIC_ID3))
+    )
     return docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("content"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("content"),
         mm.media_struct(
             kind,
             F.lit("application/octet-stream"),
@@ -37,11 +50,20 @@ def _with_content(docs: DataFrame) -> DataFrame:
 
 
 QMM_STATS_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN '\\x00\\x00\\x00\\x20ftyp'::BLOB
+               WHEN doc_id % 3 = 1 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
+               ELSE 'ID3'::BLOB END) || encode(text) AS content
+  FROM documents
+)
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       sha256(text) AS sha256,
-       'application/octet-stream' AS sniffed_mime
-FROM documents
+       octet_length(content) AS n_bytes,
+       sha256(hex(content)) AS sha256_hex,
+       CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
+            WHEN doc_id % 3 = 1 THEN 'image/png'
+            ELSE 'audio/mp3' END AS sniffed_mime
+FROM c
 ORDER BY doc_id
 """
 
@@ -53,9 +75,17 @@ ORDER BY doc_id
 )
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # DuckDB's sha256 is VARCHAR-only, so the ORACLE column hashes the
+    # hex encoding (uppercase in both engines); the operator's raw
+    # binary sha256 stays and is covered by the unit tests.
     return (
         mm.content_stats(_with_content(docs))
-        .select("doc_id", "n_bytes", "sha256", "sniffed_mime")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.sha2(F.hex(F.col("content")), 256).alias("sha256_hex"),
+            "sniffed_mime",
+        )
         .orderBy("doc_id")
     )
 
@@ -72,12 +102,18 @@ def _len_decoder(payload: bytes, media: dict) -> dict:
 
 
 QMM_DECODE_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         octet_length(encode(text))
+           + CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 8 END AS n
+  FROM documents
+)
 SELECT doc_id,
-       octet_length(encode(text)) % 64 + 1 AS dec_width,
-       (octet_length(encode(text)) // 64) % 64 + 1 AS dec_height,
-       CAST((octet_length(encode(text)) * 2654435761 % 1000) AS DOUBLE) / 1000.0 AS dec_mean_luma,
+       n % 64 + 1 AS dec_width,
+       (n // 64) % 64 + 1 AS dec_height,
+       CAST((n * 2654435761 % 1000) AS DOUBLE) / 1000.0 AS dec_mean_luma,
        3 AS dec_channels
-FROM documents
+FROM c
 ORDER BY doc_id
 """
 

@@ -104,8 +104,11 @@ QCDC2_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
 )
-SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS o_totalprice, 'u' AS op
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice ELSE o_totalprice + 500.0 END AS o_totalprice,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'c' ELSE 'u' END AS op
 FROM base
+WHERE o_orderkey % 7 != 0
 ORDER BY o_orderkey
 """
 
@@ -127,8 +130,23 @@ def q_cdc_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         (F.col("o_orderdate") + F.expr(f"INTERVAL {ts_off} SECOND")).alias("timestamp"),
     )
-    envelope = mk(F.col("o_totalprice"), "c", 0).unionByName(
-        mk(F.col("o_totalprice") + F.lit(500.0), "u", 60)
+    # op mix in the surviving output: keys %5==0 get only the insert
+    # ('c' survives), others get a later update ('u' wins), and keys
+    # %7==0 get a final delete (dropped entirely) — latest-per-key must
+    # order correctly across all three op kinds, and the output op
+    # column genuinely varies.
+    envelope = (
+        mk(F.col("o_totalprice"), "c", 0)
+        .unionByName(
+            mk(F.col("o_totalprice") + F.lit(500.0), "u", 60).filter(
+                F.col("key.o_orderkey") % 5 != 0
+            )
+        )
+        .unionByName(
+            mk(F.col("o_totalprice"), "d", 120).filter(
+                F.col("key.o_orderkey") % 7 == 0
+            )
+        )
     )
     empty_target = envelope.sparkSession.createDataFrame(
         [], "o_orderkey bigint, o_custkey bigint, o_totalprice double, op string"
