@@ -45,6 +45,7 @@ HEADLINE = [
     "q_repetition_stats",
     "q_decontaminate",
     "q_curation_pipeline",
+    "q_unigram_logprob",
     "q_multimodal_decode",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
