@@ -135,3 +135,24 @@ def test_decontamination_broadcasts_eval_side(spark):
     # the only exchanges allowed: broadcast of eval grams + the final
     # per-doc aggregation; no SortMergeJoin over corpus n-grams
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_filter_pushdown_and_column_pruning(spark):
+    """Selective predicates must reach the parquet scan and the scan
+    must read only the projected columns (q6: 4 of lineitem's 16)."""
+    import contextlib
+    import io
+    import re
+
+    from jibaro_spark.queries import REGISTRY
+
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed and "GreaterThanOrEqual(l_shipdate" in pushed.group(1), plan
+    schema = re.search(r"ReadSchema: (.*)", plan)
+    cols = re.findall(r"(\w+):", schema.group(1))
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
