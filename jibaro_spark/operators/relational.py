@@ -397,3 +397,52 @@ def partitioned_prefix_sum(
         .withColumn(out_col, F.col("__local") + F.col("__offset"))
         .drop("__chunk", "__local", "__offset")
     )
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleave of two non-negative integer keys:
+    bit ``i`` of ``x`` lands at z-bit ``2i``, bit ``i`` of ``y`` at
+    ``2i+1``.  Pure shift/mask arithmetic — stays inside whole-stage
+    codegen and has identical semantics in any engine (the oracle uses
+    ``//``/``%`` arithmetic on the same constants).
+
+    Z-ordering is the multi-dimensional data-layout primitive: sort or
+    range-partition by ``zorder_value(a, b)`` before writing, and range
+    scans filtered on EITHER ``a`` or ``b`` (or both) touch a small,
+    contiguous subset of files — the locality that single-column sort
+    gives only to its leading key.  This is the engine-native
+    equivalent of Delta's ``OPTIMIZE ZORDER BY`` (reference's Delta
+    maintenance surface, SURVEY §2.2 K11 family).
+    """
+    xl, yl = x.cast("long"), y.cast("long")
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftright(xl, i).bitwiseAND(F.lit(1)) * F.lit(4**i)
+            + F.shiftright(yl, i).bitwiseAND(F.lit(1)) * F.lit(2 * 4**i)
+        )
+    return z
+
+
+def layout_zorder(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-partition + sort ``df`` by the Z-value of two keys, ready
+    for a partitioned/bucketed write.  Every output partition then
+    covers a compact rectangle-ish region of (x, y) space, so file
+    skipping (min/max stats, partition pruning) works for predicates
+    on either key at 100 TB — one extra shuffle at write time buys it.
+    """
+    zed = df.withColumn(
+        "__z", zorder_value(F.col(x_col), F.col(y_col), bits=bits)
+    )
+    return (
+        zed.repartitionByRange(num_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -526,3 +526,53 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.array_max("qvec").alias("q_max"),
         F.size(F.filter(F.col("qvec"), lambda q: F.abs(q) == 127)).alias("n_sat"),
     )
+
+
+def assign_nearest(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_df: DataFrame,
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment against a **broadcast centroid
+    table** — the large-codebook sibling of :func:`_nearest_cells`
+    (which embeds centroids as plan literals and stops scaling around
+    k ≈ 256).  One broadcast nested-loop join scores all k centroids
+    per vector map-side; a ``min(struct(d2, cid))`` aggregation picks
+    the winner with deterministic tie-break toward the lower centroid
+    id.  Partial (map-side) min aggregation means the shuffle carries
+    ~1 row per vector per partition, never the k-expanded score set —
+    at 100 TB the cost is one scan + one id-keyed reduce.
+
+    Returns ``(id_col, cid_col, d2)`` with squared-L2 distance rounded
+    to ``round_decimals`` (rounding fixes the cross-engine hash for
+    oracle checks and makes the tie-break well-defined).
+    """
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(cvec_col),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        ensure_parallelism(df)
+        .crossJoin(F.broadcast(centroids_df))
+        .select(
+            F.col(id_col),
+            F.col(cid_col),
+            F.round(d2, round_decimals).alias("d2"),
+        )
+    )
+    m = scored.groupBy(id_col).agg(F.min(F.struct("d2", cid_col)).alias("__m"))
+    return m.select(
+        id_col,
+        F.col(f"__m.{cid_col}").alias(cid_col),
+        F.col("__m.d2").alias("d2"),
+    )

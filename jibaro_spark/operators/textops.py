@@ -296,3 +296,38 @@ def chunk_documents(
         F.size(F.split(F.col("__c.chunk_text"), " ")).cast("long").alias("n_tokens"),
         F.col("__c.chunk_text").alias("chunk_text"),
     )
+
+
+#: PII scrub patterns, applied in this order (email first: its local
+#: part could otherwise be nibbled by the phone pattern).  Written in
+#: the common subset of Java regex (Spark) and RE2 (DuckDB): no
+#: backreferences, no lookaround — so the scrub is oracle-checkable
+#: cross-engine and, at 100 TB, runs entirely inside whole-stage
+#: codegen (regexp_replace/regexp_count are JVM-native; no Python).
+#:
+#: Reference parity note: the reference engine has no PII pass; this is
+#: part of the BASELINE.json [ext] training-pipeline mandate.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (``{kind: Column<long>}``), computed on
+    the RAW text (before :func:`redact_pii` rewrites it)."""
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its placeholder token, in
+    :data:`PII_PATTERNS` order.  Replacement tokens contain no digits,
+    dots or ``@``, so earlier rewrites cannot create later matches."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

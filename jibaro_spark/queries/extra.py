@@ -625,3 +625,62 @@ def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(merged))
         .orderBy("o_orderstatus")
     )
+
+
+# Z-order layout: interleave (o_custkey, o_orderkey) bits into a
+# Morton code, bucket z-space, and report per-bucket row counts plus
+# the min/max span of BOTH keys — the locality property (each bucket
+# bounded in every dimension) that makes z-ordered files skippable for
+# predicates on either key.  Bit arithmetic is generated from the same
+# Python constants for both engines.
+_ZBITS = 12
+_ZTERMS_SQL = " + ".join(
+    f"((x // {2**i}) % 2) * {4**i} + ((y // {2**i}) % 2) * {2 * 4**i}"
+    for i in range(_ZBITS)
+)
+QZORDER_ORACLE = f"""
+WITH k AS (
+  SELECT o_custkey % 4096 AS x, o_orderkey % 4096 AS y FROM orders
+), z AS (
+  SELECT x, y, CAST({_ZTERMS_SQL} AS BIGINT) AS zv FROM k
+)
+SELECT CAST(zv // {4**_ZBITS // 64} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@declare(
+    "q_zorder_layout",
+    oracle=QZORDER_ORACLE,
+    description="Morton/Z-order interleave of (custkey, orderkey) + per-z-bucket dual-key spans — the multi-dim data-layout primitive (K11 family)",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import zorder_value
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    k = orders.select(
+        (F.col("o_custkey") % 4096).alias("x"),
+        (F.col("o_orderkey") % 4096).alias("y"),
+    )
+    z = k.select(
+        "x", "y", zorder_value(F.col("x"), F.col("y"), bits=_ZBITS).alias("zv")
+    )
+    bucket_width = 4**_ZBITS // 64
+    return (
+        z.groupBy(
+            F.floor(F.col("zv") / F.lit(bucket_width)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -1223,3 +1223,222 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# PII scrub: the fixture corpus is PII-free word soup, so the query
+# injects deterministic synthetic PII (one email always + a second on
+# even doc_ids so the count column varies; IPv4 on doc_id%3=0; phone on
+# doc_id%5=0) and the operator must count and scrub exactly
+# those.  Counts and the md5 of the scrubbed text are oracle-checked —
+# a wrong pattern, wrong replace order, or missed occurrence changes
+# the hash.  Patterns live in textops.PII_PATTERNS (Java-regex ∩ RE2).
+_PII_INJ_SQL = """
+  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       || CASE WHEN doc_id % 2 = 0
+               THEN ' cc backup.u' || CAST(doc_id AS VARCHAR) || '@alt.example.net'
+               ELSE '' END
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' src 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' tel +1-555-201-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+"""
+
+QPII_ORACLE = f"""
+WITH inj AS (
+  SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents
+), red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(t, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+           '\\+\\d{{1,2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS redacted
+  FROM inj
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       CAST(LENGTH(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_pii_redact",
+    oracle=QPII_ORACLE,
+    description="PII detection + scrub (email/IPv4/phone) over injected synthetic PII — counts and scrubbed-text md5 oracle-checked (training pipeline [ext])",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        did.cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" cc backup.u"),
+                did.cast("string"),
+                F.lit("@alt.example.net"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" src 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" tel +1-555-201-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    withpii = docs.select("doc_id", injected.alias("t"))
+    counts = tx.pii_counts(F.col("t"))
+    return (
+        withpii.select(
+            "doc_id",
+            counts["email"].alias("n_email"),
+            counts["ipv4"].alias("n_ipv4"),
+            counts["phone"].alias("n_phone"),
+            tx.redact_pii(F.col("t")).alias("redacted"),
+        )
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.length("redacted").cast("long").alias("redacted_len"),
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Temperature-scaled mixture resampling (the multilingual-corpus
+# rebalancing rule: sampling probability ∝ share^alpha, alpha=0.5 —
+# upweights tail sources without flattening completely).  sqrt() is
+# IEEE-correctly-rounded in both engines; the tiny per-group sums are
+# rounded→decimal-accumulated so the normalizer is bit-identical.
+QMIXT_ORACLE = f"""
+WITH g AS (
+  SELECT source, lang, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, lang, n_tokens,
+         CAST(n_tokens AS DOUBLE) / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM g) AS share
+  FROM g
+), z AS (
+  SELECT CAST(SUM(CAST(round(sqrt(share), 10) AS DECIMAL(18,12))) AS DOUBLE) AS norm FROM s
+)
+SELECT source, lang, n_tokens, share,
+       sqrt(share) / norm AS p_temp,
+       (sqrt(share) / norm) / share AS resample_weight
+FROM s, z
+ORDER BY source, lang
+"""
+
+
+@declare(
+    "q_mixture_temperature",
+    oracle=QMIXT_ORACLE,
+    description="temperature-scaled (alpha=0.5) mixture resampling probabilities + weights per (source, lang) (training pipeline [ext])",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = docs.groupBy("source", "lang").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).alias("n_tokens")
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    s = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot")).alias("share"),
+    )
+    z = s.agg(
+        F.sum(F.round(F.sqrt("share"), 10).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("norm")
+    )
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "lang",
+            "n_tokens",
+            "share",
+            (F.sqrt("share") / F.col("norm")).alias("p_temp"),
+            ((F.sqrt("share") / F.col("norm")) / F.col("share")).alias(
+                "resample_weight"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# Nearest-centroid assignment (the k-means/IVF inner kernel) with a
+# fully SQL-expressible setup: centroids are the k=8 lowest-vec_id
+# embeddings, every vector is assigned by squared-L2 with ties broken
+# toward the lower centroid id, and per-cluster membership + exact
+# decimal-accumulated distance mass is oracle-checked.  The iterative
+# Lloyd refinement built on this kernel is kmeans_refine (exercised by
+# the IVF recall tests); the assignment step is the part that touches
+# all 100 TB, so it is the part the oracle pins.
+QKMA_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), 6) AS d2
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_d2
+FROM a WHERE rn = 1
+GROUP BY cid
+ORDER BY cid
+"""
+
+
+@declare(
+    "q_kmeans_assign",
+    oracle=QKMA_ORACLE,
+    description="nearest-centroid assignment (k-means kernel, broadcast codebook): per-cluster sizes + exact distance mass (clustering [ext])",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    assigned = sim.assign_nearest(emb, "vec_id", "embedding", cents)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("sum_d2"),
+        )
+        .orderBy("cid")
+    )

@@ -273,3 +273,98 @@ def test_simhash_md5_bits_properties(spark):
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     # near-dup hamming must be well under unrelated hamming
     assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])
+
+
+def test_redact_pii_counts_and_scrub(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.textops import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+x@ex.co and c@d.org ip 10.0.0.1 tel +1-555-201-0042"),
+            (2, "no pii here at all"),
+            (3, "ip only 192.168.001.255 trailing"),
+        ],
+        "id int, t string",
+    )
+    c = pii_counts(F.col("t"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            c["email"].alias("e"),
+            c["ipv4"].alias("i"),
+            c["phone"].alias("p"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].i, out[1].p) == (2, 1, 1)
+    assert out[1].red == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+    assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
+    assert out[2].red == "no pii here at all"
+    assert out[3].i == 1 and out[3].red == "ip only <IP> trailing"
+
+
+def test_assign_nearest_matches_numpy_argmin(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.similarity import assign_nearest
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 6).astype("float32")
+    cents = vecs[:5]  # first 5 points are the codebook → exact-zero ties
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vid int, vec array<float>",
+    )
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(cents)],
+        "cid int, cvec array<float>",
+    )
+    got = {
+        r.vid: (r.cid, r.d2)
+        for r in assign_nearest(df, "vid", "vec", cdf).collect()
+    }
+    d = ((vecs[:, None, :].astype("float64") - cents[None].astype("float64")) ** 2).sum(2)
+    for i in range(40):
+        want = int(np.argmin(np.round(d[i], 6)))  # np.argmin = first min → low-cid tie-break
+        assert got[i][0] == want, (i, got[i], d[i])
+        assert abs(got[i][1] - d[i][want]) < 1e-5
+    # codebook members sit at distance 0 of themselves
+    assert all(got[i] == (i, 0.0) for i in range(5))
+
+
+def test_zorder_value_and_layout_locality(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.relational import layout_zorder, zorder_value
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    assert all(r.z == morton(r.x, r.y) for r in got)
+
+    # layout locality: with 16 range partitions over z, every partition's
+    # x-span AND y-span must be far below the naive full range (a
+    # single-key sort bounds only its leading key)
+    laid = layout_zorder(df, "x", "y", num_partitions=16)
+    spans = (
+        laid.select("x", "y", F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 8
+    assert max(r.xs for r in spans) <= 128
+    assert max(r.ys for r in spans) <= 128
