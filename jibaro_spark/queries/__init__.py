@@ -11,6 +11,7 @@ from jibaro_spark.queries.registry import REGISTRY, DeclaredQuery, declare, load
 # Importing the modules populates REGISTRY via @declare decorators.
 from jibaro_spark.queries import tpch  # noqa: E402,F401
 from jibaro_spark.queries import tpch2  # noqa: E402,F401
+from jibaro_spark.queries import tpch3  # noqa: E402,F401
 from jibaro_spark.queries import events  # noqa: E402,F401
 from jibaro_spark.queries import llm  # noqa: E402,F401
 from jibaro_spark.queries import pipeline  # noqa: E402,F401

@@ -1,7 +1,9 @@
 """Second tranche of TPC-H-derived declared queries (SURVEY §2.4-2.8).
 
 Adaptations to the driver fixtures (TESTDATA.md): no ``partsupp``
-table (Q2/Q9/Q11/Q16/Q20 out of reach), no ``c_phone``/``o_comment``
+table (the Q2/Q9/Q11/Q16/Q20/Q21 family is covered shape-for-shape in
+:mod:`jibaro_spark.queries.tpch3` via observed supply pairs), no
+``c_phone``/``o_comment``
 columns, single-word ``p_type`` values, ``NATION_n`` nation names, and
 dates spanning 1995-2001.  Each query keeps the original's join/agg
 shape — that is what exercises the engine.

@@ -156,3 +156,22 @@ def test_tpch_filter_pushdown_and_column_pruning(spark):
     schema = re.search(r"ReadSchema: (.*)", plan)
     cols = re.findall(r"(\w+):", schema.group(1))
     assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
+
+
+def test_q21_rewrite_has_no_nested_loop_join(spark):
+    """Q21's correlated EXISTS/NOT-EXISTS must compile to aggregates +
+    window, never a non-equi anti-join (BroadcastNestedLoopJoin over
+    lineitem² would be quadratic at scale)."""
+    import contextlib
+    import io
+
+    from jibaro_spark.queries import REGISTRY
+
+    df = REGISTRY["q21_straggler_suppliers"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
