@@ -128,3 +128,85 @@ def dedup_clusters(
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
         .drop("node", "component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count, engineered for
+    cross-engine exactness: per-edge contributions are rounded to
+    ``scale`` decimals and accumulated as DECIMAL (so the per-node sum
+    is independent of partitioning/order), and each new rank is
+    re-rounded the same way.  A fixed-point iterative algorithm whose
+    every iterate hash-matches an unrolled SQL oracle.
+
+    Per iteration: one join of the rank vector onto the edge list
+    (shuffle on ``src`` — or broadcast when the rank vector fits, as
+    for aggregated entity graphs) + one grouped sum on ``dst``.
+    Lineage is truncated per round with ``localCheckpoint`` exactly as
+    in :func:`connected_components`; at 100 TB the edge list is the
+    static big side and should be pre-partitioned on ``src`` once so
+    every iteration reuses the same partitioning (no re-shuffle of
+    edges).
+
+    Dangling nodes (no out-edges) leak their mass — the classic
+    simplification; ranks still sum to < 1 and order is preserved.
+    Returns ``(node, pr)``.
+    """
+    dec = f"decimal(28,{scale})"
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("__w"),
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__outw"))
+    e = F.broadcast(
+        e.join(outw, "__src").select(
+            "__src", "__dst", (F.col("__w") / F.col("__outw")).alias("__share")
+        )
+    )
+    pr = nodes.crossJoin(n_df).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), scale).cast(dec).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e["__src"] == pr["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                F.round(F.col("pr").cast("double") * F.col("__share"), scale)
+                .cast(dec)
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_df)
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__in"), F.lit(0)).cast("double"),
+                    scale,
+                )
+                .cast(dec)
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

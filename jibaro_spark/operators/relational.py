@@ -446,3 +446,53 @@ def layout_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows by **priority
+    sampling** (Duffield–Lund–Thorup): each row gets a priority
+    ``q = u / w`` where ``u`` is a uniform derived from ``md5(id)``
+    and ``w`` the weight; the bottom-``n`` priorities are the sample,
+    and inclusion probability is ∝ weight (heavier rows sample-in
+    more often).  Rows with ``w <= 0`` are excluded.
+
+    Design notes for the 100 TB path and the cross-engine oracle:
+
+    * No RNG state — the uniform is the first 13 hex chars of
+      ``md5(id)``, so the sample is reproducible across engines,
+      partitionings and reruns (same property as the md5 split/
+      stratified samplers).
+    * No transcendentals — classic Efraimidis–Spirakis keys need
+      ``u^(1/w)``/``log``, whose last-ulp behavior differs across
+      libm implementations; priority sampling needs one IEEE
+      division, which is correctly rounded everywhere.
+    * Physically this is a global bottom-k: map-side per-partition
+      top-k then a single-partition merge of k candidates
+      (TakeOrderedAndProject) — no full shuffle, no sort of the
+      corpus.
+
+    Returns ``(id_col, weight_col, priority)`` for the ``n`` sampled
+    rows.
+    """
+    # u_int in [0, 16^13): exact in a double (< 2^52); +0.5 keeps u
+    # strictly inside (0, 1) so zero priorities cannot occur.
+    hex13 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 13)
+    u = (F.conv(hex13, 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**13)
+    )
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            (u / w).alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(n)
+    )

@@ -684,3 +684,89 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Fixed-iteration weighted PageRank over the nation trade graph
+# (customer nation → supplier nation, edge weight = lineitem count).
+# The iterative operator (graph.pagerank) rounds every contribution to
+# 12 decimals and accumulates in DECIMAL, so each iterate is exactly
+# reproducible — the oracle below UNROLLS the same three iterations in
+# SQL and the final rank vector hash-matches.  Teleport/damping
+# constants are embedded via repr() so both engines parse the same
+# doubles (1.0-0.85 != 0.15 in binary).
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    teleport, damp = repr(1.0 - _PR_D), repr(_PR_D)
+    cte = [
+        """e AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "es AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS share FROM e)",
+        "pr0 AS (SELECT node, CAST(round(1.0 / nn.n, 12) AS DECIMAL(28,12)) AS pr FROM nodes, nn)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        cte.append(
+            f"""c{k} AS (
+  SELECT es.dst AS node, CAST(round(CAST(p.pr AS DOUBLE) * es.share, 12) AS DECIMAL(28,12)) AS c
+  FROM es JOIN pr{k - 1} p ON es.src = p.node
+)"""
+        )
+        cte.append(
+            f"""pr{k} AS (
+  SELECT nodes.node,
+         CAST(round({teleport} / nn.n + {damp} * CAST(COALESCE(s.sc, 0) AS DOUBLE), 12) AS DECIMAL(28,12)) AS pr
+  FROM nodes
+  LEFT JOIN (SELECT node, SUM(c) AS sc FROM c{k} GROUP BY node) s ON nodes.node = s.node, nn
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT node AS nation, CAST(pr AS DOUBLE) AS pagerank
+FROM pr{_PR_ITERS}
+ORDER BY pagerank DESC, nation"""
+    )
+
+
+@declare(
+    "q_pagerank_nations",
+    oracle=_pagerank_oracle(),
+    description="weighted PageRank (3 fixed iterations, decimal-exact accumulation) on the nation trade graph — iterative algorithm with an unrolled-SQL oracle",
+)
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.graph import pagerank
+
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(edges, src="src", dst="dst", weight="w", iterations=_PR_ITERS, damping=_PR_D)
+    return pr.select(
+        F.col("node").alias("nation"), F.col("pr").cast("double").alias("pagerank")
+    ).orderBy(F.col("pagerank").desc(), "nation")

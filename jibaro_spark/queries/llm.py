@@ -1442,3 +1442,42 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# Deterministic weighted sampling by PRIORITY SAMPLING (bottom-n of
+# u/w with md5-derived uniforms, weight = token count).  Chosen over
+# Efraimidis–Spirakis keys because u^(1/w)/log() are libm-dependent in
+# their last ulp; one IEEE division is correctly rounded everywhere,
+# so the sampled SET (not just its size) hash-matches cross-engine.
+# Physically a global bottom-k (TakeOrdered) — no corpus shuffle.
+_HEX13_U_SQL = """
+(list_sum(list_transform(range(1, 14),
+    i -> CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS DOUBLE)
+         * (16.0 ^ (13 - i)))) + 0.5) / (16.0 ^ 13)
+"""
+
+QPSAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         ({_HEX13_U_SQL}) / CAST(n_tokens AS DOUBLE) AS priority
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, priority FROM p ORDER BY priority, doc_id LIMIT 50
+"""
+
+
+@declare(
+    "q_priority_sample",
+    oracle=QPSAMPLE_ORACLE,
+    description="deterministic weighted sample (priority sampling, md5 uniforms, weight = token count) — sampled set hash-matched (training pipeline [ext])",
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import priority_sample
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    weighted = docs.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return priority_sample(weighted, "doc_id", "n_tokens", 50)

@@ -368,3 +368,62 @@ def test_zorder_value_and_layout_locality(spark):
     assert len(spans) >= 8
     assert max(r.xs for r in spans) <= 128
     assert max(r.ys for r in spans) <= 128
+
+
+def test_priority_sample_formula_and_determinism(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.relational import priority_sample
+
+    rows = [(i, (i * 7) % 40 + 1) for i in range(200)] + [(900, 0), (901, -3)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = priority_sample(df, "id", "w", 20).collect()
+    assert len(got) == 20
+    assert all(r.id not in (900, 901) for r in got)  # w<=0 excluded
+
+    # python reimplementation of the same priority
+    def prio(i, w):
+        u_int = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        return ((u_int + 0.5) / 16**13) / w
+
+    want = sorted(((prio(i, w), i) for i, w in rows if w > 0))[:20]
+    assert [r.id for r in got] == [i for _, i in want]
+    assert all(abs(r.priority - p) < 1e-18 for r, (p, _) in zip(got, want))
+
+    # repartitioning must not change the sample (global bottom-k)
+    got2 = priority_sample(df.repartition(7), "id", "w", 20).collect()
+    assert [r.id for r in got2] == [r.id for r in got]
+
+
+def test_pagerank_vs_numpy_power_iteration(spark):
+    import numpy as np
+
+    from jibaro_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "c", 3.0), ("d", "a", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r.node: float(r.pr)
+        for r in pagerank(df, weight="w", iterations=3, damping=0.85).collect()
+    }
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, d, w in edges:
+        M[idx[d], idx[s]] += w / outw[s]
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        pr = 0.15 / n + 0.85 * (M @ pr)
+    for node in nodes:
+        assert abs(got[node] - pr[idx[node]]) < 1e-9, (node, got[node], pr[idx[node]])
+    # 'c' has the most weighted in-links → top rank
+    assert max(got, key=got.get) == "c"
