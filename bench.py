@@ -46,6 +46,12 @@ HEADLINE = [
     "q_decontaminate",
     "q_curation_pipeline",
     "q_unigram_logprob",
+    "q_pii_redact",
+    "q_priority_sample",
+    "q9_product_profit",
+    "q21_straggler_suppliers",
+    "q_zorder_layout",
+    "q_pagerank_nations",
     "q_multimodal_decode",
     "q_minhash_near_dup",
     "q_simhash_near_dup",

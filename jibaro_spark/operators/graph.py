@@ -173,10 +173,15 @@ def pagerank(
     )
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     outw = e.groupBy("__src").agg(F.sum("__w").alias("__outw"))
+    # Checkpoint the share table: it is referenced by every iteration,
+    # and without lineage truncation the (possibly expensive) upstream
+    # edge derivation re-executes once per round.
     e = F.broadcast(
-        e.join(outw, "__src").select(
+        e.join(outw, "__src")
+        .select(
             "__src", "__dst", (F.col("__w") / F.col("__outw")).alias("__share")
         )
+        .localCheckpoint(eager=False)
     )
     pr = nodes.crossJoin(n_df).select(
         "node", F.round(F.lit(1.0) / F.col("__n"), scale).cast(dec).alias("pr")

@@ -770,3 +770,76 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("nation"), F.col("pr").cast("double").alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "nation")
+
+
+# KMV (k-minimum-values) distinct sketch — the deterministic,
+# oracle-checkable complement of the HLL rollup above: keep the k
+# smallest md5 hashes of the keys per group; estimate distinct as
+# (k-1)/u_k (Bar-Yossef et al.).  Bottom-k is ASSOCIATIVE, so group
+# sketches merge exactly (bottom-k of the union of sketches), and the
+# whole sketch — not just its estimate — hash-matches cross-engine.
+# Scale path: DISTINCT collapses duplicates map-side first; the
+# per-group rank window then orders only distinct keys.
+_KMV_K = 64
+_KMV_U_SQL = """
+(list_sum(list_transform(range(1, 14),
+    i -> CAST(strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS DOUBLE)
+         * (16.0 ^ (13 - i)))) + 0.5) / (16.0 ^ 13)
+"""
+
+QKMV_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS key FROM orders
+), h AS (
+  SELECT grp, md5(CAST(key AS VARCHAR)) AS h,
+         row_number() OVER (PARTITION BY grp ORDER BY md5(CAST(key AS VARCHAR))) AS rn
+  FROM d
+), kth AS (
+  SELECT grp, h AS kth_hash, {_KMV_U_SQL} AS u
+  FROM h WHERE rn = {_KMV_K}
+), ex AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS true_distinct FROM d GROUP BY grp
+)
+SELECT ex.grp, kth.kth_hash,
+       CAST({_KMV_K} - 1 AS DOUBLE) / kth.u AS est_distinct,
+       ex.true_distinct
+FROM ex JOIN kth ON ex.grp = kth.grp
+ORDER BY ex.grp
+"""
+
+
+@declare(
+    "q_kmv_distinct",
+    oracle=QKMV_ORACLE,
+    description="KMV bottom-k distinct sketch per group: deterministic mergeable cardinality estimate, whole sketch hash-matched (A9 [ext])",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("key")
+    ).distinct()
+    h = d.select("grp", F.md5(F.col("key").cast("string")).alias("h"))
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select(
+            "grp",
+            F.col("h").alias("kth_hash"),
+            (
+                (F.conv(F.substring("h", 1, 13), 16, 10).cast("double") + F.lit(0.5))
+                / F.lit(float(16**13))
+            ).alias("u"),
+        )
+    )
+    ex = d.groupBy("grp").agg(F.count(F.lit(1)).alias("true_distinct"))
+    return (
+        ex.join(kth, "grp")
+        .select(
+            "grp",
+            "kth_hash",
+            (F.lit(float(_KMV_K - 1)) / F.col("u")).alias("est_distinct"),
+            "true_distinct",
+        )
+        .orderBy("grp")
+    )

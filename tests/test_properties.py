@@ -136,3 +136,55 @@ def test_dedup_exact_property(spark, rows):
             seen.add(key)
             ref.append(i)
     assert kept == sorted(ref)
+
+
+@FEW
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_value_bijective_property(spark, pts):
+    """Morton interleave must be invertible: decoding the z-value's even
+    and odd bits recovers (x, y) exactly, for arbitrary 16-bit keys."""
+    from jibaro_spark.operators.relational import zorder_value
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_value(F.col("x"), F.col("y"), bits=16).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in got:
+        assert deinterleave(r.z) == (r.x, r.y)
+
+
+@FEW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 10),
+)
+def test_priority_sample_prefix_property(spark, rows, n):
+    """Bottom-k sampling is prefix-stable: the n-sample is exactly the
+    first n rows of the (n+1)-sample — growing a sample never swaps
+    already-chosen rows (the property that lets a pipeline cheaply
+    upsize a sample without resampling the corpus)."""
+    from jibaro_spark.operators.relational import priority_sample
+
+    df = spark.createDataFrame(rows, "id long, w long")
+    small = [r.id for r in priority_sample(df, "id", "w", n).collect()]
+    big = [r.id for r in priority_sample(df, "id", "w", n + 1).collect()]
+    assert big[:n] == small
