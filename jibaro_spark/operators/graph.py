@@ -78,14 +78,18 @@ def connected_components(
     ~2^25, i.e. never for real near-dup graphs; the guard exists so a
     driver bug fails loudly instead of looping.
     """
+    norm = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Nodes come from the UNFILTERED pairs: a node appearing only as a
+    # self-pair (u,u) still owes an output row (its own singleton
+    # component) per the contract above — filtering self-loops first
+    # would silently drop it.
+    nodes = (
+        norm.select("src").union(norm.select("dst")).distinct().localCheckpoint(True)
+    )
     edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        norm.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
-    )
-    nodes = (
-        edges.select("src").union(edges.select("dst")).distinct().localCheckpoint(True)
     )
     for _ in range(max_iter):
         edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -138,6 +142,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     scale: int = 12,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with a FIXED iteration count, engineered for
     cross-engine exactness: per-edge contributions are rounded to
@@ -176,13 +181,20 @@ def pagerank(
     # Checkpoint the share table: it is referenced by every iteration,
     # and without lineage truncation the (possibly expensive) upstream
     # edge derivation re-executes once per round.
-    e = F.broadcast(
+    e = (
         e.join(outw, "__src")
         .select(
             "__src", "__dst", (F.col("__w") / F.col("__outw")).alias("__share")
         )
         .localCheckpoint(eager=False)
     )
+    # The edge list is the static BIG side at scale — never broadcast it
+    # by default.  ``broadcast_edges=True`` is for dimension-sized
+    # aggregated entity graphs only (e.g. a nation-level graph); for
+    # everything else AQE picks the join strategy, and when the RANK
+    # vector is the small side it is the one that gets broadcast.
+    if broadcast_edges:
+        e = F.broadcast(e)
     pr = nodes.crossJoin(n_df).select(
         "node", F.round(F.lit(1.0) / F.col("__n"), scale).cast(dec).alias("pr")
     )

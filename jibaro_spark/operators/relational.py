@@ -216,9 +216,13 @@ def exact_quantiles_bucketed(
     # The three passes re-scan the same 2-column projection; Catalyst
     # does not reuse non-deterministic exchanges, so without this each
     # pass repeats scan+decode (5 scans observed).  The projection is
-    # 2 columns — caching it is the "reuse a partitioning across
+    # 2 columns — materializing it is the "reuse a partitioning across
     # stages" move, MEMORY_AND_DISK so 100 TB inputs spill, not OOM.
-    proj = df.select(*gcols, value_col).cache()
+    # localCheckpoint (not .cache()): checkpoint blocks are freed by the
+    # ContextCleaner once this plan is unreferenced, whereas a cache()
+    # entry would leak in the cache manager for the session lifetime,
+    # accumulating across repeated invocations (ADVICE r2).
+    proj = df.select(*gcols, value_col).localCheckpoint(eager=True)
 
     stats = proj.groupBy(*gcols).agg(
         F.count(value_col).alias("__n"),

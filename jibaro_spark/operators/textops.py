@@ -274,8 +274,18 @@ def chunk_documents(
 
     def over(toks: Column) -> Column:
         n_chunks = F.floor((F.size(toks) - 1) / F.lit(stride)) + 1
+        # sequence(0, stop) generates DESCENDING [0, -1] when stop < 0,
+        # which a zero-token array would hit (two spurious chunks vs the
+        # oracle's empty generate_series): clamp the stop AND gate on a
+        # non-empty token array so empty docs yield zero chunks.
+        # Unreachable via split() today (it never returns []), but
+        # load-bearing if tokens() ever filters empty strings (ADVICE r2).
+        seq = F.when(
+            F.size(toks) > 0,
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        ).otherwise(F.array().cast("array<int>"))
         return F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
+            seq,
             lambda i: F.struct(
                 i.cast("long").alias("chunk_id"),
                 F.array_join(

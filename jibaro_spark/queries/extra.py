@@ -766,7 +766,12 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    pr = pagerank(edges, src="src", dst="dst", weight="w", iterations=_PR_ITERS, damping=_PR_D)
+    # broadcast_edges: the aggregated nation graph is ≤ 625 edges at any
+    # SF — the dimension-sized case the flag exists for.
+    pr = pagerank(
+        edges, src="src", dst="dst", weight="w",
+        iterations=_PR_ITERS, damping=_PR_D, broadcast_edges=True,
+    )
     return pr.select(
         F.col("node").alias("nation"), F.col("pr").cast("double").alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "nation")

@@ -128,9 +128,15 @@ def raw_to_staged(
             batch, registry, content_type, schema_resolver
         ):
             if fmt == "delta":
+                # txnAppId must be unique PER SCHEMA PAIR: Delta's idempotent
+                # writes skip any txn whose version <= the last recorded
+                # version for that appId, so a shared appId would keep only
+                # the first pair's append in a multi-schema batch.
                 write_table(
                     decoded, catalog, dst, mode="append", merge_schema=True,
-                    txnAppId=f"raw_to_staged:{catalog.path(dst)}",
+                    txnAppId=(
+                        f"raw_to_staged:{catalog.path(dst)}:{key_id}-{value_id}"
+                    ),
                     txnVersion=str(batch_id),
                 )
             else:

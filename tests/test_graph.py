@@ -38,6 +38,14 @@ def test_cc_self_loops_ignored(spark):
     assert got == {7: 7, 8: 7}
 
 
+def test_cc_self_loop_only_node_still_emitted(spark):
+    # ADVICE r2: a node appearing ONLY as a self-pair must still get an
+    # output row (its own singleton component) — nodes derive from the
+    # unfiltered pair list, not the self-loop-filtered edge list.
+    got = _labels(spark, [(7, 7), (1, 2)])
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
 def test_cc_non_convergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="no convergence"):
