@@ -63,12 +63,15 @@ def declare(name: str, oracle: str | None = None, description: str = ""):
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load fixture parquet tables (TESTDATA.md layout).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    cannot map natively; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — set here, not only in
-    the session builder, so the queries also run under the driver's own
-    session) and floor-convert to a microsecond timestamp, matching
-    DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation of TIMESTAMP_NS.
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS).  Spark ≤ 4.0
+    maps it to long only under ``spark.sql.legacy.parquet.nanosAsLong``
+    (set here, not only in the session builder, so the queries also run
+    under the driver's own session), which we floor-convert to a
+    microsecond timestamp; Spark 4.1+ ignores that legacy conf and
+    reads nanos as TIMESTAMP_NTZ (truncated to micros), which we cast
+    to TIMESTAMP under the UTC session timezone.  Both paths land on
+    the same LTZ microsecond timestamps, matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` truncation of TIMESTAMP_NS.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # UTC so LTZ conversions (timestamp_micros below) are invariant to
@@ -79,8 +82,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         for fld in df.schema.fields:
-            if n == "events" and fld.name == "ts" and fld.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if n == "events" and fld.name == "ts":
+                if fld.dataType.simpleString() == "bigint":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif fld.dataType.simpleString() == "timestamp_ntz":
+                    # NTZ wall-clock reinterpreted as UTC == the
+                    # timestamp_micros() value of the nanosAsLong path
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[n] = df
     return out
 

@@ -9,6 +9,8 @@ rest of the engine takes a plain ``SparkSession`` argument everywhere.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -61,7 +63,41 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``jibaro_spark`` importable on Python workers regardless of
+    the driver's working directory.
+
+    Pandas-UDF closures (multimodal decode) reference this package;
+    cloudpickle serializes installed-module functions BY REFERENCE, so a
+    worker whose ``sys.path`` lacks the repo root raises
+    ``ModuleNotFoundError`` unless the package is shipped.  Local-mode
+    workers inherit the driver cwd (so running from the repo root
+    works), but a driver launched elsewhere — or a real cluster — needs
+    the explicit ``addPyFile``.  Idempotent per session.
+    """
+    try:
+        import jibaro_spark
+
+        pkg_dir = os.path.dirname(os.path.abspath(jibaro_spark.__file__))
+        marker = "_jibaro_pkg_shipped"
+        if getattr(spark, marker, False):
+            return
+        zip_base = os.path.join(
+            tempfile.gettempdir(), f"jibaro_spark_pkg_{os.getpid()}"
+        )
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        spark.sparkContext.addPyFile(zip_path)
+        setattr(spark, marker, True)
+    except Exception:
+        # Shipping is best-effort hardening: in-repo runs work without it.
+        pass
 
 
 def has_delta(spark: SparkSession) -> bool:
