@@ -134,6 +134,60 @@ def dedup_clusters(
     )
 
 
+def triangle_count(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected pair
+    graph (the compact-data-structure-free MapReduce formulation:
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11 — node-iterator with edge orientation).
+
+    Edges are canonicalized to ``a < b`` and deduplicated, so each
+    triangle {a,b,c} with a < b < c is materialized exactly once by
+    joining (a,b)⋈(b,c) and closing with (a,c).  Orientation bounds
+    the join fan-out by each node's *outdegree in the orientation*
+    (≤ degree), which is what keeps the hot-node blowup polynomial —
+    the classic skew fix for triangle enumeration at scale.  Two
+    shuffle joins on node keys; AQE handles residual skew.
+
+    Returns ``(node, n_triangles)`` for every node of the graph
+    (nodes in no triangle report 0).  Self-loops are ignored.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))
+    ).distinct()
+    # wedges a<b<c from (a,b) and (b,c); close with the (a,c) edge
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        nodes.join(counts, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

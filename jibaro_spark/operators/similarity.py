@@ -576,3 +576,79 @@ def assign_nearest(
         F.col(f"__m.{cid_col}").alias(cid_col),
         F.col("__m.d2").alias("d2"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+    m: int,
+    sub_dim: int,
+    sub_col: str = "sub",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    contiguous ``sub_dim``-wide subvectors and assign each to its
+    nearest code from a per-subspace ``codebook`` (columns
+    ``(sub, cid, cvec)`` with ``cvec`` of length ``sub_dim``).
+
+    This is the storage/ANN compression kernel (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", PAMI'11): a D-dim float
+    vector becomes ``m`` small code ids (m bytes at k≤256), and
+    asymmetric distances are later computed per-subspace from lookup
+    tables.  Physically the assignment is one broadcast nested-loop
+    join of the exploded subvectors against the (tiny) codebook with a
+    map-side partial ``min(struct(d2, cid))`` — the same
+    shuffle-1-row-per-key shape as :func:`assign_nearest`, scaled by
+    ``m``.  At 100 TB: one scan, one id-keyed reduce, no vector
+    shuffle.
+
+    Ties break toward the lower code id; distances are rounded to
+    ``round_decimals`` so the choice is cross-engine well-defined.
+    Returns ``(id_col, sub, cid, d2)`` — one row per (vector,
+    subspace); pivot to an array/columns as needed.
+    """
+    subs = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias(sub_col),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        id_col,
+        sub_col,
+        # slice is 1-indexed; subspace s covers [s*sub_dim+1, (s+1)*sub_dim]
+        F.slice(
+            F.col("__v"), F.col(sub_col) * sub_dim + 1, sub_dim
+        ).alias("__sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__sv"),
+            F.col(cvec_col),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        ensure_parallelism(subs)
+        .join(F.broadcast(codebook), sub_col)
+        .select(
+            F.col(id_col),
+            F.col(sub_col),
+            F.col(cid_col),
+            F.round(d2, round_decimals).alias("d2"),
+        )
+    )
+    w = scored.groupBy(id_col, sub_col).agg(
+        F.min(F.struct("d2", cid_col)).alias("__m")
+    )
+    return w.select(
+        id_col,
+        sub_col,
+        F.col(f"__m.{cid_col}").alias(cid_col),
+        F.col("__m.d2").alias("d2"),
+    )

@@ -1,0 +1,604 @@
+"""Round-3 declared queries: corpus statistics (PMI collocations,
+BM25 ranking, token entropy), graph analytics (triangle counting),
+robust statistics (winsorized means, decimal-exact correlation /
+regression), the full analytic-window palette, and product
+quantization for ANN compression.
+
+All follow the registry's cross-engine determinism rules
+(``registry.py`` module docstring): transcendentals are applied to
+bit-identical operands with an identical parenthesization in both
+engines and rounded immediately; multi-term float sums are decimal-
+accumulated; every ranking carries an explicit tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.operators import similarity as sim
+from jibaro_spark.operators import textops as tx
+from jibaro_spark.operators.graph import triangle_count
+from jibaro_spark.operators.relational import exact_quantiles_bucketed
+from jibaro_spark.queries.llm import _NORM, _TOKS
+from jibaro_spark.queries.registry import declare, load_tables
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations: pmi(x,y) = ln( p(xy) / (p(x)·p(y)) ) with
+# p(xy) = c_xy/N_bigrams and p(x) = c_x/N_tokens, computed as ONE
+# double expression with identical operand order in both engines and
+# rounded to 6 dp (absorbs libm last-ulp differences in ln).  Unigram
+# and bigram counts are exact integers — the only float op is the
+# final ratio+log.  Shape at scale: two token-keyed shuffles (unigram
+# + bigram counts) and a broadcast join of the (vocab-sized) unigram
+# table onto the bigram table.
+QPMI_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), uni AS (
+  SELECT unnest(ts) AS term FROM d
+), uc AS (
+  SELECT term, COUNT(*) AS c FROM uni GROUP BY term
+), nu AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uc
+), big AS (
+  SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS t1,
+         unnest(list_slice(ts, 2, len(ts))) AS t2
+  FROM d
+), bc AS (
+  SELECT t1, t2, COUNT(*) AS c_xy FROM big GROUP BY t1, t2
+), nb AS (
+  SELECT CAST(SUM(c_xy) AS DOUBLE) AS n_big FROM bc
+)
+SELECT bc.t1, bc.t2, bc.c_xy,
+       ROUND(LN(((CAST(bc.c_xy AS DOUBLE) * nu.n_uni) * nu.n_uni)
+                / ((nb.n_big * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM bc
+JOIN uc u1 ON bc.t1 = u1.term
+JOIN uc u2 ON bc.t2 = u2.term
+CROSS JOIN nu CROSS JOIN nb
+WHERE bc.c_xy >= 5
+ORDER BY pmi DESC, bc.t1, bc.t2
+LIMIT 50
+"""
+
+
+@declare(
+    "q_pmi_bigrams",
+    oracle=QPMI_ORACLE,
+    description="top bigram collocations by pointwise mutual information (corpus stats [ext])",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select("doc_id", tx.tokens(F.col("text")).alias("ts"))
+    uni = d.select(F.explode("ts").alias("term"))
+    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    nu = uc.agg(F.sum("c").cast("double").alias("n_uni"))
+    n1 = F.size("ts") - 1
+    big = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", F.lit(1), n1).alias("t1"),
+                F.slice("ts", F.lit(2), n1).alias("t2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    bc = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_xy"))
+    nb = bc.agg(F.sum("c_xy").cast("double").alias("n_big"))
+    u1 = uc.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            ((F.col("c_xy").cast("double") * F.col("n_uni")) * F.col("n_uni"))
+            / (
+                (F.col("n_big") * F.col("c1").cast("double"))
+                * F.col("c2").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("t1", "t2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking of the corpus against a fixed conjunctive term query.
+# idf and the per-term saturation factor are single double expressions
+# (identical shape both engines) rounded to 10 dp; per-doc scores sum
+# the ≤3 per-term contributions as DECIMAL (order-independent).  The
+# shape at scale: one token shuffle for tf, a 3-row broadcast of term
+# stats, top-k via TakeOrdered — no corpus-wide sort.
+_BM25_TERMS = ("table", "hash", "window")
+_K1, _B = 1.2, 0.75
+
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+QBM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN(1.0 + (CAST(stats.n_docs - dfreq.dft AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.dft AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + ({_K1} * ((1.0 - {_B})
+                             + ({_B} * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))))
+         , 10) AS DECIMAL(18,12)) AS c
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 25
+"""
+
+
+@declare(
+    "q_bm25_search",
+    oracle=QBM25_ORACLE,
+    description="BM25 document ranking for a fixed term query (text search [ext])",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select("doc_id", tx.tokens(F.col("text")).alias("ts"))
+    dl = d.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tok = d.select("doc_id", F.explode("ts").alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("dft")).cast("double") + F.lit(0.5))
+        / (F.col("dft").cast("double") + F.lit(0.5))
+    )
+    sat = (F.col("tf").cast("double") * F.lit(_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + (
+            F.lit(_K1)
+            * (
+                F.lit(1.0 - _B)
+                + (F.lit(_B) * (F.col("dl").cast("double") / F.col("avgdl")))
+            )
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * sat, 10).cast("decimal(18,12)").alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document Shannon entropy of the token distribution (a repetition
+# /diversity quality signal: low entropy ⇒ template/spam-like text).
+# Each type's -p·ln(p) is rounded to 10 dp and decimal-accumulated —
+# the per-doc sum is order-independent and engine-exact.
+QENT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, term
+), wn AS (
+  SELECT doc_id, term, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc
+), e AS (
+  SELECT doc_id, n,
+         CAST(ROUND(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 10)
+              AS DECIMAL(18,12)) AS h
+  FROM wn
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(MIN(n) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy
+FROM e
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_doc_entropy",
+    oracle=QENT_ORACLE,
+    description="per-doc token-distribution Shannon entropy — diversity quality signal (text analysis [ext])",
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wn = tc.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    e = wn.select(
+        "doc_id",
+        "n",
+        F.round(-(p * F.log(p)), 10).cast("decimal(18,12)").alias("h"),
+    )
+    return (
+        e.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.min("n").cast("long").alias("n_tokens"),
+            F.round(F.sum("h").cast("double"), 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the supplier co-supply graph (suppliers
+# linked when both ship heavy lots of the same part).  The oracle is
+# the same oriented 3-way join in SQL; the Spark operator is
+# graph.triangle_count (Suri–Vassilvitskii node-iterator).
+QTRI_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+  FROM lineitem WHERE l_quantity >= 45
+), e AS (
+  SELECT DISTINCT a.sk AS a, b.sk AS b
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), nodes AS (
+  SELECT a AS node FROM e UNION SELECT b AS node FROM e
+), cnt AS (
+  SELECT node, COUNT(*) AS n FROM corners GROUP BY node
+)
+SELECT nodes.node AS supplier,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN cnt USING (node)
+ORDER BY n_triangles DESC, supplier
+LIMIT 20
+"""
+
+
+@declare(
+    "q_triangle_count",
+    oracle=QTRI_ORACLE,
+    description="per-node triangle counts on the supplier co-supply graph (graph analytics [ext])",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    ps = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    pairs = (
+        ps.alias("x")
+        .join(ps.alias("y"), "pk")
+        .filter(F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").alias("src"), F.col("y.sk").alias("dst"))
+    )
+    return (
+        triangle_count(pairs)
+        .select(F.col("node").alias("supplier"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "supplier")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics: clip prices to the exact [p05, p95]
+# per-group quantiles (histogram-refinement operator — no full sort),
+# then decimal-exact means.  Composition proves the quantile operator
+# plugs into downstream relational work (the robust-stats pipeline
+# every data-quality report runs).
+QWINS_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN l.l_extendedprice < q.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(CASE WHEN l.l_extendedprice > q.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, q.p05), q.p95)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+FROM lineitem l JOIN q USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@declare(
+    "q_winsorize_stats",
+    oracle=QWINS_ORACLE,
+    description="winsorized means via exact distributed quantiles + clip (robust stats [ext])",
+)
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    q = exact_quantiles_bucketed(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.05, "p05"), (0.95, "p95")],
+    ).select(
+        "l_returnflag",
+        F.round("p05", 6).alias("p05"),
+        F.round("p95", 6).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-window palette: percent_rank / cume_dist / first / last /
+# nth_value over one window spec (unique ordering ⇒ deterministic;
+# rank ratios are integer divisions in double — bit-identical in any
+# engine).  last_value needs the full-partition frame explicitly; the
+# default frame stops at CURRENT ROW in both engines.
+QWINPAL_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       first_value(c_acctbal) OVER w AS top_bal,
+       last_value(c_acctbal)
+         OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_bal,
+       nth_value(c_acctbal, 3)
+         OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+"""
+
+
+@declare(
+    "q_window_palette",
+    oracle=QWINPAL_ORACLE,
+    description="percent_rank/cume_dist/first/last/nth_value analytic palette (W3 [ext])",
+)
+def q_window_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("c_acctbal").over(w).alias("top_bal"),
+        F.last("c_acctbal").over(wfull).alias("bottom_bal"),
+        F.nth_value("c_acctbal", 3).over(wfull).alias("third_bal"),
+    ).orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance / least-squares slope from DECIMAL-EXACT
+# moments.  Built-in corr()/covar() accumulate doubles in engine-
+# specific order (never hash-stable cross-engine); sums of decimal-cast
+# products are exact, and the closed-form combination is a single
+# double expression with identical operand order.  The quantity and
+# price·quantity products carry ≤ 4 fractional digits and fit a
+# double's 53-bit mantissa exactly, so the cast loses nothing.
+QCORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND(((n * sxy) - (sx * sy)) / (n * (n - 1.0)), 6) AS covar_samp,
+       ROUND(((n * sxy) - (sx * sy))
+             / (SQRT((n * sxx) - (sx * sx)) * SQRT((n * syy) - (sy * sy))), 6) AS corr,
+       ROUND(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6) AS slope,
+       ROUND((sy - ((((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx)) / n, 6) AS intercept
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "q_corr_stats",
+    oracle=QCORR_ORACLE,
+    description="corr/covar/regression from decimal-exact moments — cross-engine-deterministic (A9 [ext])",
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(28,4)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(((n * sxy) - (sx * sy)) / (n * (n - F.lit(1.0))), 6).alias(
+            "covar_samp"
+        ),
+        F.round(
+            ((n * sxy) - (sx * sy))
+            / (
+                F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
+            ),
+            6,
+        ).alias("corr"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - (slope * sx)) / n, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 64-dim vectors → 4 subspaces × 16 dims, codes
+# from the 8 lowest-vec_id embeddings' slices (fully SQL-derivable
+# codebook).  Per-vector output: the 4 code ids + decimal-exact total
+# quantization error.  See similarity.pq_encode for the scale shape.
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+
+QPQ_ORACLE = f"""
+WITH s AS (
+  SELECT unnest(range(0, {_PQ_M})) AS sub
+), c AS (
+  SELECT s.sub, e.vec_id AS cid,
+         list_slice(e.embedding, s.sub * {_PQ_SUB} + 1, s.sub * {_PQ_SUB} + {_PQ_SUB}) AS cvec
+  FROM embeddings e CROSS JOIN s WHERE e.vec_id < {_PQ_K}
+), sv AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.embedding, s.sub * {_PQ_SUB} + 1, s.sub * {_PQ_SUB} + {_PQ_SUB}) AS svec
+  FROM embeddings e CROSS JOIN s
+), d AS (
+  SELECT sv.vec_id, sv.sub, c.cid,
+         ROUND(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+               i -> (CAST(sv.svec[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(sv.svec[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), 6) AS d2
+  FROM sv JOIN c USING (sub)
+), a AS (
+  SELECT vec_id, sub, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+  FROM d
+)
+SELECT vec_id,
+       MAX(CASE WHEN sub = 0 THEN cid END) AS code0,
+       MAX(CASE WHEN sub = 1 THEN cid END) AS code1,
+       MAX(CASE WHEN sub = 2 THEN cid END) AS code2,
+       MAX(CASE WHEN sub = 3 THEN cid END) AS code3,
+       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS qerr
+FROM a WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@declare(
+    "q_pq_encode",
+    oracle=QPQ_ORACLE,
+    description="product-quantization codes + reconstruction error (ANN compression [ext])",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    codebook = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub"),
+            F.col("vec_id").alias("cid"),
+            F.col("embedding"),
+        )
+        .select(
+            "sub",
+            "cid",
+            F.slice(
+                F.col("embedding"), F.col("sub") * _PQ_SUB + 1, _PQ_SUB
+            ).alias("cvec"),
+        )
+    )
+    codes = sim.pq_encode(
+        emb, "vec_id", "embedding", codebook, m=_PQ_M, sub_dim=_PQ_SUB
+    )
+    aggs = [
+        F.max(F.when(F.col("sub") == s, F.col("cid"))).alias(f"code{s}")
+        for s in range(_PQ_M)
+    ]
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            *aggs,
+            F.round(
+                F.sum(F.col("d2").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("qerr"),
+        )
+        .orderBy("vec_id")
+    )

@@ -324,3 +324,54 @@ def test_quantized_knn_recall(spark, sf_dir):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """PQ assignment replayed in numpy: per-subspace squared-L2 argmin
+    with round-6 distances and lower-cid tie-break."""
+    import numpy as np
+
+    from jibaro_spark.operators.similarity import pq_encode
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    m, sub_dim, k, n = 3, 4, 5, 40
+    dim = m * sub_dim
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    # force exact ties for a few rows: duplicate code 0's subvectors
+    vecs[5] = vecs[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "id long, vec array<float>",
+    )
+    codebook_rows = []
+    for s in range(m):
+        for c in range(k):
+            codebook_rows.append(
+                (s, c, [float(x) for x in vecs[c, s * sub_dim : (s + 1) * sub_dim]])
+            )
+    cb = spark.createDataFrame(
+        codebook_rows, "sub int, cid long, cvec array<float>"
+    )
+    got = {
+        (r.id, r.sub): (r.cid, r.d2)
+        for r in pq_encode(df, "id", "vec", cb, m=m, sub_dim=sub_dim).collect()
+    }
+    assert len(got) == n * m
+    for i in range(n):
+        for s in range(m):
+            sv = vecs[i, s * sub_dim : (s + 1) * sub_dim].astype("float64")
+            d2s = [
+                round(
+                    float(
+                        np.sum(
+                            (sv - vecs[c, s * sub_dim : (s + 1) * sub_dim].astype("float64"))
+                            ** 2
+                        )
+                    ),
+                    6,
+                )
+                for c in range(k)
+            ]
+            best = min(range(k), key=lambda c: (d2s[c], c))
+            assert got[(i, s)] == (best, d2s[best]), (i, s)

@@ -61,3 +61,44 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     # canonical selection: one row per cluster survives
     kept = out.filter(F.col("id") == F.col("cluster_id"))
     assert sorted(r.id for r in kept.collect()) == [0, 1, 2, 3]
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from jibaro_spark.operators.graph import triangle_count
+
+    # K4 on {0,1,2,3}: C(4,3)=4 triangles, every node in 3 of them;
+    # pendant node 9 attached to 0 is in none; self-loop ignored.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(0, 9), (9, 9), (1, 0)]  # dup reversed edge too
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_triangle_count_matches_numpy_enumeration(spark):
+    import itertools
+    import random
+
+    from jibaro_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(24))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(140)
+            )
+            if a != b
+        }
+    )
+    es = set(edges)
+    expected = {n: 0 for n in {v for e in edges for v in e}}
+    for a, b, c in itertools.combinations(sorted(expected), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expected
