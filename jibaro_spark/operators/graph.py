@@ -219,11 +219,14 @@ def pagerank(
     Returns ``(node, pr)``.
     """
     dec = f"decimal(28,{scale})"
+    # Materialize the (possibly expensive) upstream edge derivation ONCE;
+    # nodes, out-weights and the share table all derive from this
+    # checkpointed base instead of re-running the derivation per consumer.
     e = edges.select(
         F.col(src).alias("__src"),
         F.col(dst).alias("__dst"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("__w"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -232,9 +235,8 @@ def pagerank(
     )
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     outw = e.groupBy("__src").agg(F.sum("__w").alias("__outw"))
-    # Checkpoint the share table: it is referenced by every iteration,
-    # and without lineage truncation the (possibly expensive) upstream
-    # edge derivation re-executes once per round.
+    # Checkpoint the share table too: it is referenced by every iteration,
+    # and without lineage truncation the plan re-grows each round.
     e = (
         e.join(outw, "__src")
         .select(

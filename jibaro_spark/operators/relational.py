@@ -181,6 +181,7 @@ def exact_quantiles_bucketed(
     value_col: str,
     probs: Sequence[tuple[float, str]],
     buckets: int = 1024,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact interpolated quantiles for CONTINUOUS value columns, via
     two-pass histogram refinement — no full sort, no large window.
@@ -213,16 +214,20 @@ def exact_quantiles_bucketed(
     nb = F.lit(buckets)
     v = F.col(value_col)
 
-    # The three passes re-scan the same 2-column projection; Catalyst
-    # does not reuse non-deterministic exchanges, so without this each
-    # pass repeats scan+decode (5 scans observed).  The projection is
-    # 2 columns — materializing it is the "reuse a partitioning across
-    # stages" move, MEMORY_AND_DISK so 100 TB inputs spill, not OOM.
-    # localCheckpoint (not .cache()): checkpoint blocks are freed by the
-    # ContextCleaner once this plan is unreferenced, whereas a cache()
-    # entry would leak in the cache manager for the session lifetime,
-    # accumulating across repeated invocations (ADVICE r2).
-    proj = df.select(*gcols, value_col).localCheckpoint(eager=True)
+    # The three passes re-consume the same 2-column projection.
+    # ``materialize=True`` (default — right when the input is an
+    # expensive upstream pipeline) snapshots it with localCheckpoint:
+    # blocks are freed by the ContextCleaner once the plan is
+    # unreferenced, unlike a cache() entry which leaks in the cache
+    # manager for the session lifetime (ADVICE r2).  Pass
+    # ``materialize=False`` when the input is a direct columnar scan /
+    # deterministic exchange: Catalyst re-scans with column pruning and
+    # reuses deterministic exchanges across the passes, which beats
+    # writing the projection out (measured at sf0.1: 1.7 s vs 1.9 s,
+    # and one fewer eager job).
+    proj = df.select(*gcols, value_col)
+    if materialize:
+        proj = proj.localCheckpoint(eager=True)
 
     stats = proj.groupBy(*gcols).agg(
         F.count(value_col).alias("__n"),

@@ -103,8 +103,15 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ensure_parallelism(
         li.select("l_returnflag", "l_extendedprice"), by="l_extendedprice"
     )
+    # materialize=False: the input is a pruned parquet scan behind one
+    # deterministic exchange — re-scan + ReusedExchange beats writing
+    # the projection to executor disk.
     q = exact_quantiles_bucketed(
-        li, ["l_returnflag"], "l_extendedprice", [(0.5, "p50"), (0.95, "p95")]
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.5, "p50"), (0.95, "p95")],
+        materialize=False,
     )
     return q.select(
         "l_returnflag",

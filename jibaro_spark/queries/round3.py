@@ -375,6 +375,7 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         "l_extendedprice",
         [(0.05, "p05"), (0.95, "p95")],
+        materialize=False,
     ).select(
         "l_returnflag",
         F.round("p05", 6).alias("p05"),
@@ -601,4 +602,120 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qerr"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-shingle fraction: the corpus-level fuzzy-
+# dedup signal (RefinedWeb/Dolma-style "what share of this doc's
+# 8-gram shingles appear in some other doc").  Distinct (doc, shingle)
+# → shingle occurrence counts → per-doc duplicated share.  Two
+# shingle-keyed shuffles; the occurrence table joins back on the
+# shingle key (no broadcast — shingle vocab grows with the corpus).
+_XDUP_N = 8
+
+QXDUP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(ts) - {_XDUP_N - 1}, 1)),
+                i -> array_to_string(list_slice(ts, i + 1, i + {_XDUP_N}), ' '))) AS s
+  FROM d
+), occ AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs_with FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN occ.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN occ.n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM sh JOIN occ USING (s)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+@declare(
+    "q_crossdoc_shingle_dup",
+    oracle=QXDUP_ORACLE,
+    description="per-doc share of 8-gram shingles duplicated elsewhere in the corpus (fuzzy-dedup signal [ext])",
+)
+def q_crossdoc_shingle_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), n=_XDUP_N))
+        ).alias("s"),
+    )
+    occ = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n_docs_with"))
+    dup = F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(occ, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            dup.alias("n_dup"),
+            (
+                F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collection-aggregate palette: collect_set / collect_list with
+# explicit in-array ordering, rendered to strings (arrays are sorted
+# before joining so the value is partition-order-invariant; string
+# rendering sidesteps engine array formatting).
+QCOLLECT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+       array_to_string(list_slice(list(CAST(o_totalprice AS DECIMAL(18,2))
+                                       ORDER BY o_totalprice DESC), 1, 3), ',') AS top3_totals
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "q_collect_palette",
+    oracle=QCOLLECT_ORACLE,
+    description="collect_set/collect_list aggregates with deterministic in-array ordering (A9 [ext])",
+)
+def q_collect_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    top3 = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.col("o_totalprice").cast("decimal(18,2)")),
+                    asc=False,
+                ),
+                1,
+                3,
+            ),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            top3.alias("top3_totals"),
+        )
+        .orderBy("o_orderpriority")
     )
