@@ -58,6 +58,13 @@ HEADLINE = [
     "q_knn_bruteforce",
     "q_knn_lsh",
     "q_embedding_near_dup",
+    # round 3 additions
+    "q_pmi_bigrams",
+    "q_bm25_search",
+    "q_doc_entropy",
+    "q_crossdoc_shingle_dup",
+    "q_triangle_count",
+    "q_pq_encode",
 ]
 
 

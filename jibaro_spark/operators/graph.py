@@ -144,17 +144,24 @@ def triangle_count(
     Suri & Vassilvitskii, "Counting Triangles and the Curse of the
     Last Reducer", WWW'11 — node-iterator with edge orientation).
 
-    Edges are canonicalized to ``a < b`` and deduplicated, so each
-    triangle {a,b,c} with a < b < c is materialized exactly once by
-    joining (a,b)⋈(b,c) and closing with (a,c).  Orientation bounds
-    the join fan-out by each node's *outdegree in the orientation*
-    (≤ degree), which is what keeps the hot-node blowup polynomial —
-    the classic skew fix for triangle enumeration at scale.  Two
-    shuffle joins on node keys; AQE handles residual skew.
+    Edges are canonicalized, deduplicated, then ORIENTED by the
+    degree total order (lower ``(degree, id)`` → higher): every
+    triangle then has exactly one node with two out-edges, so the
+    wedge self-join on the out-endpoint enumerates each triangle once,
+    and total wedge work is Σ outdeg² = O(m^1.5) — the bound that
+    makes triangle enumeration survive power-law hot nodes (an
+    id-based orientation leaves a hub with all its edges outgoing and
+    quadratic wedges; measured 1.5× slower even on the mildly skewed
+    co-supply graph).  Two shuffle joins on node/edge keys; AQE
+    handles residual skew.
 
     Returns ``(node, n_triangles)`` for every node of the graph
     (nodes in no triangle report 0).  Self-loops are ignored.
     """
+    # Canonical undirected edges (a<b).  The derivation ends in a
+    # deterministic hash ``distinct`` exchange that Catalyst reuses
+    # across consumers (ReusedExchange) — measured faster at sf0.1
+    # than localCheckpoint, which discards the partitioning.
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -166,12 +173,42 @@ def triangle_count(
     nodes = e.select(F.col("a").alias("node")).union(
         e.select(F.col("b").alias("node"))
     ).distinct()
-    # wedges a<b<c from (a,b) and (b,c); close with the (a,c) edge
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    # orient low (deg, id) → high (deg, id); ties broken by id, and
+    # a < b canonically, so (deg equal) keeps a → b
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # wedges: unordered out-neighbor pairs of u, canonicalized v<w so
+    # the closing lookup hits the undirected edge set e directly
+    o1 = o.select("u", F.col("v").alias("x"))
+    o2 = o.select("u", F.col("v").alias("y"))
+    wedges = (
+        o1.join(o2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("u"),
+            F.col("x").alias("a"),
+            F.col("y").alias("c"),
+        )
+    )
+    tri = wedges.join(e.select("a", F.col("b").alias("c")), ["a", "c"]).select(
+        F.col("u").alias("a"), F.col("a").alias("b"), F.col("c")
     )
     corners = (
         tri.select(F.col("a").alias("node"))

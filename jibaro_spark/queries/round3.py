@@ -719,3 +719,118 @@ def q_collect_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting — the inner step of byte-pair-encoding
+# tokenizer training: adjacent symbol-pair frequencies over the
+# word-frequency dictionary (count words once, then weight each
+# word's char pairs by its corpus frequency — the standard trick that
+# makes BPE training corpus-size-independent after one pass).
+QBPE_PAIRS_ORACLE = f"""
+WITH words AS (
+  SELECT unnest({_TOKS}) AS w FROM documents
+), wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair,
+         freq
+  FROM wf WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+"""
+
+
+@declare(
+    "q_bpe_merge_pairs",
+    oracle=QBPE_PAIRS_ORACLE,
+    description="adjacent char-pair frequencies over the word-frequency dict — the BPE training kernel (tokenizer [ext])",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    words = docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-grouped batching: bucket docs by token-length band, number
+# them deterministically inside each band, cut fixed-size batches, and
+# report per-batch padding waste (the measure length-grouping exists
+# to minimize).  One shuffle on the band key; the in-band window is
+# bounded by band size.  At 100 TB the band window would be replaced
+# by the distributed prefix-sum numbering (partitioned_prefix_sum) —
+# the band shape stays identical.
+_BATCH_SIZE = 32
+
+QLENB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), banded AS (
+  SELECT doc_id, n_tokens, CAST(n_tokens // 8 AS BIGINT) AS band FROM d
+), numbered AS (
+  SELECT band, n_tokens,
+         CAST((row_number() OVER (PARTITION BY band ORDER BY n_tokens, doc_id) - 1)
+              // {_BATCH_SIZE} AS BIGINT) AS batch_id
+  FROM banded
+)
+SELECT band, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+FROM numbered
+GROUP BY band, batch_id
+ORDER BY band, batch_id
+"""
+
+
+@declare(
+    "q_length_batching",
+    oracle=QLENB_ORACLE,
+    description="length-grouped batch assembly + padding-waste accounting (training pipeline [ext])",
+)
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    banded = d.withColumn("band", (F.col("n_tokens") / 8).cast("long"))
+    w = Window.partitionBy("band").orderBy("n_tokens", "doc_id")
+    numbered = banded.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("long"),
+    )
+    return (
+        numbered.groupBy("band", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_len"),
+            F.sum("n_tokens").cast("long").alias("sum_len"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+        .orderBy("band", "batch_id")
+    )

@@ -175,3 +175,39 @@ def test_q21_rewrite_has_no_nested_loop_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_pq_encode_codebook_join_is_broadcast(spark):
+    """The per-subspace codebook join must be broadcast — the exploded
+    subvector side never shuffles before scoring, and the only
+    exchange is the final (id, sub)-keyed partial-agg reduce."""
+    from jibaro_spark.operators.similarity import pq_encode
+
+    emb = load_tables(spark, SF, "embeddings")["embeddings"]
+    cb = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("sub"),
+            F.col("vec_id").alias("cid"),
+            F.slice(F.col("embedding"), F.col("sub") * 16 + 1, 16).alias("cvec"),
+        )
+    )
+    plan = _executed_plan(pq_encode(emb, "vec_id", "embedding", cb, m=4, sub_dim=16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_stats_sides_are_broadcast(spark):
+    """Term stats (3 rows) and the scalar doc stats must broadcast;
+    the token table is the only shuffled side."""
+    from jibaro_spark.queries.round3 import q_bm25_search
+
+    plan = _executed_plan(q_bm25_search(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_winsorize_quantile_join_is_broadcast(spark):
+    from jibaro_spark.queries.round3 import q_winsorize_stats
+
+    plan = _executed_plan(q_winsorize_stats(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
