@@ -652,3 +652,151 @@ def pq_encode(
         F.col(f"__m.{cid_col}").alias(cid_col),
         F.col("__m.d2").alias("d2"),
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    centroids: list[list[float]],
+    pq_codebook: DataFrame,
+    m: int,
+    sub_dim: int,
+    n_probe: int = 3,
+    rerank: int = 32,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate kNN (Jégou et al. PAMI'11): coarse IVF cells
+    prune the corpus, PQ codes + asymmetric distance computation (ADC)
+    score the survivors WITHOUT touching raw vectors, and the top
+    ``rerank`` per query are exactly re-ranked by cosine.
+
+    Why this is the 100 TB ANN path: the index side stores ``m`` small
+    code ids per vector (m bytes at k≤256 — a 64-dim float vector
+    compresses 256 B → 4 B), so the candidate scan streams codes, not
+    embeddings.  Per query the ADC table (``m × k_pq`` partial
+    distances between the query's subvectors and every code) is tiny
+    and BROADCAST; scoring a candidate is ``m`` lookups + a sum.  Raw
+    vectors are touched only for the ``rerank`` finalists.
+
+    Physical shape: map-side cell assignment (plan-literal centroids,
+    no shuffle) → cell equi-join of probes × inverted lists → code
+    explode (m small rows per candidate) → broadcast ADC join → two
+    windowed top-k cuts.  The only corpus-sized shuffle is the cell
+    join, carrying ids + codes.
+
+    Returns ``(query_id, corpus_id, cosine_sim, rank)``, ``rank ≤ k``.
+    """
+    codes = pq_encode(
+        corpus, corpus_id, corpus_vec, pq_codebook, m=m, sub_dim=sub_dim
+    ).select(corpus_id, "sub", "cid")
+    cells = ensure_parallelism(corpus).select(
+        F.col(corpus_id),
+        _nearest_cells(F.col(corpus_vec), centroids, 1)[0].alias("__cell"),
+    )
+    index = codes.join(cells, corpus_id)
+
+    q_probe = queries.select(
+        F.col(query_id),
+        F.explode(
+            _nearest_cells(F.col(query_vec), centroids, n_probe)
+        ).alias("__cell"),
+    )
+    # ADC table: per (query, sub, cid) the partial squared distance of
+    # the query's sub-vector to that code — |Q| × m × k_pq rows, broadcast
+    adc_d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col(query_vec), F.col("sub") * sub_dim + 1, sub_dim),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        queries.crossJoin(pq_codebook)
+        .select(
+            F.col(query_id),
+            F.col("sub"),
+            F.col("cid"),
+            F.round(adc_d2, round_decimals).alias("__pd2"),
+        )
+    )
+    # candidates: probe-cell join; score = sum of m ADC lookups
+    cand = (
+        q_probe.join(index, "__cell")
+        .join(F.broadcast(adc), [query_id, "sub", "cid"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("__pd2").alias("__adc"))
+        .filter(F.col(query_id) != F.col(corpus_id))
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(F.col("__adc"), F.col(corpus_id))
+    finalists = (
+        cand.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    # exact cosine re-rank of the finalists only
+    qn = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.sqrt(l2_norm_sq(F.col(query_vec))).alias("__qn"),
+    )
+    cn = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.sqrt(l2_norm_sq(F.col(corpus_vec))).alias("__cn"),
+    )
+    sim_col = F.round(
+        _cosine_prenormed(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ),
+        round_decimals,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        finalists.join(F.broadcast(qn), query_id)
+        .join(cn, corpus_id)
+        .select(F.col(query_id), F.col(corpus_id), sim_col.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    k: int,
+    iterations: int = 2,
+) -> "DataFrame":
+    """Train a product-quantization codebook: per subspace, k-means
+    over the corpus's sub-vectors (seeded deterministically from
+    evenly-strided ranks, Lloyd-refined).  Returns a ``(sub, cid,
+    cvec)`` DataFrame ready for :func:`pq_encode` / :func:`ivfpq_search`.
+
+    Cost is codebook-bounded: each refinement iteration is one scan +
+    a k×sub_dim collect per subspace — the training scan shape that
+    works at any corpus size (the collect never grows with the data).
+    """
+    spark = df.sparkSession
+    rows = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sv"),
+        )
+        seeds = seed_centroids(sub, id_col, "__sv", n_centroids=k)
+        cents = kmeans_refine(sub, "__sv", seeds, iterations=iterations)
+        for cid, c in enumerate(cents):
+            rows.append((s, cid, [float(x) for x in c]))
+    return spark.createDataFrame(rows, "sub int, cid int, cvec array<float>")

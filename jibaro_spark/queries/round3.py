@@ -834,3 +834,29 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "batch_id")
     )
+
+
+@declare(
+    "q_knn_ivfpq",
+    oracle=None,
+    description="IVF-PQ approximate kNN: coarse cells + PQ/ADC scoring + exact re-rank (J6 100 TB path; recall pinned in tests)",
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = sim.seed_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    cents = sim.kmeans_refine(emb, "embedding", cents, iterations=1)
+    codebook = sim.train_pq_codebook(
+        emb, "vec_id", "embedding", m=_PQ_M, sub_dim=_PQ_SUB, k=16, iterations=1
+    )
+    return (
+        sim.ivfpq_search(
+            queries, emb, "q_id", "q_vec", "vec_id", "embedding",
+            k=5, centroids=cents, pq_codebook=codebook,
+            m=_PQ_M, sub_dim=_PQ_SUB, n_probe=3, rerank=64,
+        )
+        .select("q_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("q_id", "rank")
+    )

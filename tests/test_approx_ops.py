@@ -375,3 +375,19 @@ def test_pq_encode_matches_numpy_argmin(spark):
             ]
             best = min(range(k), key=lambda c: (d2s[c], c))
             assert got[(i, s)] == (best, d2s[best]), (i, s)
+
+
+def test_knn_ivfpq_recall_matches_ivf_budget(spark, sf_dir, emb_local):
+    """IVF-PQ (trained per-subspace codebook, ADC scoring, exact
+    re-rank) must hold the same recall floor as IVF-Flat at the same
+    probe budget — the PQ stage with a rerank margin is near
+    recall-neutral; cell probing is the limiting factor."""
+    from jibaro_spark.queries.round3 import q_knn_ivfpq
+
+    got = {}
+    for r in q_knn_ivfpq(spark, sf_dir).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    exact = _exact_topk(emb_local)
+    hits = sum(len(got.get(q, set()) & set(v)) for q, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4, f"IVF-PQ recall {hits}/{total}"
