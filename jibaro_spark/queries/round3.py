@@ -860,3 +860,140 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "cosine_sim", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curation cut: per source, admit documents in the
+# deterministic md5 shuffle order until the source's token budget is
+# exhausted (the "take N tokens per domain" mixture step every corpus
+# build runs).  The in-group running total is a window bounded by
+# group size; at 100 TB the same cut runs on the distributed prefix
+# sum (partitioned_prefix_sum) with identical semantics.  A doc is
+# admitted if the budget was not already exhausted BEFORE it (so the
+# boundary doc that crosses the budget is included — matching greedy
+# sequential packing).
+_TOKEN_BUDGET = 3000
+
+QBUDGET_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tokens_before
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_admitted,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted,
+       CAST(MAX(tokens_before + n_tokens) AS BIGINT) AS high_water
+FROM r
+WHERE tokens_before < {_TOKEN_BUDGET}
+GROUP BY source
+ORDER BY source
+"""
+
+
+@declare(
+    "q_token_budget_sample",
+    oracle=QBUDGET_ORACLE,
+    description="per-source token-budget admission in deterministic md5 order (curation mixture [ext])",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return (
+        r.filter(F.col("tokens_before") < _TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_admitted"),
+            F.sum("n_tokens").cast("long").alias("tokens_admitted"),
+            F.max(F.col("tokens_before") + F.col("n_tokens"))
+            .cast("long")
+            .alias("high_water"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly detection on the event stream: each
+# event's value against the mean/std of its user's previous 10 events.
+# Moments are decimal-accumulated over the window (order-independent);
+# the z-score is one double expression rounded to 6 dp.  Sample-std
+# denominator (n−1); windows with <3 trailing events emit NULL z.
+QZSCORE_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(COUNT(value) OVER tw AS BIGINT) AS n_prev,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER tw AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER tw AS DOUBLE) AS s2
+  FROM events
+  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+       n_prev,
+       CASE WHEN n_prev >= 3
+                 AND ((CAST(n_prev AS DOUBLE) * s2) - (s1 * s1)) > 0.0
+            THEN ROUND((value - (s1 / CAST(n_prev AS DOUBLE)))
+                       / SQRT((((CAST(n_prev AS DOUBLE) * s2) - (s1 * s1))
+                               / CAST(n_prev AS DOUBLE))
+                              / (CAST(n_prev AS DOUBLE) - 1.0)), 6)
+            ELSE NULL END AS zscore
+FROM w
+ORDER BY event_id
+"""
+
+
+@declare(
+    "q_event_zscore",
+    oracle=QZSCORE_ORACLE,
+    description="trailing-window z-score anomaly signal per user (streaming-adjacent analytics [ext])",
+)
+def q_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    v = F.col("value")
+    d = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(tw).cast("long").alias("n_prev"),
+        F.sum(v.cast("decimal(18,4)")).over(tw).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,8)")).over(tw).cast("double").alias("s2"),
+    )
+    n = F.col("n_prev").cast("double")
+    s1, s2 = F.col("s1"), F.col("s2")
+    var_num = (n * s2) - (s1 * s1)
+    z = (v - (s1 / n)) / F.sqrt((var_num / n) / (n - F.lit(1.0)))
+    return d.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n_prev",
+        F.when((F.col("n_prev") >= 3) & (var_num > 0.0), F.round(z, 6))
+        .otherwise(F.lit(None))
+        .alias("zscore"),
+    ).orderBy("event_id")
