@@ -182,6 +182,7 @@ def exact_quantiles_bucketed(
     probs: Sequence[tuple[float, str]],
     buckets: int = 1024,
     materialize: bool = True,
+    discrete: bool = False,
 ) -> DataFrame:
     """Exact interpolated quantiles for CONTINUOUS value columns, via
     two-pass histogram refinement — no full sort, no large window.
@@ -253,10 +254,17 @@ def exact_quantiles_bucketed(
 
     def rank_exprs():
         for p, name in probs:
-            h = (F.col("__n") - 1) * F.lit(p)
-            r_lo = F.floor(h) + 1
-            yield name, "lo", r_lo
-            yield name, "hi", r_lo + 1
+            if discrete:
+                # quantile_disc / percentile_disc semantics: smallest
+                # value whose cumulative share ≥ p — rank ⌈n·p⌉ ≥ 1
+                yield name, "lo", F.greatest(
+                    F.ceil(F.col("__n") * F.lit(p)), F.lit(1)
+                )
+            else:
+                h = (F.col("__n") - 1) * F.lit(p)
+                r_lo = F.floor(h) + 1
+                yield name, "lo", r_lo
+                yield name, "hi", r_lo + 1
 
     # per rank: first bin with cum ≥ r, carrying the count before it
     targets = cum.groupBy(*gcols).agg(
@@ -299,11 +307,14 @@ def exact_quantiles_bucketed(
         )
     out = ranked.groupBy(*gcols).agg(*picks)
     for p, name in probs:
-        h = (F.col("__n") - 1) * F.lit(p)
-        frac = h - F.floor(h)
-        v_lo = F.col(f"__{name}_lo")
-        v_hi = F.coalesce(F.col(f"__{name}_hi"), v_lo)
-        out = out.withColumn(name, v_lo + frac * (v_hi - v_lo))
+        if discrete:
+            out = out.withColumn(name, F.col(f"__{name}_lo"))
+        else:
+            h = (F.col("__n") - 1) * F.lit(p)
+            frac = h - F.floor(h)
+            v_lo = F.col(f"__{name}_lo")
+            v_hi = F.coalesce(F.col(f"__{name}_hi"), v_lo)
+            out = out.withColumn(name, v_lo + frac * (v_hi - v_lo))
     drop = ["__n"] + [f"__{n}_{s}" for n, s, _ in rank_exprs()]
     return out.drop(*drop)
 

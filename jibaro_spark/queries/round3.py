@@ -997,3 +997,98 @@ def q_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("zscore"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Discrete exact quantiles (percentile_disc / median-of-record):
+# the same histogram-refinement selection, rank ⌈n·p⌉, no
+# interpolation — the returned value is an actual data point.
+QPDISC_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_disc(l_extendedprice, 0.25), 6) AS p25_disc,
+       ROUND(quantile_disc(l_extendedprice, 0.50), 6) AS p50_disc,
+       ROUND(quantile_disc(l_extendedprice, 0.90), 6) AS p90_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "q_percentile_disc",
+    oracle=QPDISC_ORACLE,
+    description="exact discrete quantiles (percentile_disc) via histogram-refinement selection (A9 [ext])",
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    q = exact_quantiles_bucketed(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.25, "p25_disc"), (0.50, "p50_disc"), (0.90, "p90_disc")],
+        materialize=False,
+        discrete=True,
+    )
+    return q.select(
+        "l_returnflag",
+        F.round("p25_disc", 6).alias("p25_disc"),
+        F.round("p50_disc", 6).alias("p50_disc"),
+        F.round("p90_disc", 6).alias("p90_disc"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users bucketed by first-activity week, then
+# distinct active users per (cohort, week offset) — the standard
+# retention matrix.  Two user-keyed shuffles (first-event min + the
+# cohort join) and one (cohort, offset) count-distinct; all
+# monday-truncated weeks, identical in both engines.
+QCOHORT_ORACLE = """
+WITH first_ev AS (
+  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(DATE_DIFF('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN first_ev f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
+@declare(
+    "q_cohort_retention",
+    oracle=QCOHORT_ORACLE,
+    description="weekly cohort retention matrix (first-activity cohorts × week offsets) (analytics [ext])",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    # weeks stay TIMESTAMP on both sides: DATE columns round-trip to
+    # pandas as date objects from Spark but datetime64 from DuckDB,
+    # which breaks the driver's stringified value hash (same
+    # convention as q_date_palette).
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(first_ev, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
