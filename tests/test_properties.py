@@ -188,3 +188,77 @@ def test_priority_sample_prefix_property(spark, rows, n):
     small = [r.id for r in priority_sample(df, "id", "w", n).collect()]
     big = [r.id for r in priority_sample(df, "id", "w", n + 1).collect()]
     assert big[:n] == small
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]),
+)
+def test_discrete_quantile_matches_sorted_selection(spark, vals, p):
+    """discrete=True returns the value at rank ⌈n·p⌉ (min 1) of the
+    sorted values — an actual data point, no interpolation."""
+    import math
+
+    from jibaro_spark.operators.relational import exact_quantiles_bucketed
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["g", "v"])
+    got = exact_quantiles_bucketed(
+        df, ["g"], "v", [(p, "q")], discrete=True, materialize=False
+    ).collect()[0]["q"]
+    s = sorted(float(v) for v in vals)
+    expected = s[max(math.ceil(len(s) * p), 1) - 1]
+    assert got == expected, (p, s, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=30).filter(
+            lambda t: t.strip()
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_doc_entropy_matches_counter(spark, texts):
+    """q_doc_entropy's per-doc value replayed with collections.Counter
+    + math.log under the same round-10/decimal-sum/round-6 contract."""
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+    from jibaro_spark.operators import textops as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    tok = df.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    wn = tc.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    prob = F.col("c").cast("double") / F.col("n").cast("double")
+    got = {
+        r.doc_id: r.entropy
+        for r in wn.select(
+            "doc_id",
+            F.round(-(prob * F.log(prob)), 10).cast("decimal(18,12)").alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("entropy"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        toks = " ".join(t.strip().lower().split()).split(" ")
+        cnt = Counter(toks)
+        n = len(toks)
+        acc = sum(
+            (Decimal(str(round(-(c / n) * math.log(c / n), 10))) for c in cnt.values()),
+            Decimal(0),
+        )
+        assert got[i] == round(float(acc), 6), (t, got[i])
