@@ -174,3 +174,66 @@ def dedup_within_watermark(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def has_tws() -> bool:
+    """True when transformWithStateInPandas can run: its state-server
+    protocol needs a working ``google.protobuf`` on the Python side."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def running_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key running (count, total) via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-stateful API (successor to
+    ``applyInPandasWithState``, cf. :func:`running_counts`): typed
+    value state, explicit handle lifecycle, RocksDB-only state store
+    (the provider a 100 TB stateful job runs anyway — state spills to
+    disk, changelog-checkpoints incrementally).
+
+    Semantics are identical to :func:`running_counts`; the test suite
+    pins stream-vs-batch equality for both so either API can carry the
+    custom-stateful surface.
+
+    Gated on ``google.protobuf`` (the worker↔JVM state protocol is
+    protobuf-encoded in Spark 4.1) — probe with :func:`has_tws`;
+    environments without it keep the ``applyInPandasWithState`` path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, tot = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._agg.update((n, tot))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "count": [n], "total": [round(tot, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = f"{key_col} bigint, count bigint, total double"
+    return events.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

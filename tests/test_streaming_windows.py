@@ -323,3 +323,55 @@ def test_windows_with_rocksdb_state_store(spark, events_dir):
     }
     for k, v in got.items():
         assert expected[k] == v, k
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """Spark 4 transformWithStateInPandas running totals: final per-key
+    state equals the batch aggregate (RocksDB provider required)."""
+    if not W.has_tws():
+        pytest.skip("google.protobuf unavailable — tws state protocol needs it")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, "")
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = W.running_totals_tws(_stream(spark, events_dir))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    rows = spark.sql(
+        "SELECT user_id, count, total FROM tws_totals"
+    ).collect()
+    # update-mode may emit once per micro-batch; the LAST emission per
+    # key is the final state — memory sink appends in order, so take
+    # the last row per user
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.count, r.total)
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for u, (n, tot) in expected.items():
+        gn, gtot = final[u]
+        assert gn == n, (u, gn, n)
+        assert abs(gtot - tot) < 1e-4, (u, gtot, tot)
