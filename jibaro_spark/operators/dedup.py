@@ -484,3 +484,57 @@ def simhash_md5_bits(col: Column, shingle_n: int = 2, bits: int = 64) -> Column:
         )[0],
     )
     return F.transform(F.array(nibbles), over)[0]
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_str: str,
+    right_str: str,
+    max_dist: int,
+    block_on: tuple[str, str] | None = None,
+) -> DataFrame:
+    """String-similarity join by edit distance: equi-join on a blocking
+    key, cheap length prefilter, then exact Levenshtein verification —
+    the classic filter-verify shape for distributed string joins (cf.
+    compressed-index string joins, ICDE'22: candidates from a coarse
+    signature, exact check only on survivors).
+
+    Filters, in evaluation order:
+
+    1. **blocking** (optional ``block_on``): candidates must share the
+       key — turns the cross product into an equi-join shuffle whose
+       fan-out is the block size; pick keys with bounded selectivity
+       (brand, domain, simhash band, ...).  At 100 TB a q-gram/prefix
+       signature join replaces the single key — same plan shape.
+    2. **length**: ``|len(a) − len(b)| ≤ max_dist`` — a free lower
+       bound on edit distance, applied inside the join.
+    3. **verify**: native ``levenshtein`` (JVM codegen, no UDF)
+       ``≤ max_dist`` on the per-block candidates only.
+
+    Returns ``(left_id, right_id, dist)`` plus the blocking key when
+    given.  Callers dedupe/orient ids as needed.
+    """
+    lcols = [F.col(left_id), F.col(left_str).alias("__ls")]
+    rcols = [F.col(right_id), F.col(right_str).alias("__rs")]
+    if block_on is not None:
+        lb, rb = block_on
+        lcols.append(F.col(lb).alias("__blk"))
+        rcols.append(F.col(rb).alias("__blk"))
+    l = left.select(*lcols)
+    r = right.select(*rcols)
+    on = ["__blk"] if block_on is not None else []
+    joined = l.join(r, on) if on else l.crossJoin(r)
+    d = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    out = (
+        joined.filter(
+            F.abs(F.length("__ls") - F.length("__rs")) <= max_dist
+        )
+        .withColumn("dist", d)
+        .filter(F.col("dist") <= max_dist)
+    )
+    keep = [left_id, right_id, "dist"] + (["__blk"] if on else [])
+    res = out.select(*keep)
+    return res.withColumnRenamed("__blk", "block") if on else res

@@ -1092,3 +1092,49 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join over part names: same-brand blocking,
+# length prefilter, native levenshtein verify (no UDF).  Grouped
+# output (brand × distance × pair count) keeps the result stable while
+# the join itself does the real filter-verify work.
+QEDIT_ORACLE = """
+SELECT a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY brand, dist
+ORDER BY brand, dist
+"""
+
+
+@declare(
+    "q_edit_distance_pairs",
+    oracle=QEDIT_ORACLE,
+    description="edit-distance string-similarity join (blocked filter-verify, native levenshtein) (J5 [ext])",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import edit_distance_join
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), "p_name", "p_brand"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("p_name_b"),
+        F.col("p_brand").alias("p_brand_b"),
+    )
+    pairs = edit_distance_join(
+        a, b, "key_a", "key_b", "p_name", "p_name_b",
+        max_dist=2, block_on=("p_brand", "p_brand_b"),
+    ).filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.groupBy(F.col("block").alias("brand"), F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("brand", "dist")
+    )
