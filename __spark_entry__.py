@@ -34,15 +34,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _interleaved() -> "dict[str, object]":
+    """Registry entries round-robined across their defining modules.
+
+    Rationale: a bounded/prefix-limited consumer of ``queries()`` (a
+    correctness run with a count or time budget) should still see every
+    operator FAMILY — TPC-H relational, event windows, LLM/text ops,
+    pipeline composition, multimodal, scale primitives — rather than
+    exhausting its budget inside one module.  Round-robin by module
+    keeps any prefix representative; coverage is unchanged when the
+    full dict is consumed.
+    """
+    from collections import OrderedDict, defaultdict
+
     from jibaro_spark.queries import REGISTRY
 
-    return {name: dq.fn for name, dq in REGISTRY.items()}
+    by_mod: "defaultdict[str, list]" = defaultdict(list)
+    for name, dq in REGISTRY.items():
+        by_mod[dq.fn.__module__].append((name, dq))
+    lanes = [by_mod[m] for m in by_mod]
+    out: "OrderedDict[str, object]" = OrderedDict()
+    i = 0
+    while any(lanes):
+        for lane in lanes:
+            if i < len(lane):
+                name, dq = lane[i]
+                out[name] = dq
+        i += 1
+        if i > max(len(lane) for lane in lanes):
+            break
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: dq.fn for name, dq in _interleaved().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from jibaro_spark.queries import REGISTRY
-
     return {
-        name: dq.oracle for name, dq in REGISTRY.items() if dq.oracle is not None
+        name: dq.oracle
+        for name, dq in _interleaved().items()
+        if dq.oracle is not None
     }
