@@ -1138,3 +1138,144 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("brand", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill / carry-forward: sparse per-user measurements (only
+# 'purchase' events carry a value here) forward-filled with
+# last-non-null over the user's ordered history — the standard
+# sensor/feature gap-fill.  No arithmetic: values pass through, so
+# determinism is free.
+QFFILL_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS sparse_value,
+       last_value(CASE WHEN event_type = 'purchase' THEN value ELSE NULL END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+ORDER BY event_id
+"""
+
+
+@declare(
+    "q_fill_forward",
+    oracle=QFFILL_ORACLE,
+    description="last-non-null forward fill over per-user ordered history (W3 [ext])",
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        sparse.alias("sparse_value"),
+        F.last(sparse, ignorenulls=True).over(w).alias("filled_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram via width_bucket: fixed [lo, hi) bounds, n+2
+# overflow buckets — the profiling/binning primitive (Spark's builtin;
+# the oracle replicates its floor arithmetic exactly, clamped to the
+# same overflow buckets).
+_HB_LO, _HB_HI, _HB_N = 900.0, 105000.0, 16
+
+QHIST_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(LEAST(GREATEST(FLOOR((l_extendedprice - {_HB_LO})
+                                 / (({_HB_HI} - {_HB_LO}) / {_HB_N})) + 1, 0), {_HB_N} + 1)
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+FROM lineitem
+GROUP BY l_returnflag, bucket
+ORDER BY l_returnflag, bucket
+"""
+
+
+@declare(
+    "q_value_histogram",
+    oracle=QHIST_ORACLE,
+    description="equi-width histogram per group via width_bucket (profiling [ext])",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy(
+            "l_returnflag",
+            F.width_bucket(
+                "l_extendedprice", F.lit(_HB_LO), F.lit(_HB_HI), F.lit(_HB_N)
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded EWMA (half-life smoothing over the last 8 observations):
+# weights are exact powers of two (α = 1/2), the weighted sum runs
+# left-to-right over the frame-ordered value list in both engines,
+# and the geometric normalizer is closed-form — deterministic without
+# decimal machinery.  The window is ROWS-bounded, so state is O(8)
+# per key at any scale (the streaming form is the same expression
+# over applyInPandasWithState history).
+QEWMA_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+  FROM events
+)
+SELECT event_id, user_id, value,
+       ROUND(list_sum(list_transform(range(1, len(vs) + 1),
+                      i -> vs[i] * pow(0.5, len(vs) - i + 1)))
+             / (1 - pow(0.5, len(vs))), 6) AS ewma
+FROM l
+ORDER BY event_id
+"""
+
+
+@declare(
+    "q_ewma_events",
+    oracle=QEWMA_ORACLE,
+    description="bounded exponential moving average (power-of-two weights, closed-form normalizer) (W3 [ext])",
+)
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    vs = F.collect_list("value").over(w8)
+    d = ev.select("event_id", "user_id", "value", vs.alias("vs"))
+    n = F.size("vs")
+    num = F.aggregate(
+        F.zip_with(
+            F.col("vs"),
+            F.sequence(F.lit(1), n),
+            lambda v, i: v * F.pow(F.lit(0.5), (n - i + 1).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ewma = num / (F.lit(1.0) - F.pow(F.lit(0.5), n.cast("double")))
+    return d.select(
+        "event_id", "user_id", "value", F.round(ewma, 6).alias("ewma")
+    ).orderBy("event_id")
