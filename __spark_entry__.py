@@ -34,35 +34,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _driver_confirmed() -> "set[str]":
+    """Query names with a green row in any prior driver
+    CORRECTNESS_r*.json (hash-matched, or the rows-only check for
+    no-oracle queries).  Used to rotate never-yet-confirmed queries to
+    the front of ``queries()`` so a prefix-capped correctness run
+    converges to a driver-confirmed row for every registered query over
+    successive rounds (VERDICT r3 §Next-1)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    confirmed: "set[str]" = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if r.get("hash_match") is True or (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            ):
+                confirmed.add(name)
+    return confirmed
+
+
 def _interleaved() -> "dict[str, object]":
-    """Registry entries round-robined across their defining modules.
+    """Registry entries round-robined across their defining modules,
+    never-driver-confirmed queries first.
 
     Rationale: a bounded/prefix-limited consumer of ``queries()`` (a
     correctness run with a count or time budget) should still see every
     operator FAMILY — TPC-H relational, event windows, LLM/text ops,
     pipeline composition, multimodal, scale primitives — rather than
-    exhausting its budget inside one module.  Round-robin by module
-    keeps any prefix representative; coverage is unchanged when the
-    full dict is consumed.
+    exhausting its budget inside one module.  Within that, queries that
+    have never received a green row in a prior round's
+    CORRECTNESS_r*.json sort ahead of already-confirmed ones, so the
+    union of capped driver runs converges to all registered queries
+    (every query is green in the pytest DuckDB harness either way;
+    this only rotates which subset the driver re-verifies).  Coverage
+    is unchanged when the full dict is consumed.
     """
     from collections import OrderedDict, defaultdict
 
     from jibaro_spark.queries import REGISTRY
 
-    by_mod: "defaultdict[str, list]" = defaultdict(list)
-    for name, dq in REGISTRY.items():
-        by_mod[dq.fn.__module__].append((name, dq))
-    lanes = [by_mod[m] for m in by_mod]
+    confirmed = _driver_confirmed()
+
+    def round_robin(items: "list[tuple[str, object]]", out: "OrderedDict[str, object]") -> None:
+        by_mod: "defaultdict[str, list]" = defaultdict(list)
+        for name, dq in items:
+            by_mod[dq.fn.__module__].append((name, dq))
+        lanes = [by_mod[m] for m in by_mod]
+        i = 0
+        while lanes and i <= max(len(lane) for lane in lanes):
+            for lane in lanes:
+                if i < len(lane):
+                    name, dq = lane[i]
+                    out[name] = dq
+            i += 1
+
     out: "OrderedDict[str, object]" = OrderedDict()
-    i = 0
-    while any(lanes):
-        for lane in lanes:
-            if i < len(lane):
-                name, dq = lane[i]
-                out[name] = dq
-        i += 1
-        if i > max(len(lane) for lane in lanes):
-            break
+    pending = [(n, d) for n, d in REGISTRY.items() if n not in confirmed]
+    done = [(n, d) for n, d in REGISTRY.items() if n in confirmed]
+    round_robin(pending, out)  # never-driver-confirmed first, all modules
+    round_robin(done, out)
     return out
 
 

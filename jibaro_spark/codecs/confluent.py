@@ -34,8 +34,11 @@ from pyspark.sql import functions as F
 MAGIC_BYTE = b"\x00"
 #: payload start (1-based substring offsets): magic(1) + schema id(4)
 _AVRO_PAYLOAD_START = 6
-#: protobuf adds the single-message index byte (see module docstring)
-_PROTO_PAYLOAD_START = 7
+#: max bytes scanned for the protobuf message-index varint section
+#: (count ≤ 2 varint bytes + up to a deeply-nested index list; 16 covers
+#: any realistic descriptor — raise per-pipeline if a schema nests >6
+#: levels of multi-byte indexes)
+_PROTO_INDEX_MAX_SCAN = 16
 
 
 # ---------------------------------------------------------------- wire format
@@ -51,26 +54,148 @@ def schema_id_of(col: Column | str) -> Column:
     )
 
 
+def _byte_at(c: Column, pos: Column) -> Column:
+    """Unsigned value of the byte at 1-based ``pos`` (null past end)."""
+    b = F.substring(c, pos, 1)
+    return F.when(F.length(b) == 1, F.conv(F.hex(b), 16, 10).cast("int"))
+
+
+def _proto_index_state(c: Column, max_scan: int = _PROTO_INDEX_MAX_SCAN) -> Column:
+    """Native scan of the protobuf message-index varint section.
+
+    Confluent's protobuf framing after the 4-byte schema id is a
+    zigzag-varint LIST: first varint = count ``n``, then ``n`` zigzag
+    varints (the path of message indexes inside the descriptor), with
+    the special case that indexes ``[0]`` — the overwhelmingly common
+    single-message schema — is written as the single byte ``0x00``
+    (count 0 ⇒ indexes [0]).  The reference hardcodes that 1-byte jump
+    ("I dunno but I need to jump 7 bytes", ``protobuf_handler.py:48-57``)
+    and mis-slices any multi-message schema; SURVEY §7.4 asks for the
+    real parse.
+
+    Implemented as one ``aggregate`` fold over the first ``max_scan``
+    bytes — a byte-at-a-time varint state machine in native expressions
+    (no UDF, stays JVM-side).  Returns a struct column
+    ``(phase, len, idxs)``: ``phase == 2`` ⇔ parse complete, ``len`` =
+    bytes consumed by the index section, ``idxs`` = decoded index list.
+    Truncated/malformed sections leave ``phase != 2`` (callers surface
+    null, matching :func:`schema_id_of`'s null-safety).
+    """
+    bytes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(max_scan - 1)),
+        lambda i: _byte_at(c, F.lit(6) + i),
+    )
+
+    def mkstate(phase, rem, cur, mult, ln, idxs) -> Column:
+        return F.named_struct(
+            F.lit("phase"), phase.cast("int") if isinstance(phase, Column) else F.lit(phase),
+            F.lit("rem"), rem.cast("int") if isinstance(rem, Column) else F.lit(rem),
+            F.lit("cur"), cur.cast("long") if isinstance(cur, Column) else F.lit(cur).cast("long"),
+            F.lit("mult"), mult.cast("long") if isinstance(mult, Column) else F.lit(mult).cast("long"),
+            F.lit("len"), ln.cast("int") if isinstance(ln, Column) else F.lit(ln),
+            F.lit("idxs"), idxs,
+        )
+
+    empty_idxs = F.array().cast("array<int>")
+    init = mkstate(0, 0, 0, 1, 0, empty_idxs)
+
+    def step(acc: Column, b: Column) -> Column:
+        phase, rem = acc["phase"], acc["rem"]
+        # base-128 accumulate; ``mult`` plays the role of 1 << shift
+        # (shiftleft/shiftright take only literal ints in the API)
+        cur2 = acc["cur"] + (b.bitwiseAND(F.lit(0x7F))).cast("long") * acc["mult"]
+        on_cont = mkstate(
+            phase, rem, cur2, acc["mult"] * 128, acc["len"] + 1, acc["idxs"]
+        )
+        # zigzag decode: (raw >> 1) ^ -(raw & 1); raw ≥ 0 so floor-div ≡ shift
+        zz = F.floor(cur2 / 2).cast("long").bitwiseXOR(-cur2.bitwiseAND(F.lit(1)))
+        count_zero = mkstate(2, 0, 0, 1, acc["len"] + 1, F.array(F.lit(0)))
+        count_n = mkstate(1, zz, 0, 1, acc["len"] + 1, empty_idxs)
+        idxs2 = F.concat(acc["idxs"], F.array(zz.cast("int")))
+        idx_done = mkstate(
+            F.when(rem <= 1, F.lit(2)).otherwise(F.lit(1)),
+            rem - 1, 0, 1, acc["len"] + 1, idxs2,
+        )
+        terminal = F.when(
+            phase == 0, F.when(zz == 0, count_zero).otherwise(count_n)
+        ).otherwise(idx_done)
+        return (
+            F.when(phase >= 2, acc)  # done (or malformed): carry through
+            .when(b.isNull(), mkstate(3, 0, 0, 1, acc["len"], acc["idxs"]))
+            .when(b >= 128, on_cont)
+            .otherwise(terminal)
+        )
+
+    return F.aggregate(bytes_arr, init, step)
+
+
+def proto_message_indexes(col: Column | str) -> Column:
+    """Decoded protobuf message-index list (``array<int>``) — ``[0]``
+    for single-message schemas; null if truncated/malformed.  Feeds
+    message dispatch for multi-message descriptors."""
+    c = F.col(col) if isinstance(col, str) else col
+    st = _proto_index_state(c)
+    return F.when(st["phase"] == 2, st["idxs"])
+
+
 def payload_of(col: Column | str, content_type: str = "avro") -> Column:
     """Payload slice after the Confluent header.
 
     Uses ``length(col)`` for the slice bound — the reference sliced the
     key with ``length(value)`` (``avro_handler.py:35``), a defect that
     only works because Spark clamps substring lengths (SURVEY §2.13).
+
+    For protobuf the payload starts after the message-index varint
+    section, whose length is PARSED (:func:`_proto_index_state`), not
+    assumed to be 1 byte — multi-message schemas slice correctly.
     """
     c = F.col(col) if isinstance(col, str) else col
-    start = _PROTO_PAYLOAD_START if content_type == "protobuf" else _AVRO_PAYLOAD_START
-    return F.substring(c, F.lit(start), F.length(c) - F.lit(start - 1))
+    if content_type == "protobuf":
+        st = _proto_index_state(c)
+        start = F.when(st["phase"] == 2, F.lit(6) + st["len"])
+        return F.substring(c, start, F.length(c) - start + 1)
+    start = F.lit(_AVRO_PAYLOAD_START)
+    return F.substring(c, start, F.length(c) - start + 1)
 
 
-def wire_encode(payload: Column, schema_id: int, content_type: str = "avro") -> Column:
+def _zigzag_varint(n: int) -> bytes:
+    """Kafka ByteUtils.writeVarint: zigzag then base-128 varint."""
+    z = (n << 1) if n >= 0 else ((-n << 1) - 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def proto_index_bytes(message_indexes: list[int] | None) -> bytes:
+    """Encode a protobuf message-index list per the Confluent framing
+    (count varint + index varints; ``[0]`` compresses to ``0x00``)."""
+    idxs = list(message_indexes) if message_indexes else [0]
+    if idxs == [0]:
+        return b"\x00"
+    return _zigzag_varint(len(idxs)) + b"".join(_zigzag_varint(i) for i in idxs)
+
+
+def wire_encode(
+    payload: Column,
+    schema_id: int,
+    content_type: str = "avro",
+    message_indexes: list[int] | None = None,
+) -> Column:
     """Assemble Confluent wire format around an encoded payload
-    (reference ``kafka.py:86-109``): magic ++ 4-byte id ++ [index] ++
-    payload — all native ``concat`` on binary."""
+    (reference ``kafka.py:86-109``): magic ++ 4-byte id ++
+    [message-index varints] ++ payload — all native ``concat`` on
+    binary.  ``message_indexes`` (protobuf only) defaults to ``[0]``
+    (first message in the descriptor)."""
     id_bytes = F.unhex(F.lpad(F.hex(F.lit(schema_id)), 8, "0"))
     parts = [F.lit(MAGIC_BYTE), id_bytes]
     if content_type == "protobuf":
-        parts.append(F.lit(b"\x00"))
+        parts.append(F.lit(proto_index_bytes(message_indexes)))
     return F.concat(*parts, payload)
 
 

@@ -356,60 +356,95 @@ def embedding_near_duplicates_exact(
     vec_col: str,
     threshold: float,
     round_decimals: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-dup via numpy block matmul
-    (``mapInPandas`` over corpus blocks × a broadcast corpus matrix).
+    """Exact all-pairs cosine near-dup via sharded block×block numpy
+    matmul — ``applyInPandas`` over block PAIRS, no driver collect, no
+    corpus broadcast.
 
     This is the right plan when the threshold is BELOW the LSH regime
     (≲0.8 cosine): sign-LSH bands cannot prune weakly-similar pairs —
     at 0.5 a 4-bit band admits 1/16 of all random pairs, so the
     "approximate" path degenerates to all-pairs with extra shuffles
     (measured 2-4× slower than this exact form).  Vectorized matmul
-    does n·|block| dots per Arrow batch at BLAS speed.
+    does |block|² dots per group at BLAS speed.
 
-    Bound: the corpus matrix must fit in executor memory (n × dim × 8B;
-    ~0.5 GB for 1M × 64).  Beyond that, use
-    :func:`embedding_near_duplicates` (banded LSH, high thresholds) or
-    shard the corpus and run per-shard.
+    Sharding: each vector is hashed to one of ``num_blocks`` blocks
+    (``pmod(xxhash64(id), B)``) and replicated to every unordered block
+    pair ``(p ≤ q)`` its block participates in; each group computes the
+    exact cross (or within-block upper-triangle) similarities.  Every
+    id pair lands in exactly one group — within-block pairs only in
+    ``(b, b)``, cross-block pairs only in ``(min, max)`` — so results
+    are emitted once, independent of partitioning.
+
+    100 TB shape: shuffle volume is ``B × n`` vector rows (replication
+    factor = num_blocks); per-task memory is ``2·(n/B)·dim·8`` bytes.
+    Pick ``B ≈ n·dim·16B / executor_mem`` — total work is the same
+    O(n²·dim) either way (it's exact all-pairs), but no single machine
+    ever holds the corpus and the driver holds nothing.
     """
     import numpy as np
+    import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    norms[norms == 0] = 1.0
-    bc = df.sparkSession.sparkContext.broadcast((ids, M, norms))
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn(
+        "__b", F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("__b"), j).cast("int").alias("p"),
+            F.greatest(F.col("__b"), j).cast("int").alias("q"),
+        ),
+    )
+    expl = (
+        ensure_parallelism(base)
+        .select("__id", "__vec", "__b", F.explode(pair_structs).alias("__pq"))
+        .select(
+            "__id",
+            "__vec",
+            "__b",
+            F.col("__pq.p").alias("__p"),
+            F.col("__pq.q").alias("__q"),
+        )
+    )
 
     out_schema = "id_a long, id_b long, cosine_sim double"
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cosine_sim": pd.Series(dtype="float64")})
 
-    def gen(batches):
-        import pandas as pd
+    def block_pair(key, pdf):
+        p, q = int(key[0]), int(key[1])
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        M = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0] = 1.0
+        if p == q:
+            sims = np.round((M @ M.T) / np.outer(norms, norms), round_decimals)
+            ai, bj = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            id_a, id_b, s = ids[ai], ids[bj], sims[ai, bj]
+        else:
+            left = pdf["__b"].to_numpy() == p
+            X, Y = M[left], M[~left]
+            xi, yi = ids[left], ids[~left]
+            if not len(xi) or not len(yi):
+                return empty
+            sims = np.round(
+                (X @ Y.T) / np.outer(norms[left], norms[~left]), round_decimals
+            )
+            ai, bj = np.nonzero(sims >= threshold)
+            xa, yb = xi[ai], yi[bj]
+            id_a, id_b = np.minimum(xa, yb), np.maximum(xa, yb)
+            s = sims[ai, bj]
+        if not len(id_a):
+            return empty
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": s})
 
-        cids, cM, cnorms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            a_norms = np.sqrt((A * A).sum(axis=1))
-            a_norms[a_norms == 0] = 1.0
-            sims = (A @ cM.T) / np.outer(a_norms, cnorms)
-            sims = np.round(sims, round_decimals)
-            ai, bj = np.nonzero((sims >= threshold) & (a_ids[:, None] < cids[None, :]))
-            if len(ai):
-                yield pd.DataFrame(
-                    {
-                        "id_a": a_ids[ai],
-                        "id_b": cids[bj],
-                        "cosine_sim": sims[ai, bj],
-                    }
-                )
-
-    return (
-        ensure_parallelism(df.select(id_col, vec_col))
-        .mapInPandas(gen, out_schema)
-    )
+    return expl.groupBy("__p", "__q").applyInPandas(block_pair, out_schema)
 
 
 def embedding_near_duplicates(

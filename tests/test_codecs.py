@@ -70,6 +70,70 @@ def test_wire_protobuf_offset(spark):
     assert row.sid == 9 and bytes(row.p) == payload
 
 
+def test_wire_protobuf_multi_message_indexes(spark):
+    """The message-index varint LIST is parsed, not assumed 1 byte
+    (SURVEY §7.4; reference defect protobuf_handler.py:48-57): frames
+    for a 2nd message ([1]), a nested path ([1, 2]), and a multi-byte
+    zigzag varint index ([100]) all slice the payload correctly and
+    expose the decoded index path."""
+    payload = b"\x08\x2a"
+    cases = [[0], [1], [1, 2], [100], [3, 200, 1]]
+    rows_in = [
+        (cc.proto_index_bytes(idx), idx) for idx in cases
+    ]
+    df = spark.createDataFrame(
+        [(b"\x00" + (9).to_bytes(4, "big") + ib + payload, i) for (ib, _), i in zip(rows_in, range(len(cases)))],
+        "v binary, i int",
+    )
+    got = (
+        df.select(
+            "i",
+            cc.schema_id_of("v").alias("sid"),
+            cc.proto_message_indexes("v").alias("idxs"),
+            cc.payload_of("v", "protobuf").alias("p"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, want in zip(got, cases):
+        assert row.sid == 9
+        assert list(row.idxs) == want, (list(row.idxs), want)
+        assert bytes(row.p) == payload
+
+
+def test_wire_protobuf_encode_decode_roundtrip(spark):
+    """wire_encode(message_indexes=...) → parse is the identity, and
+    [0] still compresses to the single 0x00 byte (frame byte-compatible
+    with the reference's single-message output)."""
+    payload = b"\x0a\x03abc"
+    df = spark.createDataFrame([(payload,)], "p binary")
+    for idxs in ([0], [2], [5, 130]):
+        framed = df.select(
+            cc.wire_encode(F.col("p"), 77, "protobuf", message_indexes=idxs).alias("v")
+        )
+        row = framed.select(
+            F.length("v").alias("n"),
+            cc.proto_message_indexes("v").alias("idxs"),
+            cc.payload_of("v", "protobuf").alias("pp"),
+        ).collect()[0]
+        assert list(row.idxs) == idxs
+        assert bytes(row.pp) == payload
+        assert row.n == 5 + len(cc.proto_index_bytes(idxs)) + len(payload)
+    assert cc.proto_index_bytes([0]) == b"\x00"
+
+
+def test_wire_protobuf_truncated_index_is_null(spark):
+    """A frame truncated mid-varint (continuation bit set, no next
+    byte) yields null indexes/payload instead of a mis-slice."""
+    bad = b"\x00" + (9).to_bytes(4, "big") + b"\x84"  # count varint cut off
+    df = spark.createDataFrame([(bad,)], "v binary")
+    row = df.select(
+        cc.proto_message_indexes("v").alias("idxs"),
+        cc.payload_of("v", "protobuf").alias("p"),
+    ).collect()[0]
+    assert row.idxs is None and row.p is None
+
+
 def test_schema_id_null_safe(spark):
     """Null and truncated frames produce null schema ids
     (reference cdc.py:167-176 relies on null ids for keyless topics)."""
