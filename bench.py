@@ -65,6 +65,12 @@ HEADLINE = [
     "q_crossdoc_shingle_dup",
     "q_triangle_count",
     "q_pq_encode",
+    # round 4 additions: the r3 analytics family, so regressions in the
+    # window/sessionization machinery they exercise are visible
+    "q_fill_forward",
+    "q_value_histogram",
+    "q_ewma_events",
+    "q_cohort_retention",
 ]
 
 

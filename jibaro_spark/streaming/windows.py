@@ -205,6 +205,13 @@ def running_totals_tws(
     Gated on ``google.protobuf`` (the worker↔JVM state protocol is
     protobuf-encoded in Spark 4.1) — probe with :func:`has_tws`;
     environments without it keep the ``applyInPandasWithState`` path.
+
+    .. note:: **Experimental** — google.protobuf is absent in the build
+       sandbox, so ``test_transform_with_state_running_totals`` has
+       always skipped here: this operator is backed by static API
+       checks against pyspark 4.1.2, not a recorded run (ADVICE r3).
+       Treat :func:`running_counts` as the production custom-stateful
+       path until one real run of that test is green.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
