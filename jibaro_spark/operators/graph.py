@@ -78,14 +78,17 @@ def connected_components(
     ~2^25, i.e. never for real near-dup graphs; the guard exists so a
     driver bug fails loudly instead of looping.
     """
-    norm = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the (possibly expensive — e.g. an LSH band join)
+    # pair derivation ONCE: nodes and edges below are two consumers,
+    # and without this both re-execute the upstream pipeline.
+    norm = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     # Nodes come from the UNFILTERED pairs: a node appearing only as a
     # self-pair (u,u) still owes an output row (its own singleton
     # component) per the contract above — filtering self-loops first
     # would silently drop it.
-    nodes = (
-        norm.select("src").union(norm.select("dst")).distinct().localCheckpoint(True)
-    )
+    nodes = norm.select("src").union(norm.select("dst")).distinct().localCheckpoint(False)
     edges = (
         norm.filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -93,11 +96,15 @@ def connected_components(
     )
     for _ in range(max_iter):
         edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # converged ⟺ edge multiset unchanged (both are distinct sets:
-        # two anti-join counts ≡ symmetric difference empty)
+        # converged ⟺ edge set unchanged (both sides are distinct
+        # sets).  ONE full-outer join job — a null on either side is a
+        # symmetric-difference element (replaces two anti-join counts).
         changed = (
-            edges2.join(edges, ["src", "dst"], "left_anti").limit(1).count()
-            or edges.join(edges2, ["src", "dst"], "left_anti").limit(1).count()
+            edges2.withColumn("__l", F.lit(1))
+            .join(edges.withColumn("__r", F.lit(1)), ["src", "dst"], "full_outer")
+            .filter(F.col("__l").isNull() | F.col("__r").isNull())
+            .limit(1)
+            .count()
         )
         edges = edges2
         if not changed:
