@@ -162,6 +162,20 @@ def write_bucketed_table(
     session catalog, not the files): pick ``num_buckets`` so a bucket
     of the LARGER table stays executor-memory-sized.
     """
+    if mode == "overwrite":
+        # With an ephemeral (in-memory/fresh-derby) catalog the table
+        # METADATA dies with the session but the managed warehouse
+        # directory does not; a later saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS.  Drop both.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

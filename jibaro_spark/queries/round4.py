@@ -1,0 +1,192 @@
+"""Round-4 declared queries: bucketed co-located joins, sliding
+windows, and mergeable frequency sketches ([ext] — Spark-native scale
+machinery the reference engine lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.queries.registry import declare, load_tables
+
+
+def _d(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: both sides written bucketBy(orderkey) once,
+# then the join/agg runs WITHOUT any Exchange (the plan assertion lives
+# in tests/test_scale_plans.py).  Result values are oracle-checked —
+# bucketing must change the plan, never the answer.
+QBUCKJOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@declare(
+    "q_bucketed_join",
+    oracle=QBUCKJOIN_ORACLE,
+    description="shuffle-free co-located join over same-bucketed tables — write-once shuffle amortized over every key-aligned consumer (bucketing [ext])",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.io import write_bucketed_table
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    write_bucketed_table(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "jb_bucketed_orders",
+        ["o_orderkey"],
+        num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "jb_bucketed_lineitem",
+        ["o_orderkey"],
+        num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return (
+        spark.table("jb_bucketed_orders")
+        .join(spark.table("jb_bucketed_lineitem"), ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows: 30-minute windows every 10 minutes via
+# F.window(ts, "30 minutes", "10 minutes") — each event lands in 3
+# windows.  The batch form of the streaming hopping aggregation (same
+# expression under readStream + watermark); the DuckDB oracle unrolls
+# the 3 hops explicitly.
+QSLIDE_ORACLE = """
+WITH hops AS (
+  SELECT e.user_id, e.value,
+         CAST(to_timestamp(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 600) * 600
+                           - h.off * 600) AS TIMESTAMP) AS w_start
+  FROM events e, (SELECT UNNEST(range(3)) AS off) h
+  WHERE floor(epoch(CAST(e.ts AS TIMESTAMP)) / 600) * 600 - h.off * 600
+        + 1800 > epoch(CAST(e.ts AS TIMESTAMP))
+)
+SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM hops
+GROUP BY w_start
+ORDER BY w_start
+"""
+
+
+@declare(
+    "q_sliding_windows",
+    oracle=QSLIDE_ORACLE,
+    description="hopping-window aggregation (30 min window, 10 min slide) — batch form of the streaming hop (T5 [ext])",
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(_d("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "n_users", "sum_value")
+        .orderBy("w_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: a MERGEABLE frequency sketch (depth×
+# width counters, per-partition partial sketches combine by cell-wise
+# sum — the property that makes it a distributed/streaming-rollup
+# citizen, same family as the HLL/KMV queries).  CMS guarantees
+# estimate ≥ true count (one-sided error ≤ εN w.h.p.), so top-k by
+# estimate never misses a true heavy hitter above the error band.
+# Built from native exprs only: the d hash rows are xxhash64(term, d),
+# the sketch is a groupBy over (row, col) cells.  Declared rows-only
+# (the sketch itself is engine-specific); tests/test_approx_ops.py
+# pins estimate ≥ exact and bounded overestimate on the fixtures.
+
+
+def cms_estimates(
+    terms: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min estimates for every distinct term in ``terms``.
+
+    Two aggregations: (1) cell sketch — groupBy (row, col) over the
+    hashed terms (bounded: depth×width rows regardless of data size);
+    (2) per-distinct-term lookup joining its d cells and taking the
+    min.  The cell sketch is broadcast back (depth×width ≤ a few MB),
+    so the lookup is map-side.  Returns ``(term, est)``.
+    """
+    hashed = terms.select(
+        F.col(term_col).alias("term"),
+        *[
+            F.pmod(F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width)).alias(f"__c{d}")
+            for d in range(depth)
+        ],
+    )
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("row"), F.col(f"__c{d}").alias("col")
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy("rc.row", "rc.col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    distinct_terms = hashed.dropDuplicates(["term"])
+    est = distinct_terms
+    for d in range(depth):
+        cd = cells.filter(F.col("row") == d).select(
+            F.col("col").alias(f"__c{d}"), F.col("cnt").alias(f"__n{d}")
+        )
+        est = est.join(F.broadcast(cd), f"__c{d}")
+    return est.select(
+        "term",
+        F.least(*[F.col(f"__n{d}") for d in range(depth)]).alias("est"),
+    )
+
+
+@declare(
+    "q_cms_heavy_hitters",
+    oracle=None,  # sketch estimates are engine-specific; accuracy pinned in pytest
+    description="count-min sketch heavy hitters — mergeable depth×width counter sketch, estimate ≥ truth (sketch family [ext])",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        cms_estimates(terms, "term", depth=4, width=1024)
+        .orderBy(F.col("est").desc(), "term")
+        .limit(25)
+    )

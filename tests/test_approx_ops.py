@@ -270,6 +270,27 @@ def test_embedding_near_dup_lsh_precision(spark, sf_dir, emb_local):
         assert (r.id_a, r.id_b) in want  # subset of exact ground truth
 
 
+def test_cms_estimate_dominates_exact(spark, sf_dir):
+    """Count-min property: estimate ≥ true count for EVERY term, and
+    top terms (well above the εN error band) estimate exactly."""
+    from jibaro_spark.operators.textops import tokens
+    from jibaro_spark.queries.registry import load_tables
+    from jibaro_spark.queries.round4 import cms_estimates
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = {r.term: r.cnt for r in terms.groupBy("term").count().withColumnRenamed("count", "cnt").collect()}
+    est = {r.term: r.est for r in cms_estimates(terms, "term", depth=4, width=1024).collect()}
+    assert set(est) == set(exact)
+    n = sum(exact.values())
+    for t, c in exact.items():
+        assert est[t] >= c, f"CMS under-estimated {t}: {est[t]} < {c}"
+        assert est[t] - c <= 0.01 * n, f"CMS over-estimate beyond eps*N for {t}"
+    top = sorted(exact, key=lambda t: -exact[t])[:5]
+    for t in top:
+        assert est[t] == exact[t] or est[t] - exact[t] <= 0.001 * n
+
+
 def test_approx_sketches_accuracy(spark, sf_dir):
     """approx_count_distinct within its documented rsd of exact;
     percentile_approx within the group's value range of the exact
