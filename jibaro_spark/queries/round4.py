@@ -175,6 +175,71 @@ def cms_estimates(
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup: embedding-cosine near-dup pairs (exact block-pair
+# matmul) → connected components → canonical keep-rows.  The embedding
+# analogue of the n-gram `q_dedup_clusters` pipeline and the standard
+# tail of an LLM corpus-curation pass at the embedding stage.  The
+# oracle recomputes the pairs with exact SQL cosine and closes them
+# with a recursive CTE.
+QSEMDUP_ORACLE = """
+WITH RECURSIVE pr AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+             AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+  ) WHERE cosine_sim >= 0.45
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pr
+), reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), comp AS (
+  SELECT src AS vid, MIN(dst) AS cid FROM reach GROUP BY src
+)
+SELECT v.vec_id,
+       COALESCE(c.cid, v.vec_id) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cid, v.vec_id)) AS BIGINT) AS cluster_size,
+       (v.vec_id = COALESCE(c.cid, v.vec_id)) AS keep
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vid
+ORDER BY vec_id
+"""
+
+
+@declare(
+    "q_embedding_dedup_clusters",
+    oracle=QSEMDUP_ORACLE,
+    description="semantic dedup: exact embedding near-dup pairs → connected components → canonical keep flags (dedup [ext])",
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jibaro_spark.operators.graph import dedup_clusters
+    from jibaro_spark.operators.similarity import embedding_near_duplicates_exact
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = embedding_near_duplicates_exact(emb, "vec_id", "embedding", threshold=0.45)
+    clustered = dedup_clusters(
+        emb.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
+    )
+    return (
+        clustered.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+        .select("vec_id", "cluster_id", "cluster_size", "keep")
+        .orderBy("vec_id")
+    )
+
+
 @declare(
     "q_cms_heavy_hitters",
     oracle=None,  # sketch estimates are engine-specific; accuracy pinned in pytest
