@@ -101,7 +101,16 @@ def _interleaved() -> "dict[str, object]":
     out: "OrderedDict[str, object]" = OrderedDict()
     pending = [(n, d) for n, d in REGISTRY.items() if n not in confirmed]
     done = [(n, d) for n, d in REGISTRY.items() if n in confirmed]
-    round_robin(pending, out)  # never-driver-confirmed first, all modules
+    # Queries from modules that already have SOME driver-confirmed
+    # entries have been waiting since an earlier round — they outrank
+    # queries of brand-new (all-pending) modules, so additions made
+    # this round never displace older pending work from the capped
+    # prefix.
+    confirmed_mods = {d.fn.__module__ for n, d in done}
+    pend_old = [(n, d) for n, d in pending if d.fn.__module__ in confirmed_mods]
+    pend_new = [(n, d) for n, d in pending if d.fn.__module__ not in confirmed_mods]
+    round_robin(pend_old, out)  # never-driver-confirmed first, all modules
+    round_robin(pend_new, out)
     round_robin(done, out)
     return out
 
