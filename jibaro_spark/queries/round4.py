@@ -176,6 +176,36 @@ def cms_estimates(
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary training: iterative most-frequent-pair merges over the
+# word-frequency table (operators/bpe.py — the corpus is touched once
+# for the word count; every round is vocab-sized).  Non-SQL-expressible
+# (argmax-dependent iterative rewrite) → rows-only for the driver,
+# exact-pinned against a pure-Python reference BPE in pytest.
+
+
+@declare(
+    "q_bpe_train",
+    oracle=None,
+    description="BPE tokenizer training: iterative adjacent-pair merges over the word-frequency table (tokenizer [ext])",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.bpe import bpe_train
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+    )
+    merges = bpe_train(wc, "w", "count", num_merges=12)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, freq long"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup: embedding-cosine near-dup pairs (exact block-pair
 # matmul) → connected components → canonical keep-rows.  The embedding
 # analogue of the n-gram `q_dedup_clusters` pipeline and the standard

@@ -427,3 +427,99 @@ def test_pagerank_vs_numpy_power_iteration(spark):
         assert abs(got[node] - pr[idx[node]]) < 1e-9, (node, got[node], pr[idx[node]])
     # 'c' has the most weighted in-links → top rank
     assert max(got, key=got.get) == "c"
+
+
+def _python_bpe(word_counts: dict, num_merges: int, min_freq: int = 2):
+    """Sequential reference BPE (Sennrich'16 formulation) for pinning
+    the distributed trainer: same tiebreak (freq DESC, left, right),
+    same left-to-right single-pass merge."""
+    seqs = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for r in range(num_merges):
+        counts: dict = {}
+        for syms, c in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, rt), freq = best
+        if freq < min_freq:
+            break
+        merges.append((r, l, rt, freq))
+        out = {}
+        for syms, c in seqs.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rt:
+                    res.append(l + rt)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + c
+        seqs = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from jibaro_spark.operators.bpe import bpe_train
+
+    wc = {
+        "lower": 6, "lowest": 3, "newer": 8, "newest": 5,
+        "wider": 2, "low": 9, "new": 4, "a": 7,
+    }
+    df = spark.createDataFrame(list(wc.items()), "w string, n long")
+    got = bpe_train(df, "w", "n", num_merges=10)
+    want = _python_bpe(wc, 10)
+    assert got == want
+    assert len(got) >= 8  # the corpus supports at least 8 merges
+
+
+def test_bpe_merge_pair_fold_semantics(spark):
+    """Left-to-right one-pass merge: 'aaa' with (a,a) -> [aa, a];
+    'aaaa' -> [aa, aa]; non-adjacent symbols untouched."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("aba",), ("",)], "s string"
+    )
+    rows = df.select(
+        F.col("s"), _merge_pair(F.split("s", ""), "a", "a").alias("m")
+    ).collect()
+    got = {r.s: list(r.m) for r in rows}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aba"] == ["a", "b", "a"]
+    assert got[""] in ([], [""])  # split('') of empty string is engine-edge
+
+
+def test_bpe_apply_roundtrip(spark):
+    """bpe_apply with the learned merges reproduces the reference
+    tokenization of held-out words."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.bpe import bpe_apply, bpe_train
+
+    wc = {"hugging": 5, "hugged": 4, "hugs": 6, "hub": 3}
+    df = spark.createDataFrame(list(wc.items()), "w string, n long")
+    merges = bpe_train(df, "w", "n", num_merges=6)
+    toks = df.select(
+        "w", bpe_apply(F.split("w", ""), merges).alias("t")
+    ).collect()
+    # apply the same merges sequentially in python
+    for r in toks:
+        syms = list(r.w)
+        for _, l, rt, _ in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rt:
+                    res.append(l + rt)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        assert list(r.t) == syms, r.w
