@@ -176,6 +176,76 @@ def cms_estimates(
 
 
 # ---------------------------------------------------------------------------
+# Quality-model inference: a fixed logistic model over the quality
+# features — the model-scoring step of a curation pipeline (classifier
+# weights broadcast as literals, score entirely map-side; at 100 TB
+# this is one scan, zero shuffles before the tiny band rollup).  The
+# linear term is rounded to 6dp BEFORE the sigmoid and the probability
+# to 6dp after, the same transcendental-determinism recipe the
+# PMI/entropy queries use.
+QQMODEL_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_distinct({{toks}})) AS DOUBLE) / CAST(len({{toks}}) AS DOUBLE)
+           AS uniq_token_ratio,
+         CAST(len({{toks}}) AS DOUBLE) AS n_tok
+  FROM documents
+), z AS (
+  SELECT doc_id, lang,
+         ROUND(-1.5 + 2.0 * alpha_ratio + 1.2 * uniq_token_ratio
+               - 3.0 * punct_ratio + 0.002 * n_tok, 6) AS z
+  FROM f
+), p AS (
+  SELECT doc_id, lang, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS p FROM z
+)
+SELECT lang,
+       CASE WHEN p >= 0.75 THEN 'high' WHEN p >= 0.5 THEN 'mid' ELSE 'low' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_p
+FROM p
+GROUP BY lang, band
+ORDER BY lang, band
+""".replace("{toks}", "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')")
+
+
+@declare(
+    "q_quality_model_score",
+    oracle=QQMODEL_ORACLE,
+    description="logistic quality-model inference: broadcast-literal weights, map-side sigmoid scoring, per-lang band rollup (curation [ext])",
+)
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import quality_features
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    f = quality_features(F.col("text"))
+    z = F.round(
+        F.lit(-1.5)
+        + F.lit(2.0) * f["alpha_ratio"]
+        + F.lit(1.2) * f["uniq_token_ratio"]
+        - F.lit(3.0) * f["punct_ratio"]
+        + F.lit(0.002) * f["n_tokens"].cast("double"),
+        6,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    band = (
+        F.when(p >= 0.75, "high").when(p >= 0.5, "mid").otherwise("low")
+    )
+    return (
+        docs.select("lang", p.alias("__p"), band.alias("band"))
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__p").cast("decimal(18,6)")).cast("double").alias("sum_p"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE vocabulary training: iterative most-frequent-pair merges over the
 # word-frequency table (operators/bpe.py — the corpus is touched once
 # for the word count; every round is vocab-sized).  Non-SQL-expressible
