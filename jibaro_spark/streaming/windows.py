@@ -50,6 +50,39 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each row lands in
+    ``window/slide`` overlapping windows — map-side expansion, then the
+    same watermarked grouped aggregation as :func:`tumbling_counts`.
+    State is bounded by (active windows × groups); a window finalizes
+    when the watermark passes its end.  Batch form declared as
+    ``q_sliding_windows`` (oracle-checked); stream-vs-batch equality
+    pinned in tests.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+            "total",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame,
     ts_col: str = "ts",

@@ -73,6 +73,31 @@ def test_tumbling_counts_stream_equals_batch(spark, events_dir):
     assert len(got) >= len(expected) * 0.5
 
 
+def test_hopping_counts_stream_equals_batch(spark, events_dir):
+    """Hopping windows (30 min / 10 min slide): every event contributes
+    to 3 windows; the streamed availableNow run finalizes the same
+    window set with the same counts/totals as the batch formulation."""
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r.window_start, r.window_end): (r.n, r.total)
+        for r in W.hopping_counts(batch).collect()
+    }
+    assert len(expected) > 3
+
+    sdf = W.hopping_counts(_stream(spark, events_dir))
+    _run_to_memory(sdf, "hopping")
+    got = {
+        (r.window_start, r.window_end): (r.n, r.total)
+        for r in spark.table("hopping").collect()
+    }
+    # append mode only emits watermark-closed windows: every emitted
+    # window matches batch exactly; only the trailing ones are held.
+    assert got, "stream produced no finalized windows"
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
+    assert len(got) >= len(expected) * 0.5
+
+
 def test_session_windows_stream_runs_and_matches_batch(spark, events_dir):
     batch = spark.read.parquet(events_dir)
     expected = {
