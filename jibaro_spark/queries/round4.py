@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from jibaro_spark.queries.registry import declare, load_tables
 
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
 
 def _d(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,4)")
@@ -172,6 +175,111 @@ def cms_estimates(
     return est.select(
         "term",
         F.least(*[F.col(f"__n{d}") for d in range(depth)]).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity: train an add-1-smoothed bigram language model
+# on the corpus and score every document's perplexity — the
+# CCNet-style LM quality filter (documents far from the corpus
+# distribution score high).  Per-bigram log probs are rounded to 10dp
+# and decimal-summed (the PMI/entropy determinism recipe); the final
+# exp is taken on the rounded mean.  Shuffles: bigram counts (grows
+# with corpus — joined, never broadcast) + the per-doc rollup.
+QBPPL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), uc AS (
+  SELECT term, COUNT(*) AS c FROM (SELECT unnest(ts) AS term FROM d) GROUP BY term
+), v AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS vsize FROM uc
+), big AS (
+  SELECT doc_id,
+         unnest(list_slice(ts, 1, len(ts) - 1)) AS t1,
+         unnest(list_slice(ts, 2, len(ts))) AS t2
+  FROM d
+  WHERE len(ts) >= 2
+), bc AS (
+  SELECT t1, t2, COUNT(*) AS c_xy FROM big GROUP BY t1, t2
+), scored AS (
+  SELECT b.doc_id,
+         ROUND(LN((CAST(bc.c_xy AS DOUBLE) + 1.0)
+                  / (CAST(u1.c AS DOUBLE) + v.vsize)), 10) AS lp
+  FROM big b
+  JOIN bc ON b.t1 = bc.t1 AND b.t2 = bc.t2
+  JOIN uc u1 ON b.t1 = u1.term
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))), 6)
+         AS perplexity
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_bigram_perplexity",
+    oracle=QBPPL_ORACLE,
+    description="add-1 bigram LM perplexity per document — the LM quality-filter signal (curation [ext])",
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    uc = (
+        d.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = uc.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
+    n1 = F.size("ts") - 1
+    big = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", F.lit(1), n1).alias("t1"),
+                    F.slice("ts", F.lit(2), n1).alias("t2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    )
+    bc = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_xy"))
+    u1 = uc.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    lp = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("vsize"))
+        ),
+        10,
+    )
+    scored = (
+        big.join(bc, ["t1", "t2"])
+        .join(u1, "t1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -(
+                        F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                ),
+                6,
+            ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
     )
 
 
