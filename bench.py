@@ -71,6 +71,12 @@ HEADLINE = [
     "q_value_histogram",
     "q_ewma_events",
     "q_cohort_retention",
+    # round 4 operators (bucketed join and BPE excluded: table-write /
+    # iterative-driver costs would dominate their timings)
+    "q_sliding_windows",
+    "q_quality_model_score",
+    "q_bigram_perplexity",
+    "q_embedding_dedup_clusters",
 ]
 
 
