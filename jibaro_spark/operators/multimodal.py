@@ -174,11 +174,73 @@ def plan_frame_samples(
     return df.withColumn(out_col, plan)
 
 
-def resize_images(
-    df: DataFrame, width: int, height: int, content_col: str = "content"
-) -> DataFrame:
-    """Image resize — genuinely needs a codec; STUB by contract."""
+#: resizer: (payload bytes, media dict, width, height) -> resized bytes
+Resizer = Callable[[bytes, dict, int, int], bytes]
+
+
+def stub_resizer(payload: bytes, media: dict, width: int, height: int) -> bytes:
+    """Default resize kernel STUB — the real one needs PIL/ffmpeg,
+    absent in this container by design."""
     raise NotImplementedError(
-        "resize requires an image codec (PIL); wire a decoder via "
-        "decode_media(decoder=...) and transform in the same mapInPandas pass"
+        "image resize requires an image codec (PIL); inject resizer= "
+        "or use fake_resizer for deterministic tests"
     )
+
+
+def fake_resizer(payload: bytes, media: dict, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize kernel: emits a pseudo-bitmap of
+    exactly ``width*height`` bytes derived from the source digest, so
+    tests exercise the full Arrow path, output sizing, and metadata
+    rewrite with stable results."""
+    digest = hashlib.sha256(payload or b"")
+    out = bytearray()
+    block = digest.digest()
+    while len(out) < width * height:
+        out.extend(block)
+        block = hashlib.sha256(block).digest()
+    return bytes(out[: width * height])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    media_col: str = "media",
+    resizer: Resizer = stub_resizer,
+) -> DataFrame:
+    """Resize image rows via the same Arrow-batched ``mapInPandas``
+    plumbing as :func:`decode_media`: map-only (zero shuffles), batch-
+    bounded memory, non-image rows passed through untouched.
+
+    The codec kernel is injected (``resizer=``) — PIL/ffmpeg are absent
+    here by design, so the REAL kernel stays a documented stub
+    (:func:`stub_resizer`) while :func:`fake_resizer` drives the
+    full-path tests.  The ``media`` struct is rewritten with the new
+    dimensions so downstream metadata stays truthful.
+    """
+    schema = df.schema
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out_content = []
+            out_media = []
+            for _, row in pdf.iterrows():
+                media = dict(row[media_col]) if row[media_col] is not None else {}
+                if media.get("kind") == "image" and row[content_col] is not None:
+                    out_content.append(
+                        resizer(bytes(row[content_col]), media, width, height)
+                    )
+                    media["width"], media["height"] = width, height
+                    out_media.append(media)
+                else:
+                    out_content.append(row[content_col])
+                    out_media.append(row[media_col])
+            pdf = pdf.reset_index(drop=True)
+            pdf[content_col] = pd.Series(out_content, dtype="object")
+            pdf[media_col] = pd.Series(out_media, dtype="object")
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

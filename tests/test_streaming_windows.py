@@ -236,8 +236,37 @@ def test_multimodal_stub_and_fake(spark):
     assert stats[1].sniffed_mime == "image/jpeg"
     assert stats[2].sniffed_mime == "image/png"
 
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(df, 64, 64)
+    # resize: real-kernel path raises with guidance AT EXECUTION (the
+    # plumbing itself builds a valid plan); the fake kernel drives the
+    # full Arrow path — exact output sizing, metadata rewrite,
+    # non-image passthrough, deterministic bytes.
+    with pytest.raises(Exception) as ei:
+        mm.resize_images(df, 64, 64).collect()
+    assert "NotImplementedError" in str(ei.value) or "resize" in str(ei.value)
+
+    mixed = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0data", ("image", "image/jpeg", 100, 50, None, None)),
+         (2, b"RIFFxxxx", ("audio", "audio/wav", None, None, 16000, 2500)),
+         (3, None, ("image", "image/png", 8, 8, None, None))],
+        f"id int, content binary, media {mm.MEDIA_STRUCT.simpleString()}",
+    )
+    rs = {
+        r.id: r
+        for r in mm.resize_images(
+            mixed, 16, 12, resizer=mm.fake_resizer
+        ).collect()
+    }
+    assert len(bytes(rs[1].content)) == 16 * 12
+    assert (rs[1].media.width, rs[1].media.height) == (16, 12)
+    assert bytes(rs[2].content) == b"RIFFxxxx"  # non-image untouched
+    assert (rs[2].media.sample_rate, rs[2].media.duration_ms) == (16000, 2500)
+    assert rs[3].content is None  # null payload passes through
+    rs2 = {
+        r.id: bytes(r.content)
+        for r in mm.resize_images(mixed, 16, 12, resizer=mm.fake_resizer).collect()
+        if r.content is not None
+    }
+    assert bytes(rs[1].content) == rs2[1]  # deterministic
 
 
 def test_interval_join_stream_stream_equals_batch(spark, events_dir):
