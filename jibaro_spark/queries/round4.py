@@ -164,6 +164,10 @@ def cms_estimates(
         )
         .groupBy("rc.row", "rc.col")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # materialize the (≤ depth×width rows) sketch ONCE: the d
+        # per-depth lookup joins below each consume it, and without
+        # this the corpus-sized explode re-executes per depth
+        .localCheckpoint(eager=True)
     )
     distinct_terms = hashed.dropDuplicates(["term"])
     est = distinct_terms
