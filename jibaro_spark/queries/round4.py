@@ -233,7 +233,16 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.textops import tokens
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    d = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    # tokenization (interpreted HOF) feeds the unigram counts AND the
+    # bigram expansion, whose consumers shuffle on DIFFERENT keys (term
+    # vs (t1,t2)) — materialize the token arrays once (same reuse
+    # discipline as the cross-doc shingle query).  The bigram explode
+    # itself is NOT checkpointed: its two consumers both exchange on
+    # (t1,t2), which Catalyst already reuses, and at 100 TB
+    # materializing the bigram table would cost more than the reuse.
+    d = docs.select("doc_id", tokens(F.col("text")).alias("ts")).localCheckpoint(
+        eager=True
+    )
     uc = (
         d.select(F.explode("ts").alias("term"))
         .groupBy("term")
