@@ -175,3 +175,64 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     conf = jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshot versions of a table — the audit
+    tail of a CDC pipeline (what did this merge batch actually change?)
+    and the reconciliation primitive between independently-produced
+    copies.
+
+    One full-outer join on the PK; per row a status of ``added`` /
+    ``removed`` / ``changed`` (unchanged rows are dropped — at 100 TB
+    the diff output is change-sized, never table-sized) and the exact
+    ``changed_cols`` list, computed with null-safe equality (``<=>``)
+    so null→value and value→null transitions register.  Single shuffle
+    per side on the key; column comparison is one map-side filter over
+    a literal array of per-column structs.
+
+    Returns ``key_cols + (status, changed_cols)``.
+    """
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c in set(old.columns) and c not in set(key_cols)
+    ]
+    o = old.select(*key_cols, *[F.col(c).alias(f"__o_{c}") for c in cols]).withColumn(
+        "__in_old", F.lit(1)
+    )
+    n = new.select(*key_cols, *[F.col(c).alias(f"__n_{c}") for c in cols]).withColumn(
+        "__in_new", F.lit(1)
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                ).otherwise(F.lit(None))
+                for c in cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(F.size("__changed") > 0, "changed")
+    )
+    return (
+        j.withColumn("__changed", changed_cols)
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *key_cols,
+            "status",
+            F.when(F.col("status") == "changed", F.col("__changed"))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

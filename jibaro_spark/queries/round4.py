@@ -183,6 +183,71 @@ def cms_estimates(
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff: row-level added/removed/changed audit between two
+# versions of a table (operators/cdc.snapshot_diff).  Versions are
+# derived deterministically from the orders fixture: v2 drops every
+# 7th order, adds nothing, and reprices every 5th — so all three
+# statuses appear with known counts.  Output is change-sized, never
+# table-sized.
+QSNAPDIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'changed' END AS status,
+         CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+              ELSE array_to_string(list_filter(
+                [CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+                 CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+                 CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END],
+                x -> x IS NOT NULL), ',') END AS changed_cols
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, status, changed_cols FROM j WHERE status IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+@declare(
+    "q_snapshot_diff",
+    oracle=QSNAPDIFF_ORACLE,
+    description="row-level snapshot diff: added/removed/changed + column change sets between table versions (CDC audit [ext])",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.cdc import snapshot_diff
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"])
+        .withColumn("changed_cols", F.concat_ws(",", "changed_cols"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM perplexity: train an add-1-smoothed bigram language model
 # on the corpus and score every document's perplexity — the
 # CCNet-style LM quality filter (documents far from the corpus

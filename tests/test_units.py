@@ -523,3 +523,24 @@ def test_bpe_apply_roundtrip(spark):
                     i += 1
             syms = res
         assert list(r.t) == syms, r.w
+
+
+def test_snapshot_diff_statuses_and_null_transitions(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from jibaro_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (5, "e", 50.0)],
+        "id long, s string, v double",
+    )
+    rows = {r.id: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert 1 not in rows  # unchanged rows dropped
+    assert rows[2].status == "changed" and list(rows[2].changed_cols) == ["v"]
+    assert rows[3].status == "changed" and list(rows[3].changed_cols) == ["s"]
+    assert rows[4].status == "removed" and list(rows[4].changed_cols) == []
+    assert rows[5].status == "added" and list(rows[5].changed_cols) == []
