@@ -129,16 +129,44 @@ def _proto_index_state(c: Column, max_scan: int = _PROTO_INDEX_MAX_SCAN) -> Colu
     return F.aggregate(bytes_arr, init, step)
 
 
-def proto_message_indexes(col: Column | str) -> Column:
+def proto_message_indexes(
+    col: Column | str, max_scan: int = _PROTO_INDEX_MAX_SCAN
+) -> Column:
     """Decoded protobuf message-index list (``array<int>``) — ``[0]``
     for single-message schemas; null if truncated/malformed.  Feeds
-    message dispatch for multi-message descriptors."""
+    message dispatch for multi-message descriptors.
+
+    ``max_scan`` bounds the byte-at-a-time fold; raise it for
+    pathologically deep message paths (> ~8 multi-byte varint levels).
+    Use :func:`proto_index_scan_truncated` to DISTINGUISH "null because
+    the frame is malformed/short" from "null because max_scan was too
+    small" — the latter is recoverable by re-running with a larger
+    bound instead of silently losing rows (ADVICE r4)."""
     c = F.col(col) if isinstance(col, str) else col
-    st = _proto_index_state(c)
+    st = _proto_index_state(c, max_scan)
     return F.when(st["phase"] == 2, st["idxs"])
 
 
-def payload_of(col: Column | str, content_type: str = "avro") -> Column:
+def proto_index_scan_truncated(
+    col: Column | str, max_scan: int = _PROTO_INDEX_MAX_SCAN
+) -> Column:
+    """True iff the message-index parse was cut off by ``max_scan``
+    while payload bytes remained (phase still mid-parse after the
+    bounded fold) — i.e. the null from :func:`proto_message_indexes` /
+    :func:`payload_of` is a scan-bound artifact, not a corrupt frame.
+    Pipelines should route such rows to a wider-``max_scan`` retry
+    rather than a quarantine sink.  Phase 3 (bytes genuinely ran out)
+    stays False: that IS a malformed/short frame."""
+    c = F.col(col) if isinstance(col, str) else col
+    st = _proto_index_state(c, max_scan)
+    return st["phase"].isin(0, 1) & (F.length(c) > F.lit(5 + max_scan))
+
+
+def payload_of(
+    col: Column | str,
+    content_type: str = "avro",
+    max_scan: int = _PROTO_INDEX_MAX_SCAN,
+) -> Column:
     """Payload slice after the Confluent header.
 
     Uses ``length(col)`` for the slice bound — the reference sliced the
@@ -151,7 +179,7 @@ def payload_of(col: Column | str, content_type: str = "avro") -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     if content_type == "protobuf":
-        st = _proto_index_state(c)
+        st = _proto_index_state(c, max_scan)
         start = F.when(st["phase"] == 2, F.lit(6) + st["len"])
         return F.substring(c, start, F.length(c) - start + 1)
     start = F.lit(_AVRO_PAYLOAD_START)
@@ -199,15 +227,19 @@ def wire_encode(
     return F.concat(*parts, payload)
 
 
-def split_wire_format(df: DataFrame, content_type: str = "avro") -> DataFrame:
+def split_wire_format(
+    df: DataFrame,
+    content_type: str = "avro",
+    max_scan: int = _PROTO_INDEX_MAX_SCAN,
+) -> DataFrame:
     """Add ``keySchemaId, valueSchemaId, keyPayload, valuePayload``
     columns from Kafka-shaped ``key``/``value`` binary columns
     (reference ``avro_handler.py:31-40``)."""
     return (
         df.withColumn("keySchemaId", schema_id_of("key"))
         .withColumn("valueSchemaId", schema_id_of("value"))
-        .withColumn("keyPayload", payload_of("key", content_type))
-        .withColumn("valuePayload", payload_of("value", content_type))
+        .withColumn("keyPayload", payload_of("key", content_type, max_scan))
+        .withColumn("valuePayload", payload_of("value", content_type, max_scan))
     )
 
 

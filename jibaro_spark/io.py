@@ -166,16 +166,44 @@ def write_bucketed_table(
         # With an ephemeral (in-memory/fresh-derby) catalog the table
         # METADATA dies with the session but the managed warehouse
         # directory does not; a later saveAsTable then fails with
-        # LOCATION_ALREADY_EXISTS.  Drop both.
+        # LOCATION_ALREADY_EXISTS.  Drop both.  The location is
+        # RESOLVED through the catalog (ADVICE r4) — a qualified
+        # 'db.tbl' name or a non-default current database lands under
+        # <db-location>/<tbl>, not <warehouse>/<name>; and the py4j FS
+        # cleanup is skipped gracefully where the JVM gateway does not
+        # exist (Spark Connect), leaving only the (pre-existing)
+        # LOCATION_ALREADY_EXISTS failure mode there.
         spark = df.sparkSession
+        loc = None
+        try:
+            if spark.catalog.tableExists(table_name):
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {table_name}"
+                ).collect():
+                    if r[0] == "Location":
+                        loc = r[1]
+                        break
+        except Exception:
+            loc = None
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
+        if loc is None:
+            parts = table_name.split(".")
+            db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+            try:
+                db_loc = spark.catalog.getDatabase(db).locationUri
+                loc = f"{db_loc.rstrip('/')}/{parts[-1].lower()}"
+            except Exception:
+                loc = None
+        if loc is not None:
+            try:
+                jvm = spark.sparkContext._jvm
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                p = jvm.org.apache.hadoop.fs.Path(loc)
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)
+            except Exception:
+                pass  # no JVM gateway (Spark Connect) — metadata drop above suffices
     writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -291,16 +291,40 @@ def seed_centroids(
     (min..min+n-1) this picks exactly the rank-strided vectors the
     windowed form picked; for sparse ids it is the same "evenly spread
     deterministic sample" contract at k of the matching ids.
+
+    Guarded (ADVICE r4): non-numeric id types, and sparse id domains
+    where the modulo filter matches fewer than ``n_centroids`` rows,
+    fall back to the hash-ordered top-k — ``orderBy(xxhash64(id))
+    .limit(k)`` is a ``TakeOrderedAndProject`` (bounded, no global
+    sort) whose pseudo-random-but-deterministic order spreads the
+    seeds across the domain regardless of id density or type.  Raises
+    only when the frame has fewer than ``n_centroids`` rows at all.
     """
-    n, mn = df.agg(F.count(F.lit(1)), F.min(id_col)).first()
-    stride = max(n // n_centroids, 1)
-    rows = (
-        df.select(id_col, vec_col)
-        .filter(F.pmod(F.col(id_col) - F.lit(mn), F.lit(stride)) == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    )
+    from pyspark.sql.types import NumericType
+
+    id_type = df.schema[id_col].dataType
+    rows: list = []
+    if isinstance(id_type, NumericType):
+        n, mn = df.agg(F.count(F.lit(1)), F.min(id_col)).first()
+        stride = max((n or 0) // n_centroids, 1)
+        rows = (
+            df.select(id_col, vec_col)
+            .filter(F.pmod(F.col(id_col) - F.lit(mn), F.lit(stride)) == 0)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+    if len(rows) < n_centroids:
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"seed_centroids: need {n_centroids} rows, frame has {len(rows)}"
+        )
     rows.sort(key=lambda r: r[0])
     return [list(r[1]) for r in rows]
 

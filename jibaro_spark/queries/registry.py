@@ -78,6 +78,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     # the host session's timezone — the driver runs queries under ITS
     # session, not ours, and DuckDB is timezone-naive.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver runs queries under ITS session, possibly launched from
+    # a cwd where Python workers cannot import jibaro_spark — ship the
+    # package (idempotent, ~once per session) so pandas-UDF closures
+    # (multimodal decode) resolve on workers regardless of driver cwd.
+    from jibaro_spark.session import _ship_package
+
+    _ship_package(spark)
     out: dict[str, DataFrame] = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -1246,7 +1246,7 @@ WITH l AS (
          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 )
 SELECT event_id, user_id, value,
        ROUND(list_sum(list_transform(range(1, len(vs) + 1),
@@ -1263,12 +1263,16 @@ ORDER BY event_id
     description="bounded exponential moving average (power-of-two weights, closed-form normalizer) (W3 [ext])",
 )
 def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL values are excluded EXPLICITLY on both sides: Spark's
-    # collect_list silently drops NULLs while DuckDB's list() keeps
-    # them, shifting len(vs)/weights — without the filter the
-    # equivalence would hold only on non-null fixture data (ADVICE r3).
+    # NULL values AND null timestamps are excluded EXPLICITLY on both
+    # sides: Spark's collect_list silently drops NULL values while
+    # DuckDB's list() keeps them (shifting len(vs)/weights), and the
+    # two engines default to opposite NULL placement in ASC ordering
+    # (Spark NULLS FIRST, DuckDB NULLS LAST) so a null ts would shift
+    # the ROWS frame — without both filters the equivalence holds only
+    # on non-null fixture data (ADVICE r3/r4; null-injection test in
+    # tests/test_round5_fixes.py).
     ev = load_tables(spark, sf_dir, "events")["events"].filter(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     w8 = (
         Window.partitionBy("user_id")

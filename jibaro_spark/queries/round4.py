@@ -84,7 +84,8 @@ WITH hops AS (
          CAST(to_timestamp(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 600) * 600
                            - h.off * 600) AS TIMESTAMP) AS w_start
   FROM events e, (SELECT UNNEST(range(3)) AS off) h
-  WHERE floor(epoch(CAST(e.ts AS TIMESTAMP)) / 600) * 600 - h.off * 600
+  WHERE e.ts IS NOT NULL
+    AND floor(epoch(CAST(e.ts AS TIMESTAMP)) / 600) * 600 - h.off * 600
         + 1800 > epoch(CAST(e.ts AS TIMESTAMP))
 )
 SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -102,7 +103,13 @@ ORDER BY w_start
     description="hopping-window aggregation (30 min window, 10 min slide) — batch form of the streaming hop (T5 [ext])",
 )
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # ts IS NOT NULL pinned EXPLICITLY on both sides: Spark groups
+    # null-ts rows into a null window struct while the oracle's
+    # hop-unroll WHERE drops them — without the filter the equivalence
+    # holds only while the fixture has no null timestamps (ADVICE r4).
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
         .agg(
