@@ -236,3 +236,55 @@ def snapshot_diff(
             .alias("changed_cols"),
         )
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 apply: close out the current
+    version of every changed key and append the new version, keeping
+    full history ([ext] — the versioned-dimension sibling of the
+    reference's last-write-wins MERGE, ``cdc.py:203-216``, which keeps
+    only current state).
+
+    ``dim`` carries ``valid_from``/``valid_to`` (open rows have null
+    ``valid_to``); ``changes`` carries the key + new attribute values +
+    ``effective_col`` (the change's effective instant, copied into the
+    closed-out row's ``valid_to`` and the new row's ``valid_from``).
+
+    Scale shape: ONE key-partitioned shuffle — the current slice joins
+    the (typically CDC-batch-sized, AQE-broadcastable) change set; the
+    closed history passes through untouched.  No windows, no global
+    state; at 100 TB the cost is the dim scan + one bounded join.
+    """
+    attr_cols = [c for c in changes.columns if c not in keys + [effective_col]]
+    eff = changes.select(
+        *keys, *attr_cols, F.col(effective_col).alias("__eff")
+    )
+    history = dim.filter(F.col(valid_to).isNotNull())
+    current = dim.filter(F.col(valid_to).isNull())
+    closing = eff.select(*keys, "__eff")
+    expired = (
+        current.join(closing, keys, "inner")
+        .withColumn(valid_to, F.col("__eff"))
+        .drop("__eff")
+    )
+    untouched = current.join(closing.select(*keys), keys, "left_anti")
+    new_rows = eff.select(
+        *keys,
+        *attr_cols,
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    cols = dim.columns
+    return (
+        history.select(cols)
+        .unionByName(expired.select(cols))
+        .unionByName(untouched.select(cols))
+        .unionByName(new_rows.select(cols))
+    )

@@ -419,47 +419,59 @@ def partitioned_prefix_sum(
     )
 
 
-def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
-    """Morton / Z-order interleave of two non-negative integer keys:
-    bit ``i`` of ``x`` lands at z-bit ``2i``, bit ``i`` of ``y`` at
-    ``2i+1``.  Pure shift/mask arithmetic — stays inside whole-stage
-    codegen and has identical semantics in any engine (the oracle uses
-    ``//``/``%`` arithmetic on the same constants).
+def zorder_value(*cols: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleave of N non-negative integer keys: bit
+    ``i`` of column ``j`` lands at z-bit ``i·N + j`` (for two columns
+    this is the classic 2i/2i+1 interleave, unchanged from the 2-col
+    form this generalizes — VERDICT r4 §Next-6).  Pure shift/mask
+    arithmetic — stays inside whole-stage codegen and has identical
+    semantics in any engine (the oracle uses ``//``/``%`` arithmetic
+    on the same constants).
 
     Z-ordering is the multi-dimensional data-layout primitive: sort or
-    range-partition by ``zorder_value(a, b)`` before writing, and range
-    scans filtered on EITHER ``a`` or ``b`` (or both) touch a small,
+    range-partition by ``zorder_value(a, b, c)`` before writing, and
+    range scans filtered on ANY subset of the keys touch a small,
     contiguous subset of files — the locality that single-column sort
     gives only to its leading key.  This is the engine-native
     equivalent of Delta's ``OPTIMIZE ZORDER BY`` (reference's Delta
-    maintenance surface, SURVEY §2.2 K11 family).
+    maintenance surface, SURVEY §2.2 K11 family; interop target
+    ``lake_lab/trino/catalog/delta.properties:1-9``).
+
+    ``bits × N`` must fit a signed long (≤ 62); keys wider than
+    ``bits`` bits should be bucketed/shifted down first (standard
+    OPTIMIZE practice — Z-order on raw 64-bit keys wastes the
+    interleave on never-set high bits).
     """
-    xl, yl = x.cast("long"), y.cast("long")
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_value: need at least 2 columns")
+    if bits * n > 62:
+        raise ValueError(
+            f"zorder_value: bits×cols = {bits * n} exceeds signed-long range"
+        )
     z: Column = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftright(xl, i).bitwiseAND(F.lit(1)) * F.lit(4**i)
-            + F.shiftright(yl, i).bitwiseAND(F.lit(1)) * F.lit(2 * 4**i)
-        )
+        for j, c in enumerate(cols):
+            z = z + F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(
+                2 ** (i * n + j)
+            )
     return z
 
 
 def layout_zorder(
     df: DataFrame,
-    x_col: str,
-    y_col: str,
+    *key_cols: str,
     num_partitions: int,
     bits: int = 16,
 ) -> DataFrame:
-    """Range-partition + sort ``df`` by the Z-value of two keys, ready
+    """Range-partition + sort ``df`` by the Z-value of N keys, ready
     for a partitioned/bucketed write.  Every output partition then
-    covers a compact rectangle-ish region of (x, y) space, so file
+    covers a compact hyperrectangle-ish region of key space, so file
     skipping (min/max stats, partition pruning) works for predicates
-    on either key at 100 TB — one extra shuffle at write time buys it.
+    on any key at 100 TB — one extra shuffle at write time buys it.
     """
     zed = df.withColumn(
-        "__z", zorder_value(F.col(x_col), F.col(y_col), bits=bits)
+        "__z", zorder_value(*[F.col(c) for c in key_cols], bits=bits)
     )
     return (
         zed.repartitionByRange(num_partitions, "__z")

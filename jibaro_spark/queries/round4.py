@@ -132,61 +132,10 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Built from native exprs only: the d hash rows are xxhash64(term, d),
 # the sketch is a groupBy over (row, col) cells.  Declared rows-only
 # (the sketch itself is engine-specific); tests/test_approx_ops.py
-# pins estimate ≥ exact and bounded overestimate on the fixtures.
-
-
-def cms_estimates(
-    terms: DataFrame,
-    term_col: str,
-    depth: int = 4,
-    width: int = 1024,
-) -> DataFrame:
-    """Count-min estimates for every distinct term in ``terms``.
-
-    Two aggregations: (1) cell sketch — groupBy (row, col) over the
-    hashed terms (bounded: depth×width rows regardless of data size);
-    (2) per-distinct-term lookup joining its d cells and taking the
-    min.  The cell sketch is broadcast back (depth×width ≤ a few MB),
-    so the lookup is map-side.  Returns ``(term, est)``.
-    """
-    hashed = terms.select(
-        F.col(term_col).alias("term"),
-        *[
-            F.pmod(F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width)).alias(f"__c{d}")
-            for d in range(depth)
-        ],
-    )
-    cells = (
-        hashed.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("row"), F.col(f"__c{d}").alias("col")
-                        )
-                        for d in range(depth)
-                    ]
-                )
-            ).alias("rc")
-        )
-        .groupBy("rc.row", "rc.col")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        # materialize the (≤ depth×width rows) sketch ONCE: the d
-        # per-depth lookup joins below each consume it, and without
-        # this the corpus-sized explode re-executes per depth
-        .localCheckpoint(eager=True)
-    )
-    distinct_terms = hashed.dropDuplicates(["term"])
-    est = distinct_terms
-    for d in range(depth):
-        cd = cells.filter(F.col("row") == d).select(
-            F.col("col").alias(f"__c{d}"), F.col("cnt").alias(f"__n{d}")
-        )
-        est = est.join(F.broadcast(cd), f"__c{d}")
-    return est.select(
-        "term",
-        F.least(*[F.col(f"__n{d}") for d in range(depth)]).alias("est"),
-    )
+# pins estimate ≥ exact and bounded overestimate on the fixtures, and
+# tests/test_round5_sketches.py pins the merge law.  The sketch/merge/
+# lookup operators live in jibaro_spark.operators.sketches (promoted
+# per VERDICT r4 §Next-7).
 
 
 # ---------------------------------------------------------------------------
@@ -469,23 +418,41 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Semantic dedup: embedding-cosine near-dup pairs (exact block-pair
-# matmul) → connected components → canonical keep-rows.  The embedding
-# analogue of the n-gram `q_dedup_clusters` pipeline and the standard
-# tail of an LLM corpus-curation pass at the embedding stage.  The
-# oracle recomputes the pairs with exact SQL cosine and closes them
-# with a recursive CTE.
+# Semantic dedup (SemDeDup regime): the corpus is the embeddings table
+# plus DETERMINISTIC planted replicas (every 5th vector re-appears at
+# id+100000; every 10th also at id+200000 — the re-crawled/mirrored
+# document case), near-dup pairs at the high SemDeDup threshold are
+# found by the CELL-PARTITIONED exact kernel (assign to coarse cell →
+# exact matmul within cell: sub-quadratic, and provably exact-recall
+# for replica pairs at ANY scale since identical vectors share their
+# home cell), then connected components → canonical keep-rows.  The
+# oracle recomputes the pairs with exact SQL cosine over the same
+# planted corpus and closes them with a recursive CTE — natural
+# (non-replica) pairs cannot reach 0.92 in the fixtures (max natural
+# cosine ≈ 0.60), so the oracle's all-pairs scan and the engine's
+# cell-pruned scan provably agree.  VERDICT r4 §wrong #1: the previous
+# form of this query fed the full corpus through the all-pairs kernel
+# at threshold 0.45 — a threshold below the prunable regime where
+# exact dedup is intrinsically quadratic (that exact low-threshold
+# path remains covered by q_embedding_near_dup and stays the
+# verification oracle in tests/test_round5_semdedup.py).
 QSEMDUP_ORACLE = """
-WITH RECURSIVE pr AS (
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+), pr AS (
   SELECT id_a, id_b FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                  / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                     * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
              AS cosine_sim
-    FROM embeddings a, embeddings b
+    FROM corpus a, corpus b
     WHERE a.vec_id < b.vec_id
-  ) WHERE cosine_sim >= 0.45
+  ) WHERE cosine_sim >= 0.92
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pr
   UNION
@@ -501,26 +468,58 @@ SELECT v.vec_id,
        COALESCE(c.cid, v.vec_id) AS cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cid, v.vec_id)) AS BIGINT) AS cluster_size,
        (v.vec_id = COALESCE(c.cid, v.vec_id)) AS keep
-FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vid
+FROM corpus v LEFT JOIN comp c ON v.vec_id = c.vid
 ORDER BY vec_id
 """
+
+
+def _planted_corpus(emb):
+    """embeddings ∪ deterministic replicas: every 5th vector at
+    id+100000, every 10th also at id+200000 (clusters of size 2 and 3
+    with the original id as the canonical minimum)."""
+    return (
+        emb.select("vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+            )
+        )
+    )
 
 
 @declare(
     "q_embedding_dedup_clusters",
     oracle=QSEMDUP_ORACLE,
-    description="semantic dedup: exact embedding near-dup pairs → connected components → canonical keep flags (dedup [ext])",
+    description="semantic dedup, SemDeDup-style: cell-partitioned exact near-dup pairs over a replica-planted corpus → connected components → canonical keep flags (dedup [ext])",
 )
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from jibaro_spark.operators.graph import dedup_clusters
-    from jibaro_spark.operators.similarity import embedding_near_duplicates_exact
+    from jibaro_spark.operators.similarity import (
+        embedding_near_duplicates_cells,
+        kmeans_refine,
+        seed_centroids,
+    )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    pairs = embedding_near_duplicates_exact(emb, "vec_id", "embedding", threshold=0.45)
+    corpus = _planted_corpus(emb)
+    # codebook derived from the BASE table (dense ids → strided seeds
+    # with no fallback pass) — the production shape is train-once /
+    # pass-in; replica recall is exact for ANY centroid choice.
+    cents = kmeans_refine(
+        emb, "embedding", seed_centroids(emb, "vec_id", "embedding", 8), 1
+    )
+    pairs = embedding_near_duplicates_cells(
+        corpus, "vec_id", "embedding", threshold=0.92, centroids=cents, n_probe=1
+    )
     clustered = dedup_clusters(
-        emb.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
+        corpus.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
     )
     return (
         clustered.withColumn(
@@ -539,6 +538,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="count-min sketch heavy hitters — mergeable depth×width counter sketch, estimate ≥ truth (sketch family [ext])",
 )
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.sketches import cms_estimates
     from jibaro_spark.operators.textops import tokens
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]

@@ -9,6 +9,8 @@ a windowed aggregation's state grows forever (T6 late-data policy).
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -209,6 +211,14 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+#: Known on-disk locations of a pure-Python ``google.protobuf`` runtime
+#: on hosts where the pip package is absent (no-network sandboxes ship
+#: one inside the Google Cloud SDK's App Engine platform dir).
+_PROTOBUF_RUNTIME_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
 def has_tws() -> bool:
     """True when transformWithStateInPandas can run: its state-server
     protocol needs a working ``google.protobuf`` on the Python side."""
@@ -218,6 +228,46 @@ def has_tws() -> bool:
         return True
     except Exception:
         return False
+
+
+def enable_tws_runtime() -> bool:
+    """Best-effort enablement of the ``transformWithStateInPandas``
+    protobuf dependency WITHOUT installing anything: if
+    ``google.protobuf`` is not importable, look for a known on-disk
+    pure-Python runtime (:data:`_PROTOBUF_RUNTIME_PATHS`) and add it to
+    BOTH ``sys.path`` (driver) and ``$PYTHONPATH`` (inherited by the
+    JVM and its Python workers — so this must run BEFORE the
+    SparkSession is built for executors to see it).
+
+    The SDK-vendored runtime may trail pyspark's generated
+    ``StateMessage_pb2`` by a minor version; protobuf's own documented
+    escape hatch (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) is
+    set for that case — acceptable for the simple state-protocol
+    messages involved, and scoped to environments that lack the real
+    package (the env var is only set when the fallback path is used).
+
+    Returns the post-enablement :func:`has_tws` state.  Callers that
+    get ``False`` keep the :func:`running_counts`
+    (``applyInPandasWithState``) custom-stateful path.
+    """
+    if has_tws():
+        return True
+    for p in _PROTOBUF_RUNTIME_PATHS:
+        if not os.path.isdir(os.path.join(p, "google", "protobuf")):
+            continue
+        if p not in sys.path:
+            sys.path.insert(0, p)
+        existing = os.environ.get("PYTHONPATH", "")
+        if p not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                p + (os.pathsep + existing if existing else "")
+            )
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        if has_tws():
+            return True
+    return False
 
 
 def running_totals_tws(
@@ -236,15 +286,21 @@ def running_totals_tws(
     custom-stateful surface.
 
     Gated on ``google.protobuf`` (the worker↔JVM state protocol is
-    protobuf-encoded in Spark 4.1) — probe with :func:`has_tws`;
-    environments without it keep the ``applyInPandasWithState`` path.
+    protobuf-encoded in Spark 4.1) — probe with :func:`has_tws`, or
+    call :func:`enable_tws_runtime` BEFORE building the session to use
+    an on-disk pure-Python runtime where the pip package is absent.
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — TWS state uses
+    multiple column families, which HDFSBackedStateStoreProvider
+    rejects.  Environments where neither is available keep the
+    ``applyInPandasWithState`` path.
 
-    .. note:: **Experimental** — google.protobuf is absent in the build
-       sandbox, so ``test_transform_with_state_running_totals`` has
-       always skipped here: this operator is backed by static API
-       checks against pyspark 4.1.2, not a recorded run (ADVICE r3).
-       Treat :func:`running_counts` as the production custom-stateful
-       path until one real run of that test is green.
+    .. note:: Previously marked experimental (ADVICE r3: no recorded
+       run).  As of round 5 ``test_transform_with_state_running_totals``
+       executes un-skipped here — streaming parquet source → TWS →
+       memory sink on RocksDB, final state equal to the batch
+       aggregate — via :func:`enable_tws_runtime`'s discovered
+       protobuf runtime.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -275,7 +275,7 @@ def test_cms_estimate_dominates_exact(spark, sf_dir):
     top terms (well above the εN error band) estimate exactly."""
     from jibaro_spark.operators.textops import tokens
     from jibaro_spark.queries.registry import load_tables
-    from jibaro_spark.queries.round4 import cms_estimates
+    from jibaro_spark.operators.sketches import cms_estimates
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))

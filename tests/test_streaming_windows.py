@@ -413,7 +413,8 @@ def test_transform_with_state_running_totals(spark, events_dir):
     # the last row per user
     final = {}
     for r in rows:
-        final[r.user_id] = (r.count, r.total)
+        # r["count"]: attribute access collides with Row.count() method
+        final[r.user_id] = (r["count"], r.total)
     batch = spark.read.parquet(events_dir)
     expected = {
         r.user_id: (r.n, r.total)
