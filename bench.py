@@ -77,6 +77,13 @@ HEADLINE = [
     "q_quality_model_score",
     "q_bigram_perplexity",
     "q_embedding_dedup_clusters",
+    # round 5 additions: versioned-dimension CDC, sweep-line windows,
+    # curation mix stats, n-col z-order, CMS sketch
+    "q_scd2_history",
+    "q_interval_concurrency",
+    "q_source_gini",
+    "q_zorder3_layout",
+    "q_cms_heavy_hitters",
 ]
 
 
