@@ -293,3 +293,166 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (RRF, Cormack et al.
+# 2009): fuse a lexical (BM25) top-k list with a semantic (embedding
+# cosine) top-k list — score = Σ 1/(60 + rank) over the lists where
+# the doc appears.  The standard first stage of a RAG / retrieval
+# pipeline.  Scale shape: BOTH lists are TakeOrdered top-100s (no
+# global sort of the corpus); rank windows run over 100-row lists;
+# the fuse is a tiny full-outer join.  Determinism: both rankings
+# order by (rounded score DESC, id) and the fused score is an explicit
+# two-term sum of exact double divisions.
+_RRF_K = 60
+_RRF_TERMS = ("table", "hash", "window")
+_RRF_QVEC_ID = 7
+
+QRRF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM d)
+  WHERE term IN ('table', 'hash', 'window') GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY term
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(
+           LN(1.0 + (CAST(stats.n_docs - dfreq.dft AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.dft AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))))
+         , 10) AS DECIMAL(18,12))) AS DOUBLE), 6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)
+), qv AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+), cos AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qv.q AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(qv.q AS DOUBLE[]), CAST(qv.q AS DOUBLE[])))), 6) AS c
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {_RRF_QVEC_ID}
+), sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+  FROM (SELECT * FROM cos ORDER BY c DESC, doc_id LIMIT 100)
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.r AS BIGINT) AS lex_rank,
+       CAST(s.r AS BIGINT) AS sem_rank,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + s.r), 0.0), 6) AS rrf
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+@declare(
+    "q_rrf_hybrid_search",
+    oracle=QRRF_ORACLE,
+    description="hybrid retrieval: BM25 top-k ∪ embedding-cosine top-k fused by Reciprocal Rank Fusion (RAG first stage [ext])",
+)
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jibaro_spark.operators import similarity as sim
+    from jibaro_spark.operators.textops import tokens
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+    # tokenization feeds three consumers (doc lengths, corpus stats,
+    # term tf) shuffling on different keys — materialize once (the
+    # q_bigram_perplexity reuse discipline)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("ts")).localCheckpoint(
+        eager=True
+    )
+    dl = d.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        d.select("doc_id", F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("dft")).cast("double") + F.lit(0.5))
+        / (F.col("dft").cast("double") + F.lit(0.5))
+    )
+    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * sat, 10).cast("decimal(18,12)").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+    )
+    lex100 = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(100)
+    lex = lex100.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r"),
+    )
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(sim.cosine(F.col("embedding"), F.col("q")), 6).alias("c"),
+        )
+    )
+    sem100 = cos.orderBy(F.col("c").desc(), "doc_id").limit(100)
+    sem = sem100.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "doc_id"))
+        .alias("r"),
+    )
+    l = lex.select(F.col("doc_id").alias("l_id"), F.col("r").alias("lr"))
+    s = sem.select(F.col("doc_id").alias("s_id"), F.col("r").alias("sr"))
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lr")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sr")), F.lit(0.0)),
+        6,
+    )
+    return (
+        l.join(s, l["l_id"] == s["s_id"], "full_outer")
+        .select(
+            F.coalesce("l_id", "s_id").alias("doc_id"),
+            F.col("lr").cast("long").alias("lex_rank"),
+            F.col("sr").cast("long").alias("sem_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
