@@ -169,3 +169,49 @@ def standard_post_hooks():
         vacuum_if_due(spark, catalog, ref)
 
     return [run]
+
+
+def parquet_file_stats(path: str, columns: list[str]) -> list[dict]:
+    """Per-FILE min/max statistics for ``columns`` of a parquet
+    directory, read from the parquet footers (no data scan) — the
+    data-skipping introspection layer: this is exactly the metadata a
+    lakehouse engine (Delta stats, Iceberg manifests, Spark's own
+    parquet row-group filter pushdown) consults to prune files, and
+    what :func:`jibaro_spark.operators.relational.layout_zorder`
+    shrinks per-file so multi-key predicates skip.
+
+    Returns one dict per data file: ``{"file", "num_rows",
+    "<col>_min", "<col>_max", ...}``.  The loop is per FILE and
+    footer-only — bounded by file count, never data size; at
+    production scale the same numbers come from the table format's
+    stats (Delta ``add.stats``), this reads them where only bare
+    parquet exists.  Column values must be footer-stat types
+    (numeric/string/date/timestamp).
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    out: list[dict] = []
+    files = sorted(
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(f)
+    )
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        row: dict = {"file": f, "num_rows": md.num_rows}
+        for c in columns:
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[c]).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            row[f"{c}_min"], row[f"{c}_max"] = mn, mx
+        out.append(row)
+    return out

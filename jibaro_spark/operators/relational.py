@@ -528,3 +528,41 @@ def priority_sample(
         .orderBy("priority", id_col)
         .limit(n)
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``n_per_group`` rows PER GROUP
+    by priority sampling — the grouped sibling of
+    :func:`priority_sample` (see its docstring for the md5-uniform /
+    no-transcendental determinism argument).  Physically a per-group
+    bottom-k: rank window partitioned by the group, so each group's
+    state is its own partition — at 100 TB this is one shuffle on the
+    group key and never a global sort.
+
+    Returns ``(group_col, id_col, weight_col, priority)`` for the
+    sampled rows.  Rows with ``w <= 0`` are excluded.
+    """
+    hex13 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 13)
+    u = (F.conv(hex13, 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**13)
+    )
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(weight_col),
+            (u / w).alias("priority"),
+        )
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

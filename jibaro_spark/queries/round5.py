@@ -456,3 +456,47 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group weighted sampling: priority sampling (Duffield–Lund–Thorup)
+# partitioned by group — n rows per order priority, inclusion ∝
+# o_totalprice.  md5-derived uniforms: no RNG state, identical sample
+# across engines/partitionings/reruns.  One shuffle on the group key;
+# per-group bottom-k windows, no global sort.
+QPSG_ORACLE = """
+WITH pri AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ((CAST(('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+           + 0.5) / 4503599627370496.0) / o_totalprice AS priority
+  FROM orders WHERE o_totalprice > 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY priority, o_orderkey) AS rn
+  FROM pri
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ROUND(priority, 6) AS priority
+FROM ranked WHERE rn <= 10
+ORDER BY o_orderpriority, priority, o_orderkey
+"""
+
+
+@declare(
+    "q_priority_sample_groups",
+    oracle=QPSG_ORACLE,
+    description="deterministic weighted sample per group (priority sampling, md5 uniforms, per-group bottom-k) (sampling family [ext])",
+)
+def q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import priority_sample_per_group
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    out = priority_sample_per_group(
+        orders, "o_orderpriority", "o_orderkey", "o_totalprice", n_per_group=10
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.round("priority", 6).alias("priority"),
+    ).orderBy("o_orderpriority", "priority", "o_orderkey")
