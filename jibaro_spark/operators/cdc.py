@@ -288,3 +288,92 @@ def scd2_apply(
         .unionByName(untouched.select(cols))
         .unionByName(new_rows.select(cols))
     )
+
+
+def incremental_agg_apply(
+    agg: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    measure_cols: list[str],
+    count_col: str = "n",
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    after_prefix: str = "after_",
+    scale: int = 4,
+) -> DataFrame:
+    """Incrementally maintain a grouped SUM/COUNT aggregate table from a
+    CDC change batch — the materialized-view delta update ([ext]; the
+    aggregation sibling of :func:`cdc_apply`, which maintains row-level
+    current state).  At 100 TB this is THE way to keep rollups fresh:
+    the delta is change-batch-sized and the merge is one key-partitioned
+    join against the aggregate table, instead of re-scanning the fact
+    table per refresh.
+
+    Contract: ``agg`` has ``keys + [count_col] + measure_cols`` (sums
+    accumulated as ``decimal(28,scale)`` for cross-engine exactness);
+    ``changes`` has ``op_col`` ('c'|'u'|'d'|'r') + ``keys`` +
+    ``{before,after}_<measure>`` columns.  Inserts contribute
+    ``(+after, +1)``, deletes ``(−before, −1)``, updates both sides
+    (net count 0, net sum = after − before).  Keys whose count reaches
+    0 are dropped — the maintained invariant is
+    ``incremental_agg_apply(full_agg(T), Δ) == full_agg(apply(T, Δ))``,
+    pinned by the oracle query and the unit law test.
+    """
+    dec = f"decimal(28,{scale})"
+    after_side = changes.filter(F.col(op_col) != "d").select(
+        *keys,
+        *[
+            F.col(f"{after_prefix}{m}").cast(dec).alias(m)
+            for m in measure_cols
+        ],
+        F.when(F.col(op_col) == "u", F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias(count_col),
+    )
+    before_side = changes.filter(F.col(op_col).isin("u", "d")).select(
+        *keys,
+        *[
+            (-F.col(f"{before_prefix}{m}").cast(dec)).alias(m)
+            for m in measure_cols
+        ],
+        F.when(F.col(op_col) == "u", F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias(count_col),
+    )
+    delta = (
+        after_side.unionByName(before_side)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            *[F.sum(m).cast(dec).alias(m) for m in measure_cols],
+        )
+    )
+    a = agg.select(
+        *keys,
+        F.col(count_col).cast("long").alias(count_col),
+        *[F.col(m).cast(dec).alias(m) for m in measure_cols],
+    )
+    d = delta.select(
+        *keys,
+        F.col(count_col).alias(f"__d_{count_col}"),
+        *[F.col(m).alias(f"__d_{m}") for m in measure_cols],
+    )
+    merged = a.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col(f"__d_{count_col}"), F.lit(0))
+        ).alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(m), F.lit(0).cast(dec))
+                + F.coalesce(F.col(f"__d_{m}"), F.lit(0).cast(dec))
+            )
+            .cast(dec)
+            .alias(m)
+            for m in measure_cols
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)

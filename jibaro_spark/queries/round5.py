@@ -500,3 +500,77 @@ def q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round("priority", 6).alias("priority"),
     ).orderBy("o_orderpriority", "priority", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/cdc.incremental_agg_apply):
+# a per-customer (n_orders, total_spend) rollup is maintained from a CDC
+# change batch instead of re-scanning the fact table.  The oracle IS the
+# maintained invariant: it recomputes the aggregate FROM SCRATCH over
+# the changed fact table — incremental(full_agg(T), Δ) == full_agg(T′).
+# Deterministic Δ: delete every 13th order, reprice (+50.25) every 5th
+# surviving order, insert a clone (+1000000 key, +7.5 price) for every
+# 9th surviving order.
+QINCAGG_ORACLE = """
+WITH surviving AS (
+  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+), repriced AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN o_totalprice + 50.25 ELSE o_totalprice END AS price
+  FROM surviving
+), inserted AS (
+  SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+         o_totalprice + 7.5 AS price
+  FROM surviving WHERE o_orderkey % 9 = 0
+), t2 AS (
+  SELECT * FROM repriced UNION ALL SELECT * FROM inserted
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS total_spend
+FROM t2
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@declare(
+    "q_incremental_agg",
+    oracle=QINCAGG_ORACLE,
+    description="incrementally maintained SUM/COUNT rollup from a CDC delta — materialized-view maintenance; oracle recomputes from scratch (CDC family [ext])",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.cdc import incremental_agg_apply
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    base_agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_spend"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.lit("d").alias("op"),
+        "o_custkey",
+        F.col("o_totalprice").alias("before_total_spend"),
+        F.lit(None).cast("double").alias("after_total_spend"),
+    )
+    surviving = orders.filter(F.col("o_orderkey") % 13 != 0)
+    updates = surviving.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("u").alias("op"),
+        "o_custkey",
+        F.col("o_totalprice").alias("before_total_spend"),
+        (F.col("o_totalprice") + F.lit(50.25)).alias("after_total_spend"),
+    )
+    inserts = surviving.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.lit("c").alias("op"),
+        "o_custkey",
+        F.lit(None).cast("double").alias("before_total_spend"),
+        (F.col("o_totalprice") + F.lit(7.5)).alias("after_total_spend"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    out = incremental_agg_apply(
+        base_agg, changes, keys=["o_custkey"], measure_cols=["total_spend"]
+    )
+    return out.select(
+        "o_custkey", "n", F.col("total_spend").cast("decimal(28,4)").alias("total_spend")
+    ).orderBy("o_custkey")

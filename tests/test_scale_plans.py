@@ -211,3 +211,81 @@ def test_winsorize_quantile_join_is_broadcast(spark):
 
     plan = _executed_plan(q_winsorize_stats(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_change_join_is_broadcast(spark):
+    """SCD2 apply: the (CDC-batch-sized) change set should broadcast
+    against the dimension scan — no dim-sized shuffle for the close-out
+    join."""
+    from jibaro_spark.operators.cdc import scd2_apply
+
+    orders = load_tables(spark, SF, "orders")["orders"]
+    dim = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    chg = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("1998-12-01").cast("date").alias("eff"),
+    )
+    plan = _executed_plan(scd2_apply(dim, chg, ["o_orderkey"], "eff"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_agg_delta_join_shape(spark):
+    """Incremental agg maintenance: the delta side collapses to one row
+    per key BEFORE the merge join (partial aggregation), and the merge
+    is a single key join — never a fact-table rescan."""
+    from jibaro_spark.operators.cdc import incremental_agg_apply
+
+    orders = load_tables(spark, SF, "orders")["orders"]
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_spend"),
+    )
+    chg = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.lit("d").alias("op"), "o_custkey",
+        F.col("o_totalprice").alias("before_total_spend"),
+        F.lit(None).cast("double").alias("after_total_spend"),
+    )
+    out = incremental_agg_apply(agg, chg, ["o_custkey"], ["total_spend"])
+    plan = _executed_plan(out)
+    # one aggregate for the base, one for the delta, one merge join —
+    # and the delta side shows a partial (map-side) aggregation
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_cells_semdedup_groups_on_cell_and_blocks(spark):
+    """Cell-partitioned near-dup kernel: ONE shuffle keyed by
+    (cell, block-pair) feeding the Arrow kernel — no corpus-wide
+    cartesian, no second vector shuffle."""
+    from jibaro_spark.operators.similarity import (
+        embedding_near_duplicates_cells,
+        seed_centroids,
+    )
+
+    emb = load_tables(spark, SF, "embeddings")["embeddings"]
+    cents = seed_centroids(emb, "vec_id", "embedding", 4)
+    pairs = embedding_near_duplicates_cells(
+        emb, "vec_id", "embedding", 0.92, centroids=cents, n_probe=1
+    )
+    plan = _executed_plan(pairs)
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2, plan  # group shuffle (+AQE reuse)
+
+
+def test_rrf_lists_are_take_ordered(spark):
+    """RRF hybrid retrieval: both top-100 lists must be TakeOrdered
+    (per-partition top-k + k-row merge), never a global Sort of the
+    corpus."""
+    from jibaro_spark.queries import REGISTRY
+
+    df = REGISTRY["q_rrf_hybrid_search"].fn(spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
