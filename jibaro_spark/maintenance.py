@@ -215,3 +215,41 @@ def parquet_file_stats(path: str, columns: list[str]) -> list[dict]:
             row[f"{c}_min"], row[f"{c}_max"] = mn, mx
         out.append(row)
     return out
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER for a parquet table: rewrite the table
+    range-partitioned + sorted by the Morton value of ``key_cols``
+    (:func:`jibaro_spark.operators.relational.layout_zorder`), sized to
+    ``target_file_bytes`` per output file — the engine-native form of
+    Delta's ``OPTIMIZE ... ZORDER BY`` (reference maintenance surface,
+    ``delta_handler.py:9-35`` + Trino interop target).  After the
+    rewrite every file is bounded in EVERY key (verify with
+    :func:`parquet_file_stats`), so min/max skipping serves predicates
+    on any of them.
+
+    Returns the number of output files.  Parquet (non-transactional)
+    path only: the rewrite goes through a temp dir + atomic-ish rename
+    swap; on Delta the same layout write carries ``dataChange=false``.
+    """
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from jibaro_spark.operators.relational import layout_zorder
+
+    st = table_stats(spark, path)
+    n_files = max(1, math.ceil(st.size_bytes / target_file_bytes))
+    tmp = f"{path.rstrip('/')}__zopt_{_uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    layout_zorder(df, *key_cols, num_partitions=n_files, bits=bits).write.parquet(
+        tmp
+    )
+    _shutil.rmtree(path)
+    _shutil.move(tmp, path)
+    return n_files

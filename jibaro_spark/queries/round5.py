@@ -574,3 +574,51 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", "n", F.col("total_spend").cast("decimal(28,4)").alias("total_spend")
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic dedup, batch-equivalence form: the SAME greedy
+# per-cell admission kernel the applyInPandasWithState operator runs
+# across micro-batches (streaming/windows.streaming_semantic_dedup),
+# here on one batch.  At the exact-duplicate threshold the greedy
+# outcome is SQL-expressible — a row is a dup iff a lower-id row with
+# an IDENTICAL embedding exists (identical vectors share their cell by
+# construction, and no natural fixture pair approaches cosine 1) — so
+# the driver hash-checks the kernel the streaming tests then trust
+# across batches (tests/test_round5_streaming_semdedup.py).
+QSSD_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 7000 AS vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+), m AS (
+  SELECT c.vec_id,
+         (SELECT MIN(o.vec_id) FROM corpus o
+          WHERE o.vec_id < c.vec_id AND o.embedding = c.embedding) AS dup_of
+  FROM corpus c
+)
+SELECT vec_id, (dup_of IS NOT NULL) AS is_dup, CAST(dup_of AS BIGINT) AS dup_of
+FROM m ORDER BY vec_id
+"""
+
+
+@declare(
+    "q_streaming_semdedup_batch",
+    oracle=QSSD_ORACLE,
+    description="greedy per-cell semantic-dedup admission (batch form of the cross-micro-batch stateful operator) (streaming/dedup [ext])",
+)
+def q_streaming_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.similarity import seed_centroids
+    from jibaro_spark.streaming.windows import streaming_semantic_dedup
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = seed_centroids(emb, "vec_id", "embedding", 4)
+    out = streaming_semantic_dedup(
+        corpus, "vec_id", "embedding", cents, threshold=0.999999
+    )
+    return out.select("vec_id", "is_dup", "dup_of").orderBy("vec_id")

@@ -333,3 +333,125 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_semantic_dedup(
+    events: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_state_per_cell: int = 4096,
+) -> DataFrame:
+    """Streaming semantic dedup via ``applyInPandasWithState``: admit a
+    vector only if no previously-admitted vector in its coarse cell has
+    cosine ≥ ``threshold`` — the STREAMING form of the cell-partitioned
+    SemDeDup pipeline (:func:`jibaro_spark.operators.similarity.
+    embedding_near_duplicates_cells`), deduplicating ACROSS
+    micro-batches: a replica arriving hours after its original is still
+    flagged, something per-batch dedup cannot do.
+
+    State per cell = the admitted (id, vector) list, FIFO-capped at
+    ``max_state_per_cell`` (admission beyond the cap is best-effort —
+    the bounded-state trade every streaming dedup makes, cf.
+    :func:`dedup_within_watermark`).  Cells bound both state size and
+    comparison cost: each arrival is scored against ONE cell's
+    admitted set with a vectorized matmul, not the corpus.
+
+    Determinism: arrivals are processed in ``id_col`` order within each
+    (cell, micro-batch) group, and the matched duplicate is the
+    earliest-admitted (lowest state index) above threshold.
+
+    Output rows: ``(id, cell, is_dup, dup_of)`` — ``dup_of`` null for
+    admitted rows.  On a batch frame the SAME greedy kernel runs per
+    cell through plain ``applyInPandas`` (one "micro-batch", empty
+    initial state — ``applyInPandasWithState`` is streaming-only),
+    which the stream-vs-batch equality test exploits.
+    """
+    from jibaro_spark.operators.similarity import _nearest_cells
+
+    src = events.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0]
+        .cast("int")
+        .alias("__cell"),
+    )
+    out_schema = f"{id_col} bigint, cell int, is_dup boolean, dup_of bigint"
+    state_schema = "ids array<bigint>, vecs array<array<double>>"
+
+    def _greedy(cell_val, ids, M, pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_id, out_dup, out_of = [], [], []
+        if pdf is not None:
+            for _id, v in zip(pdf["__id"], pdf["__vec"]):
+                x = np.asarray(v, dtype=np.float64)
+                if M.size == 0:
+                    M = x.reshape(1, -1).copy()
+                    ids = [int(_id)]
+                    out_id.append(int(_id)); out_dup.append(False); out_of.append(None)
+                    continue
+                nx = np.linalg.norm(x) or 1.0
+                norms = np.linalg.norm(M, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (M @ x) / (norms * nx)
+                hit = np.nonzero(sims >= threshold)[0]
+                if len(hit):
+                    out_id.append(int(_id)); out_dup.append(True)
+                    out_of.append(int(ids[int(hit[0])]))
+                else:
+                    M = np.vstack([M, x.reshape(1, -1)])
+                    ids.append(int(_id))
+                    out_id.append(int(_id)); out_dup.append(False); out_of.append(None)
+            if len(ids) > max_state_per_cell:
+                drop = len(ids) - max_state_per_cell
+                ids, M = ids[drop:], M[drop:]
+        out = pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="int64"),
+                "cell": int(cell_val),
+                "is_dup": pd.Series(out_dup, dtype="bool"),
+                "dup_of": pd.Series(out_of, dtype="object"),
+            }
+        )
+        return ids, M, out
+
+    if not events.isStreaming:
+        def batch_kernel(key, pdf):
+            import numpy as np
+
+            _, _, out = _greedy(
+                key[0], [], np.zeros((0, 0), dtype=np.float64),
+                pdf.sort_values("__id"),
+            )
+            return out
+
+        return src.groupBy("__cell").applyInPandas(batch_kernel, out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            st_ids, st_vecs = state.get
+            ids = list(st_ids)
+            M = np.array([list(v) for v in st_vecs], dtype=np.float64)
+        else:
+            ids, M = [], np.zeros((0, 0), dtype=np.float64)
+        batches = [p for p in pdfs]
+        pdf = pd.concat(batches).sort_values("__id") if batches else None
+        ids, M, out = _greedy(key[0], ids, M, pdf)
+        state.update((ids, [list(map(float, r)) for r in M]))
+        yield out
+
+    return src.groupBy("__cell").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -82,3 +82,19 @@ def test_parquet_file_stats_shapes(spark, tmp_path):
     for r in stats:
         assert r["k_min"] <= r["k_max"]
         assert r["v_min"] == 2 * r["k_min"] and r["v_max"] == 2 * r["k_max"]
+
+
+def test_optimize_zorder_rewrites_in_place(spark, tmp_path):
+    from jibaro_spark.maintenance import optimize_zorder
+
+    d = str(tmp_path / "opt")
+    _keyed(spark).repartition(8).write.parquet(d)
+    before = parquet_file_stats(d, ["x", "y"])
+    n = optimize_zorder(spark, d, ["x", "y"], target_file_bytes=24 * 1024)
+    after = parquet_file_stats(d, ["x", "y"])
+    assert n >= 2 and len(after) == n
+    assert sum(r["num_rows"] for r in after) == sum(
+        r["num_rows"] for r in before
+    )
+    assert _avg_span(after, "x") < 0.6 * _avg_span(before, "x")
+    assert _avg_span(after, "y") < 0.6 * _avg_span(before, "y")
