@@ -24,29 +24,47 @@ def asof_join(
     right_time: str,
     right_tiebreak: str,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` for the same key (J4 [ext]).
+    """As-of join: for each left row, the single best-matching right
+    row for the same key (J4 [ext]), with pandas-``merge_asof`` /
+    kdb-``aj`` direction semantics:
 
-    Formulation: equi-join on key with the time inequality as a join
-    predicate, then ``row_number`` per left row ordered by right time
-    descending (tiebroken by ``right_tiebreak`` for determinism).
+    * ``backward`` (default) — latest right with ``rt <= lt``;
+    * ``forward`` — earliest right with ``rt >= lt``;
+    * ``nearest`` — right minimizing ``|rt − lt|`` (ties break toward
+      the EARLIER right row, then ``right_tiebreak`` — pinned, not
+      engine-dependent).
+
+    Formulation: equi-join on key with the direction's time predicate
+    (``nearest`` joins on key only), then ``row_number`` per left row
+    ordered by the direction's preference (tiebroken by
+    ``right_tiebreak`` for determinism).
 
     Scale: one shuffle on the key.  For keys with very long right
     histories, pre-filter the right side to a bounded time horizon
     before calling (the classic bucketed-range optimization); AQE skew
-    join splits hot keys.
+    join splits hot keys.  ``nearest`` scores every same-key right row
+    — bound the horizon first where right histories are long.
     """
     left = left.withColumn("__lid", F.monotonically_increasing_id())
-    joined = left.join(
-        right,
-        (F.col(left_on) == F.col(right_on))
-        & (F.col(right_time) <= F.col(left_time)),
-        how,
-    )
-    w = Window.partitionBy("__lid").orderBy(
-        F.col(right_time).desc(), F.col(right_tiebreak).desc()
-    )
+    key_eq = F.col(left_on) == F.col(right_on)
+    if direction == "backward":
+        cond = key_eq & (F.col(right_time) <= F.col(left_time))
+        order = [F.col(right_time).desc(), F.col(right_tiebreak).desc()]
+    elif direction == "forward":
+        cond = key_eq & (F.col(right_time) >= F.col(left_time))
+        order = [F.col(right_time).asc(), F.col(right_tiebreak).asc()]
+    elif direction == "nearest":
+        cond = key_eq
+        gap = F.abs(
+            F.col(right_time).cast("double") - F.col(left_time).cast("double")
+        )
+        order = [gap.asc(), F.col(right_time).asc(), F.col(right_tiebreak).asc()]
+    else:
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    joined = left.join(right, cond, how)
+    w = Window.partitionBy("__lid").orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

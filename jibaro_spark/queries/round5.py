@@ -622,3 +622,122 @@ def q_streaming_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "vec_id", "embedding", cents, threshold=0.999999
     )
     return out.select("vec_id", "is_dup", "dup_of").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join directions (pandas merge_asof / kdb aj parity): forward
+# (earliest right at-or-after) and nearest (min |Δt|, ties toward the
+# earlier right row).  Same shuffle shape as the backward form
+# (q_asof_purchase_click): one key-partitioned join + per-left-row
+# rank window.
+QASOF_FWD_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts ASC, c.click_id ASC) AS rn
+  FROM purchases p
+  JOIN clicks c ON p.user_id = c.user_id AND c.click_ts >= p.purchase_ts
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM ranked WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
+@declare(
+    "q_asof_forward",
+    oracle=QASOF_FWD_ORACLE,
+    description="forward as-of join: earliest subsequent event per key (J4 direction parity [ext])",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            left_on="user_id",
+            right_on="c_user_id",
+            left_time="purchase_ts",
+            right_time="click_ts",
+            right_tiebreak="click_id",
+            direction="forward",
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+        .orderBy("purchase_id")
+    )
+
+
+QASOF_NEAR_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY ABS(epoch(CAST(c.click_ts AS TIMESTAMP))
+                        - epoch(CAST(p.purchase_ts AS TIMESTAMP))) ASC,
+                    c.click_ts ASC, c.click_id ASC) AS rn
+  FROM purchases p
+  JOIN clicks c ON p.user_id = c.user_id
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM ranked WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
+@declare(
+    "q_asof_nearest",
+    oracle=QASOF_NEAR_ORACLE,
+    description="nearest as-of join: min |Δt| event per key, ties toward the earlier row (J4 direction parity [ext])",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            left_on="user_id",
+            right_on="c_user_id",
+            left_time="purchase_ts",
+            right_time="click_ts",
+            right_tiebreak="click_id",
+            direction="nearest",
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+        .orderBy("purchase_id")
+    )
