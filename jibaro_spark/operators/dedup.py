@@ -62,23 +62,39 @@ def dedup_latest(
 def dedup_exact(
     df: DataFrame,
     content_cols: Sequence[str],
-    keep_order_col: str,
+    keep_order_col: str | None = None,
     normalize: bool = True,
+    keep_by: Sequence[Column] | None = None,
 ) -> DataFrame:
     """Exact-duplicate removal by content hash (LLM-pipeline [ext]).
 
     Groups rows by a 64-bit ``xxhash64`` of the (optionally
-    whitespace/case-normalized) content columns and keeps the row with
-    the smallest ``keep_order_col`` — deterministic across engines and
-    runs.  Hash collisions (~n²/2⁶⁴) are acceptable for dedup; callers
-    needing certainty can pass the raw columns as extra group keys.
+    whitespace/case-normalized) content columns and keeps ONE row per
+    group: the smallest ``keep_order_col`` (default), or — pass
+    ``keep_by`` — the first row under an explicit mixed ordering, e.g.
+    ``[F.length("text").desc(), F.col("doc_id").asc()]`` for the
+    curation policy "keep the LONGEST raw variant of each normalized
+    duplicate group, earliest id on ties".  Deterministic across
+    engines and runs either way.  Hash collisions (~n²/2⁶⁴) are
+    acceptable for dedup; callers needing certainty can pass the raw
+    columns as extra group keys.
     """
     parts = [
         _normalized(F.col(c)) if normalize else F.col(c) for c in content_cols
     ]
     h = F.xxhash64(*parts)
+    hashed = df.withColumn("__content_hash", h)
+    if keep_by is not None:
+        w = Window.partitionBy("__content_hash").orderBy(*keep_by)
+        return (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__content_hash")
+        )
+    if keep_order_col is None:
+        raise ValueError("dedup_exact: pass keep_order_col or keep_by")
     return dedup_latest(
-        df.withColumn("__content_hash", h),
+        hashed,
         keys=["__content_hash"],
         order_by=[keep_order_col],
         descending=False,

@@ -741,3 +741,132 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best exact dedup: replayed corpus where every 4th document
+# reappears (id+10000) UPPERCASED with trailing whitespace — identical
+# under normalization, longer raw text.  The curation policy keeps the
+# LONGEST raw variant of each normalized group (earliest id on ties) —
+# the common "prefer the most complete copy" rule, vs the min-id keep
+# of q_dedup_exact_docs.  The oracle groups by the normalized text
+# directly (the hash is a pure grouping device).
+QKEEPBEST_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 4 = 0
+), ranked AS (
+  SELECT doc_id, LENGTH(text) AS text_len,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+           ORDER BY LENGTH(text) DESC, doc_id ASC) AS rn
+  FROM corpus
+)
+SELECT doc_id, CAST(text_len AS BIGINT) AS text_len
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_dedup_keep_best",
+    oracle=QKEEPBEST_ORACLE,
+    description="exact dedup keeping the longest raw variant per normalized group (keep-best curation policy [ext])",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import dedup_exact
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    kept = dedup_exact(
+        corpus,
+        content_cols=["text"],
+        keep_by=[F.length("text").desc(), F.col("doc_id").asc()],
+    )
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/dq.py): the pre-promotion
+# constraint gate — row-level rules in ONE scan, plus referential
+# integrity as an anti-join.  Violations are INJECTED deterministically
+# (every 97th lineitem gets a negated price, every 89th a null-ish
+# future shipdate marker via quantity 0) so the report is non-trivial.
+QDQ_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 97 = 0 THEN -l_extendedprice
+              ELSE l_extendedprice END AS price,
+         CASE WHEN l_orderkey % 89 = 0 THEN 0 ELSE l_quantity END AS qty,
+         CASE WHEN l_orderkey % 101 = 0 THEN l_orderkey + 9000000
+              ELSE l_orderkey END AS fk_key
+  FROM lineitem
+), rules AS (
+  SELECT 'fk_order_exists' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.fk_key = o.o_orderkey
+  UNION ALL
+  SELECT 'price_positive', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN NOT (price > 0) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'qty_in_1_50', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN NOT (qty BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM l
+)
+SELECT rule, n_rows, n_violations, (n_violations = 0) AS pass
+FROM rules ORDER BY rule
+"""
+
+
+@declare(
+    "q_dq_expectations",
+    oracle=QDQ_ORACLE,
+    description="data-quality expectation report: row rules in one scan + FK anti-join, violation counts per rule (constraint gate [ext])",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dq import expect, fk_violations
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_orderkey") % 97 == 0, -F.col("l_extendedprice")
+        ).otherwise(F.col("l_extendedprice")).alias("price"),
+        F.when(F.col("l_orderkey") % 89 == 0, F.lit(0))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty"),
+        F.when(
+            F.col("l_orderkey") % 101 == 0, F.col("l_orderkey") + 9000000
+        ).otherwise(F.col("l_orderkey")).alias("fk_key"),
+    )
+    row_rules = expect(
+        li,
+        {
+            "price_positive": ~(F.col("price") > 0),
+            "qty_in_1_50": ~F.col("qty").between(1, 50),
+        },
+    )
+    n_fk_bad = fk_violations(
+        li, t["orders"], ["fk_key"], ["o_orderkey"]
+    ).count()
+    n_rows = li.count()
+    fk_row = (
+        li.sparkSession.createDataFrame(
+            [("fk_order_exists", n_rows, n_fk_bad, n_fk_bad == 0)],
+            "rule string, n_rows long, n_violations long, pass boolean",
+        )
+    )
+    return row_rules.unionByName(fk_row).orderBy("rule")
