@@ -123,9 +123,21 @@ def cdc_merge_table(
     Delta path: transactional ``MERGE`` on PK equality built from the
     key columns (reference ``cdc.py:203-216``).  Parquet fallback:
     read-modify-overwrite with :func:`cdc_apply` (correct, non-atomic —
-    noted as the bare-environment emulation).
+    noted as the bare-environment emulation).  Tables carrying a
+    ``_jibaro_log`` (``jibaro_spark.txlog``) get the TRANSACTIONAL
+    fallback instead: the merge result commits as a new version —
+    snapshot-isolated readers, MERGE history, crash-safe (an aborted
+    write leaves the table unchanged) — the Delta semantics without
+    the jars; see ``tests/test_round5_txlog.py``.
     """
+    from jibaro_spark import txlog
+
     path = catalog.path(target_ref)
+    if txlog.latest_version(path) is not None:
+        current = txlog.read_versioned(spark, path)
+        result = cdc_apply(current, envelope, key_cols, order_by)
+        txlog.write_versioned(result, path, mode="overwrite", operation="MERGE")
+        return
     exists = _path_exists(spark, path)
 
     if has_delta(spark):

@@ -262,3 +262,42 @@ def test_doc_entropy_matches_counter(spark, texts):
             Decimal(0),
         )
         assert got[i] == round(float(acc), 6), (t, got[i])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_zorder3_bijective_property(spark, pts):
+    """3-col Morton interleave is a bijection on the 8-bit cube and
+    matches the pure-Python interleave bit-for-bit."""
+    from jibaro_spark.operators.relational import zorder_value
+
+    def py_z3(x, y, w, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (3 * i)
+            z |= ((y >> i) & 1) << (3 * i + 1)
+            z |= ((w >> i) & 1) << (3 * i + 2)
+        return z
+
+    df = spark.createDataFrame(pts, "x long, y long, w long")
+    got = {
+        (r["x"], r["y"], r["w"]): r["z"]
+        for r in df.select(
+            "x", "y", "w",
+            zorder_value(F.col("x"), F.col("y"), F.col("w"), bits=8).alias("z"),
+        ).collect()
+    }
+    for (x, y, w), z in got.items():
+        assert z == py_z3(x, y, w)
+    assert len(set(got.values())) == len(got)  # injective on the sample

@@ -1,0 +1,191 @@
+"""Transaction-log table semantics (jibaro_spark/txlog.py): versioned
+commits, snapshot isolation, time travel, history, vacuum retention,
+crash-safety of uncommitted writes, and commit-conflict retry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark import txlog as T
+
+
+def _vals(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_and_overwrite_versions(spark, table):
+    v0 = T.write_versioned(spark.range(3).select(F.col("id").alias("v")), table)
+    v1 = T.write_versioned(
+        spark.range(3, 5).select(F.col("id").alias("v")), table
+    )
+    assert (v0, v1) == (0, 1)
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2, 3, 4]
+    v2 = T.write_versioned(
+        spark.range(100, 102).select(F.col("id").alias("v")),
+        table,
+        mode="overwrite",
+    )
+    assert v2 == 2
+    assert _vals(T.read_versioned(spark, table)) == [100, 101]
+
+
+def test_time_travel_and_snapshot_isolation(spark, table):
+    T.write_versioned(spark.range(2).select(F.col("id").alias("v")), table)
+    pinned = T.read_versioned(spark, table, version=0)
+    T.write_versioned(
+        spark.range(50, 51).select(F.col("id").alias("v")),
+        table,
+        mode="overwrite",
+    )
+    # the pinned reader still sees version 0 — overwrite removed files
+    # from the LOG, not from disk
+    assert _vals(pinned) == [0, 1]
+    assert _vals(T.read_versioned(spark, table, version=0)) == [0, 1]
+    assert _vals(T.read_versioned(spark, table)) == [50]
+
+
+def test_history_records_operations(spark, table):
+    T.write_versioned(spark.range(1).select(F.col("id").alias("v")), table)
+    T.write_versioned(
+        spark.range(1).select(F.col("id").alias("v")), table,
+        mode="overwrite", operation="MERGE",
+    )
+    h = T.history(table)
+    assert [c["version"] for c in h] == [1, 0]
+    assert h[0]["operation"] == "MERGE"
+    assert h[1]["operation"] == "WRITE"
+
+
+def test_uncommitted_write_leaves_table_unchanged(spark, table, monkeypatch):
+    T.write_versioned(spark.range(3).select(F.col("id").alias("v")), table)
+    before = T.snapshot_files(table)
+
+    def boom(src, dst):
+        raise OSError("crash before commit")
+
+    monkeypatch.setattr(os, "link", boom)
+    with pytest.raises(Exception):
+        T.write_versioned(
+            spark.range(9).select(F.col("id").alias("v")), table
+        )
+    monkeypatch.undo()
+    # table state unchanged; the orphaned data files are invisible
+    assert T.snapshot_files(table) == before
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2]
+    # vacuum reclaims the orphans
+    n = T.vacuum_versioned(table, keep_versions=5)
+    assert n > 0
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2]
+
+
+def test_commit_conflict_retries_to_next_version(spark, table):
+    T.write_versioned(spark.range(1).select(F.col("id").alias("v")), table)
+    # simulate a racing writer that already took version 1
+    conflict = T._version_file(table, 1)
+    with open(conflict, "w") as f:
+        f.write('{"commit": {"version": 1, "ts": 0, "operation": "WRITE", "num_added": 0}}\n')
+    v = T.write_versioned(
+        spark.range(7, 8).select(F.col("id").alias("v")), table
+    )
+    assert v == 2  # retried past the conflicting version
+    assert 7 in _vals(T.read_versioned(spark, table))
+
+
+def test_vacuum_respects_retention(spark, table):
+    for i in range(4):
+        T.write_versioned(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("v")),
+            table,
+            mode="overwrite" if i else "append",
+        )
+    deleted = T.vacuum_versioned(table, keep_versions=2)
+    assert deleted > 0
+    # retained versions still read fine
+    assert _vals(T.read_versioned(spark, table, version=3)) == [30, 31]
+    assert _vals(T.read_versioned(spark, table, version=2)) == [20, 21]
+    # out-of-retention time travel fails at scan (files gone) — the
+    # log still resolves, the data does not
+    with pytest.raises(Exception):
+        T.read_versioned(spark, table, version=0).collect()
+
+
+def test_cdc_merge_over_versioned_table(spark, table):
+    """The reference's staged→curated MERGE shape on the log: read the
+    current snapshot, apply the CDC batch, commit as an overwrite —
+    readers of the prior version are isolated, history shows MERGE."""
+    from jibaro_spark.operators.cdc import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    T.write_versioned(base, table)
+    current = T.read_versioned(spark, table)
+    envelope = spark.createDataFrame(
+        [("u", 2, "B", 1), ("d", 3, None, 2), ("c", 4, "d", 3)],
+        "op string, id long, val string, ts long",
+    ).select(
+        F.struct("id").alias("key"),
+        F.struct(
+            F.col("op").alias("op"),
+            F.lit(None).cast("struct<id:bigint,val:string>").alias("before"),
+            F.struct("id", "val").alias("after"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    merged = cdc_apply(current, envelope, key_cols=["id"]).select("id", "val")
+    T.write_versioned(merged, table, mode="overwrite", operation="MERGE")
+    got = {
+        r["id"]: r["val"] for r in T.read_versioned(spark, table).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
+    prior = {
+        r["id"]: r["val"]
+        for r in T.read_versioned(spark, table, version=0).collect()
+    }
+    assert prior == {1: "a", 2: "b", 3: "c"}
+    assert T.history(table)[0]["operation"] == "MERGE"
+
+
+def test_cdc_merge_table_uses_txlog_when_present(spark, tmp_path):
+    """cdc_merge_table auto-detects a _jibaro_log table and commits the
+    merge as a new version instead of an rm-rf overwrite."""
+    from jibaro_spark.catalog import Catalog, TableRef
+    from jibaro_spark.config import Settings
+    from jibaro_spark.operators.cdc import cdc_merge_table
+
+    cat = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    ref = TableRef("curated", "proj", "db", "tx_tbl")
+    path = cat.path(ref)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    T.write_versioned(base, path)
+    envelope = spark.createDataFrame(
+        [("u", 1, "A", 1), ("c", 5, "e", 2)],
+        "op string, id long, val string, ts long",
+    ).select(
+        F.struct("id").alias("key"),
+        F.struct(
+            F.col("op").alias("op"),
+            F.lit(None).cast("struct<id:bigint,val:string>").alias("before"),
+            F.struct("id", "val").alias("after"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    cdc_merge_table(spark, cat, envelope, ref, key_cols=["id"])
+    got = {
+        r["id"]: r["val"]
+        for r in T.read_versioned(spark, path).select("id", "val").collect()
+    }
+    assert got == {1: "A", 2: "b", 5: "e"}
+    assert T.history(path)[0]["operation"] == "MERGE"
+    # version 0 still readable — the merge was a commit, not an rm-rf
+    assert {
+        r["id"] for r in T.read_versioned(spark, path, version=0).collect()
+    } == {1, 2}
