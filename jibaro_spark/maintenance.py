@@ -102,9 +102,31 @@ def append_history_metrics(
     parquet emulation appends a minimal metrics row from file listing.
     Schema evolves with ``mergeSchema`` like the reference (K2/K8).
     """
+    from jibaro_spark import txlog
+
     path = catalog.path(ref)
     hist_path = catalog.history_path(ref)
     stats = table_stats(spark, path)
+    head = txlog.latest_version(path)
+    if head is not None:
+        # txlog tables have REAL commit history — append the latest
+        # commit's metadata (version/operation/num_added), the same
+        # row shape the Delta path gets from DeltaTable.history(1)
+        c = txlog.history(path)[0]
+        hist = spark.createDataFrame(
+            [
+                {
+                    "version": int(c["version"]),
+                    "operation": str(c["operation"]),
+                    "numAdded": int(c.get("num_added", 0)),
+                    "numFiles": stats.num_files,
+                    "sizeBytes": stats.size_bytes,
+                    **({k: str(v) for k, v in (extra or {}).items()}),
+                }
+            ]
+        ).withColumn("recordedAt", F.current_timestamp())
+        hist.write.mode("append").option("mergeSchema", "true").parquet(hist_path)
+        return
     if has_delta(spark):
         from delta.tables import DeltaTable
 
@@ -143,7 +165,23 @@ def generate_manifest(spark: SparkSession, catalog: Catalog, ref: TableRef) -> b
 def vacuum_if_due(spark: SparkSession, catalog: Catalog, ref: TableRef) -> bool:
     """Vacuum every ``vacuum_every_n_versions`` table versions with
     ``vacuum_retention_hours`` retention (reference ``cdc.py:264-269``:
-    every 25 versions, 768 h).  Delta-only."""
+    every 25 versions, 768 h).
+
+    Runs on Delta, and — r5 — on ``jibaro_spark.txlog`` versioned
+    parquet tables, where the reference's version-cadence policy
+    becomes REAL without the jars: every N log versions, data files
+    outside the retained window are reclaimed (retention expressed in
+    versions; time travel inside the window keeps working)."""
+    from jibaro_spark import txlog
+
+    path = catalog.path(ref)
+    s = catalog.settings
+    head = txlog.latest_version(path)
+    if head is not None:
+        if head == 0 or head % s.vacuum_every_n_versions != 0:
+            return False
+        txlog.vacuum_versioned(path, keep_versions=s.vacuum_every_n_versions)
+        return True
     if not has_delta(spark):
         return False
     from delta.tables import DeltaTable

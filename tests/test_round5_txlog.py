@@ -189,3 +189,38 @@ def test_cdc_merge_table_uses_txlog_when_present(spark, tmp_path):
     assert {
         r["id"] for r in T.read_versioned(spark, path, version=0).collect()
     } == {1, 2}
+
+
+def test_maintenance_vacuum_and_history_on_txlog(spark, tmp_path):
+    """vacuum_if_due fires on the version cadence of a txlog table
+    (the reference's every-N-versions policy made real), and
+    append_history_metrics records the commit's version/operation."""
+    from jibaro_spark.catalog import Catalog, TableRef
+    from jibaro_spark.config import Settings
+    from jibaro_spark.maintenance import append_history_metrics, vacuum_if_due
+
+    cat = Catalog(
+        Settings(
+            protocol="file", base_path=str(tmp_path), vacuum_every_n_versions=3
+        )
+    )
+    ref = TableRef("curated", "proj", "db", "vac_tbl")
+    path = cat.path(ref)
+    for i in range(3):
+        T.write_versioned(
+            spark.range(i, i + 1).select(F.col("id").alias("v")),
+            path,
+            mode="overwrite" if i else "append",
+        )
+    # head == 2: not on cadence
+    assert vacuum_if_due(spark, cat, ref) is False
+    T.write_versioned(
+        spark.range(9, 10).select(F.col("id").alias("v")), path, mode="overwrite"
+    )
+    # head == 3: cadence fires; retained window still time-travels
+    assert vacuum_if_due(spark, cat, ref) is True
+    assert _vals(T.read_versioned(spark, path)) == [9]
+    append_history_metrics(spark, cat, ref, operation="ignored-for-txlog")
+    hist = spark.read.parquet(cat.history_path(ref))
+    row = hist.orderBy(F.col("recordedAt").desc()).first()
+    assert row["version"] == 3 and row["operation"] == "OVERWRITE"
