@@ -211,3 +211,34 @@ def vacuum_versioned(table: str, keep_versions: int = 5) -> int:
     # time travel resolves file paths but fails at scan time on the
     # deleted files — the same contract as Delta's vacuum horizon.
     return deleted
+
+
+def compact_versioned(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
+) -> int:
+    """OPTIMIZE (optionally ZORDER) as a versioned commit: rewrite the
+    current snapshot into ``ceil(size/target)`` files — Z-ordered by
+    ``zorder_cols`` when given — and commit it as an overwrite version
+    (reference K11 compaction, ``delta_handler.py:9-35``, with Delta's
+    rewrite-as-commit semantics: same rows, fewer/better files, prior
+    versions still time-travelable until vacuum).  Returns the new
+    version."""
+    import math as _math
+
+    files = snapshot_files(table)
+    size = sum(os.path.getsize(f) for f in files)
+    n = max(1, _math.ceil(size / target_file_bytes))
+    df = read_versioned(spark, table)
+    if zorder_cols:
+        from jibaro_spark.operators.relational import layout_zorder
+
+        df = layout_zorder(df, *zorder_cols, num_partitions=n, bits=zorder_bits)
+        op = f"OPTIMIZE ZORDER ({','.join(zorder_cols)})"
+    else:
+        df = df.repartition(n)
+        op = "OPTIMIZE"
+    return write_versioned(df, table, mode="overwrite", operation=op)

@@ -224,3 +224,25 @@ def test_maintenance_vacuum_and_history_on_txlog(spark, tmp_path):
     hist = spark.read.parquet(cat.history_path(ref))
     row = hist.orderBy(F.col("recordedAt").desc()).first()
     assert row["version"] == 3 and row["operation"] == "OVERWRITE"
+
+
+def test_compact_versioned_preserves_rows_and_history(spark, table):
+    for i in range(5):
+        T.write_versioned(
+            spark.range(i * 10, i * 10 + 10).select(
+                (F.col("id") % 16).alias("x"), (F.col("id") % 7).alias("y"),
+                F.col("id").alias("v"),
+            ),
+            table,
+        )
+    before_files = len(T.snapshot_files(table))
+    before = _vals(T.read_versioned(spark, table))
+    v = T.compact_versioned(
+        spark, table, target_file_bytes=10**9, zorder_cols=["x", "y"]
+    )
+    assert v == 5
+    assert len(T.snapshot_files(table)) < before_files
+    assert _vals(T.read_versioned(spark, table)) == before
+    assert T.history(table)[0]["operation"].startswith("OPTIMIZE ZORDER")
+    # pre-compaction version still time-travels
+    assert _vals(T.read_versioned(spark, table, version=4)) == before
