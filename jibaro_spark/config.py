@@ -62,6 +62,11 @@ class Settings:
     vacuum_retention_hours: int = 768
     max_offsets_per_trigger: int = 100_000
     max_files_per_trigger: int = 1_000
+    #: When true and delta-spark is absent, CDC merges CREATE curated
+    #: tables on the jibaro_spark.txlog transactional log (versioned
+    #: commits, snapshot isolation) instead of bare-parquet overwrites.
+    #: Existing txlog tables are always detected regardless of the flag.
+    use_txlog: bool = False
 
     def bucket_for(self, layer: str) -> str:
         try:

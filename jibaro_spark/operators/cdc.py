@@ -139,6 +139,17 @@ def cdc_merge_table(
         txlog.write_versioned(result, path, mode="overwrite", operation="MERGE")
         return
     exists = _path_exists(spark, path)
+    if (
+        not exists
+        and getattr(catalog.settings, "use_txlog", False)
+        and not has_delta(spark)
+    ):
+        txlog.write_versioned(
+            initial_load(envelope, key_cols, order_by),
+            path,
+            operation="INITIAL_LOAD",
+        )
+        return
 
     if has_delta(spark):
         from delta.tables import DeltaTable

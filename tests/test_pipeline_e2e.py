@@ -293,3 +293,50 @@ def test_publish_table_roundtrip(spark, lake, registry):
     ).collect()
     got = sorted((r.k.id, r.v.name, r.v.weight) for r in decoded)
     assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_three_hop_pipeline_on_txlog_curated(spark, tmp_path, registry):
+    """The full 3-hop pipeline with Settings(use_txlog=True): the
+    curated layer is a TRANSACTIONAL versioned table — initial load is
+    version 0, each incremental merge is a new MERGE commit, the prior
+    version stays time-travelable, and final state equals the plain
+    pipeline's."""
+    from jibaro_spark import txlog
+
+    lake = Catalog(
+        Settings(protocol="file", base_path=str(tmp_path), use_txlog=True)
+    )
+    reg, kid, vid = registry
+    rows1 = [
+        change(kid, vid, "r", {"id": 1, "name": "a", "weight": 1.0}, offset=0),
+        change(kid, vid, "r", {"id": 2, "name": "b", "weight": 2.0}, offset=1),
+        change(kid, vid, "c", {"id": 4, "name": "d", "weight": 4.0}, offset=2),
+    ]
+    write_topic_dump(spark, lake, rows1, "batch1")
+    run_hops(spark, lake, registry)
+
+    ref = TableRef(str(Layer.CURATED), "lab", "inventory", "products")
+    path = lake.path(ref)
+    assert txlog.latest_version(path) == 0
+    assert txlog.history(path)[0]["operation"] == "INITIAL_LOAD"
+    v0 = {r.id for r in txlog.read_versioned(spark, path).collect()}
+    assert v0 == {1, 2, 4}
+
+    rows2 = [
+        change(kid, vid, "u", {"id": 1, "name": "a9", "weight": 9.0}, offset=10),
+        change(kid, vid, "d", {"id": 2, "name": "b", "weight": 2.0}, offset=11),
+    ]
+    write_topic_dump(spark, lake, rows2, "batch2")
+    run_hops(spark, lake, registry)
+
+    assert txlog.latest_version(path) == 1
+    assert txlog.history(path)[0]["operation"] == "MERGE"
+    got = {
+        r.id: (r.name, r.weight)
+        for r in txlog.read_versioned(spark, path).collect()
+    }
+    assert got == {1: ("a9", 9.0), 4: ("d", 4.0)}
+    # version 0 still readable after the merge
+    assert {
+        r.id for r in txlog.read_versioned(spark, path, version=0).collect()
+    } == {1, 2, 4}
