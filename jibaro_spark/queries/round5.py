@@ -870,3 +870,97 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_rules.unionByName(fk_row).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join, oracle-checked end-to-end: the salted plan must
+# change the SHUFFLE (hot keys spread over `salt` reducers), never the
+# ANSWER — so the oracle is simply the plain join (the q_bucketed_join
+# discipline).  Values aggregate per priority so the hash check covers
+# every joined row.
+QSALT_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@declare(
+    "q_salted_join",
+    oracle=QSALT_ORACLE,
+    description="skew-salted equi-join — answer identical to the plain join (salting only reshapes the shuffle) (skew [ext])",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import salted_join
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    joined = salted_join(
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        salt=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic: per-key share of the fact table for the top
+# keys — what you run BEFORE picking broadcast/salt/bucket strategies.
+# Two-level aggregate (map-side combine), top-k via TakeOrdered.
+QSKEW_ORACLE = """
+WITH counts AS (
+  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+)
+SELECT c.key, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+       ROUND(CAST(c.n AS DOUBLE) * t.n_keys / t.total, 6) AS skew_factor
+FROM counts c CROSS JOIN tot t
+ORDER BY c.n DESC, c.key
+LIMIT 20
+"""
+
+
+@declare(
+    "q_skew_report",
+    oracle=QSKEW_ORACLE,
+    description="key-skew diagnostic: hottest keys' share and skew factor vs uniform (pre-join strategy report [ext])",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    counts = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(20)
+    )
