@@ -78,12 +78,15 @@ HEADLINE = [
     "q_bigram_perplexity",
     "q_embedding_dedup_clusters",
     # round 5 additions: versioned-dimension CDC, sweep-line windows,
-    # curation mix stats, n-col z-order, CMS sketch
+    # curation mix stats, n-col z-order, CMS sketch, incremental-agg
+    # maintenance, skew-salted join
     "q_scd2_history",
     "q_interval_concurrency",
     "q_source_gini",
     "q_zorder3_layout",
     "q_cms_heavy_hitters",
+    "q_incremental_agg",
+    "q_salted_join",
 ]
 
 
