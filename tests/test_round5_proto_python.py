@@ -1,0 +1,168 @@
+"""Pure-Python protobuf codec (codecs/proto_python.py): golden-bytes
+wire checks, typed round trips, and the protobuf staged hop executed
+end-to-end — wire slice (native) → Arrow decode — without jar or
+protoc."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jibaro_spark.codecs import proto_python as P
+
+pytestmark = pytest.mark.skipif(
+    not P.has_protobuf_runtime(), reason="no google.protobuf runtime found"
+)
+
+ENV_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField(
+            "after",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("weight", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("tags", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def test_golden_wire_bytes(spark):
+    """The generated descriptor serializes a simple message to the
+    hand-computed proto3 wire bytes: field 1 (varint) = 150 →
+    b'\\x08\\x96\\x01'; field 2 (string 'ab') → b'\\x12\\x02ab'."""
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [({"n": 150, "s": "ab"},)],
+        T.StructType([T.StructField("v", schema)]),
+    )
+    out = P.encode_protobuf_python(df, "v", schema, "Tiny").collect()[0]
+    assert bytes(out["payload"]) == b"\x08\x96\x01\x12\x02ab"
+    # and hand-written bytes decode back
+    raw = spark.createDataFrame(
+        [(b"\x08\x96\x01\x12\x02ab",)], "payload binary"
+    )
+    dec = P.decode_protobuf_python(raw, "payload", schema, "Tiny").collect()[0]
+    assert dec["value"]["n"] == 150 and dec["value"]["s"] == "ab"
+
+
+def test_typed_round_trip(spark):
+    rows = [
+        ({"op": "c", "after": {"id": 1, "name": "a", "weight": 1.5},
+          "tags": [1, 2, 3]},),
+        ({"op": "d", "after": None, "tags": []},),
+    ]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("v", ENV_SCHEMA)])
+    )
+    enc = P.encode_protobuf_python(df, "v", ENV_SCHEMA)
+    dec = P.decode_protobuf_python(
+        enc.select("payload"), "payload", ENV_SCHEMA
+    )
+    got = [r["value"].asDict(recursive=True) for r in dec.collect()]
+    got.sort(key=lambda d: d["op"])
+    assert got[0]["op"] == "c"
+    assert got[0]["after"] == {"id": 1, "name": "a", "weight": 1.5}
+    assert got[0]["tags"] == [1, 2, 3]
+    assert got[1]["op"] == "d"
+    assert got[1]["after"] is None  # absent sub-message → null
+    assert got[1]["tags"] == []
+
+
+def test_confluent_protobuf_hop_end_to_end(spark):
+    """The reference's raw→staged protobuf hop executed for real:
+    Confluent frame (magic + schema id + message-index varint) built
+    with wire_encode, sliced natively, payload parsed by the Python
+    codec — no jar, no protoc."""
+    from jibaro_spark.codecs.confluent import (
+        payload_of,
+        schema_id_of,
+        wire_encode,
+    )
+
+    rows = [
+        ({"op": "r", "after": {"id": i, "name": f"p{i}", "weight": i * 1.5},
+          "tags": [i]},)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("v", ENV_SCHEMA)])
+    )
+    framed = P.encode_protobuf_python(df, "v", ENV_SCHEMA).select(
+        wire_encode(F.col("payload"), schema_id=7, content_type="protobuf")
+        .alias("value")
+    )
+    sliced = framed.select(
+        schema_id_of("value").alias("sid"),
+        payload_of("value", "protobuf").alias("payload"),
+    )
+    decoded = P.decode_protobuf_python(sliced, "payload", ENV_SCHEMA)
+    out = decoded.select("sid", "value.op", "value.after.*").collect()
+    assert len(out) == 50
+    assert all(r["sid"] == 7 and r["op"] == "r" for r in out)
+    ids = sorted(r["id"] for r in out)
+    assert ids == list(range(50))
+    w = {r["id"]: r["weight"] for r in out}
+    assert w[10] == 15.0
+
+
+def test_unsupported_type_raises():
+    bad = T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))])
+    with pytest.raises(TypeError, match="unsupported Spark type"):
+        P.struct_to_file_descriptor_bytes(bad, "Bad")
+
+
+def test_schema_partitioned_python_decode_mixed_versions(spark):
+    """A batch mixing TWO value schema versions (v2 adds a field)
+    decodes pair-partitioned — each frame with exactly its schema —
+    the reference's R7 semantics on the Python codec."""
+    from jibaro_spark.codecs.confluent import wire_encode
+
+    key_schema = T.StructType([T.StructField("id", T.LongType())])
+    v1 = T.StructType([T.StructField("id", T.LongType()),
+                       T.StructField("name", T.StringType())])
+    v2 = T.StructType(list(v1.fields) + [T.StructField("score", T.DoubleType())])
+
+    def framed(schema, sid, rows):
+        df = spark.createDataFrame(
+            [(r,) for r in rows], T.StructType([T.StructField("v", schema)])
+        )
+        enc = P.encode_protobuf_python(df, "v", schema)
+        kdf = P.encode_protobuf_python(
+            enc.withColumn(
+                "kv", F.struct(F.col("v.id").alias("id"))
+            ),
+            "kv", key_schema, "Key", out_col="kpayload", package="jibarokey",
+        )
+        return kdf.select(
+            wire_encode(F.col("kpayload"), 1, "protobuf").alias("key"),
+            wire_encode(F.col("payload"), sid, "protobuf").alias("value"),
+            F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+            F.lit(0).cast("long").alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+
+    batch = framed(v1, 10, [{"id": 1, "name": "a"}]).unionByName(
+        framed(v2, 11, [{"id": 2, "name": "b", "score": 9.5}])
+    )
+    schemas = {("key", 1): key_schema, ("value", 10): v1, ("value", 11): v2}
+    parts = P.decode_confluent_batch_protobuf_python(
+        batch, lambda role, sid: schemas[(role, sid)]
+    )
+    assert [p for p, _ in parts] == [(1, 10), (1, 11)]
+    d10 = parts[0][1].collect()[0]
+    assert d10["key"]["id"] == 1 and d10["value"]["name"] == "a"
+    d11 = parts[1][1].collect()[0]
+    assert d11["value"]["score"] == 9.5 and d11["key"]["id"] == 2
