@@ -113,20 +113,38 @@ def raw_to_staged(
     from jibaro_spark.codecs.confluent import DECODERS
     from jibaro_spark.io import default_table_format
 
-    if content_type not in DECODERS:
+    if content_type == "protobuf-python":
+        # jar-free protobuf decode (codecs/proto_python.py): the
+        # resolver must return Spark StructType reader schemas
+        if schema_resolver is None:
+            raise ValueError(
+                "content_type='protobuf-python' requires a schema_resolver "
+                "returning StructType per (role, schema_id)"
+            )
+    elif content_type not in DECODERS:
         # validate eagerly — inside foreachBatch the error would be
         # silently skipped whenever the checkpoint yields an empty batch
         raise ValueError(
-            f"unknown content_type {content_type!r}; known: {sorted(DECODERS)}"
+            f"unknown content_type {content_type!r}; known: "
+            f"{sorted(DECODERS) + ['protobuf-python']}"
         )
     src = TableRef(str(Layer.RAW), project, database, table)
     dst = TableRef(str(Layer.STAGED), project, database, table)
 
+    def _decoded_pairs(batch: DataFrame):
+        if content_type == "protobuf-python":
+            from jibaro_spark.codecs.proto_python import (
+                decode_confluent_batch_protobuf_python,
+            )
+
+            return decode_confluent_batch_protobuf_python(batch, schema_resolver)
+        return decode_confluent_batch_pairs(
+            batch, registry, content_type, schema_resolver
+        )
+
     def process(batch: DataFrame, batch_id: int) -> None:
         fmt = default_table_format(batch.sparkSession)
-        for (key_id, value_id), decoded in decode_confluent_batch_pairs(
-            batch, registry, content_type, schema_resolver
-        ):
+        for (key_id, value_id), decoded in _decoded_pairs(batch):
             if fmt == "delta":
                 # txnAppId must be unique PER SCHEMA PAIR: Delta's idempotent
                 # writes skip any txn whose version <= the last recorded

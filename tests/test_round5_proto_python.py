@@ -166,3 +166,95 @@ def test_schema_partitioned_python_decode_mixed_versions(spark):
     assert d10["key"]["id"] == 1 and d10["value"]["name"] == "a"
     d11 = parts[1][1].collect()[0]
     assert d11["value"]["score"] == 9.5 and d11["key"]["id"] == 2
+
+
+def test_three_hop_pipeline_protobuf_python(spark, tmp_path):
+    """The reference's `make testprotobuf` flow without broker, jar, or
+    protoc: protobuf-framed topic dump → raw → staged (python codec,
+    schema-partitioned) → curated CDC state."""
+    import datetime
+
+    from jibaro_spark.catalog import Catalog, Layer, TableRef
+    from jibaro_spark.codecs.confluent import wire_encode
+    from jibaro_spark.config import Settings
+    from jibaro_spark.streaming import pipeline as pl
+
+    lake = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    key_schema = T.StructType([T.StructField("id", T.LongType())])
+
+    rows = [
+        ("r", {"id": 1, "name": "a", "weight": 1.0}, 0),
+        ("r", {"id": 2, "name": "b", "weight": 2.0}, 1),
+        ("u", {"id": 1, "name": "a2", "weight": 1.5}, 2),
+        ("d", None, 3),  # delete of id 2 via before image
+    ]
+    env_rows = []
+    for op, after, off in rows:
+        env_rows.append(
+            (
+                {
+                    "op": op,
+                    "after": after,
+                    "tags": [],
+                },
+                {"id": after["id"] if after else 2},
+                off,
+            )
+        )
+    env_df = spark.createDataFrame(
+        env_rows,
+        T.StructType(
+            [
+                T.StructField("v", ENV_SCHEMA),
+                T.StructField("k", key_schema),
+                T.StructField("off", T.LongType()),
+            ]
+        ),
+    )
+    enc = P.encode_protobuf_python(env_df, "v", ENV_SCHEMA)
+    enc = P.encode_protobuf_python(
+        enc, "k", key_schema, "Key", out_col="kpayload", package="jibarokey"
+    )
+    topic = enc.select(
+        wire_encode(F.col("kpayload"), 1, "protobuf").alias("key"),
+        wire_encode(F.col("payload"), 9, "protobuf").alias("value"),
+        F.lit("dbserver1.inventory.products").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("off").alias("offset"),
+        (
+            F.lit(datetime.datetime(2026, 1, 1))
+            + F.make_dt_interval(secs=F.col("off"))
+        ).alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    src_dir = lake.settings.base_path + "/source_topic"
+    topic.coalesce(1).write.mode("append").parquet(src_dir)
+
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int"
+    )
+    schemas = {("key", 1): key_schema, ("value", 9): ENV_SCHEMA}
+    stream = spark.readStream.schema(kafka_schema).parquet(src_dir)
+    pl.source_to_raw(stream, lake, "lab", "inventory", "pbproducts")
+    pl.raw_to_staged(
+        spark, lake, "lab", "inventory", "pbproducts",
+        registry=None,
+        content_type="protobuf-python",
+        schema_resolver=lambda role, sid: schemas[(role, sid)],
+    )
+    staged_ref = TableRef(str(Layer.STAGED), "lab", "inventory", "pbproducts")
+    staged = spark.read.parquet(lake.path(staged_ref))
+    assert staged.count() == 4
+    assert staged.filter(F.col("valueSchemaId") == 9).count() == 4
+    assert set(staged.select("value.op").toPandas()["op"]) == {"r", "u", "d"}
+
+    pl.staged_to_curated(
+        spark, lake, "lab", "inventory", "pbproducts", key_cols=["id"]
+    )
+    cur_ref = TableRef(str(Layer.CURATED), "lab", "inventory", "pbproducts")
+    got = {
+        r["id"]: (r["name"], r["weight"])
+        for r in spark.read.parquet(lake.path(cur_ref)).collect()
+    }
+    assert got == {1: ("a2", 1.5)}  # id 2 deleted, id 1 updated
