@@ -1,0 +1,306 @@
+"""Pure-Python Avro binary decode/encode for Confluent payloads ([ext]
+— executes the reference's FLAGSHIP Avro staged hop
+(``avro_handler.py:71-96``, the `make testavro` path) without the
+spark-avro jar: Avro's binary encoding is fully specified publicly
+(zigzag-varint ints, IEEE little-endian floats, length-prefixed
+bytes/strings, schema-ordered records, block-encoded arrays/maps,
+branch-indexed unions), so a reader/writer driven directly by the
+Spark ``StructType`` is small and exactly verifiable against
+hand-computed golden bytes.
+
+Schema conventions MATCH :func:`jibaro_spark.codecs.schemas.
+to_avro_schema` (what our publish path registers and what
+Debezium/Confluent producers emit): a nullable Spark field is the
+union ``["null", T]`` — branch 0 null, branch 1 value; nullable array
+elements likewise.  The wire never carries field names — order and
+nullability come from the schema, which is why the schema-id-
+partitioned decode loop (R7) matters: each frame parses with exactly
+its writer schema.
+
+Like :mod:`jibaro_spark.codecs.proto_python`: slicing stays native,
+the payload parse is an Arrow-batched ``mapInPandas`` map-only pass,
+and the JVM ``from_avro`` dispatcher remains the production fast path
+where the jar exists.
+
+Supported Spark types: string, binary, boolean, int/short, long,
+float, double, arrays, string-keyed maps, nested structs.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_SUPPORTED_SCALARS = (
+    T.StringType,
+    T.BinaryType,
+    T.BooleanType,
+    T.IntegerType,
+    T.ShortType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+
+
+def _check_supported(dt: T.DataType, path: str) -> None:
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            _check_supported(f.dataType, f"{path}.{f.name}")
+    elif isinstance(dt, T.ArrayType):
+        _check_supported(dt.elementType, f"{path}[]")
+    elif isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise TypeError(f"avro_python: map keys must be string at {path}")
+        _check_supported(dt.valueType, f"{path}{{}}")
+    elif not isinstance(dt, _SUPPORTED_SCALARS):
+        raise TypeError(f"avro_python: unsupported Spark type {dt} at {path}")
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf, self.pos = buf, 0
+
+    def long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def raw(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read(r: _Reader, dt: T.DataType, nullable: bool):
+    if nullable:
+        if r.long() == 0:  # union branch 0 = null
+            return None
+    if isinstance(dt, T.StructType):
+        return {
+            f.name: _read(r, f.dataType, f.nullable) for f in dt.fields
+        }
+    if isinstance(dt, T.ArrayType):
+        out = []
+        while True:
+            count = r.long()
+            if count == 0:
+                return out
+            if count < 0:  # block with byte-size prefix (spec-valid)
+                r.long()
+                count = -count
+            for _ in range(count):
+                out.append(_read(r, dt.elementType, dt.containsNull))
+    if isinstance(dt, T.MapType):
+        out = {}
+        while True:
+            count = r.long()
+            if count == 0:
+                return out
+            if count < 0:
+                r.long()
+                count = -count
+            for _ in range(count):
+                k = r.raw(r.long()).decode("utf-8")
+                out[k] = _read(r, dt.valueType, dt.valueContainsNull)
+    if isinstance(dt, T.StringType):
+        return r.raw(r.long()).decode("utf-8")
+    if isinstance(dt, T.BinaryType):
+        return bytes(r.raw(r.long()))
+    if isinstance(dt, T.BooleanType):
+        return r.raw(1) != b"\x00"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.LongType)):
+        return r.long()
+    if isinstance(dt, T.FloatType):
+        return _struct.unpack("<f", r.raw(4))[0]
+    if isinstance(dt, T.DoubleType):
+        return _struct.unpack("<d", r.raw(8))[0]
+    raise TypeError(f"avro_python: unsupported type {dt}")
+
+
+def _write(out: bytearray, v, dt: T.DataType, nullable: bool) -> None:
+    if nullable:
+        if v is None:
+            out += _zigzag(0)
+            return
+        out += _zigzag(1)
+    elif v is None:
+        raise ValueError(f"null in non-nullable Avro field of type {dt}")
+    if isinstance(dt, T.StructType):
+        get = v.get if isinstance(v, dict) else v.asDict().get
+        for f in dt.fields:
+            _write(out, get(f.name), f.dataType, f.nullable)
+    elif isinstance(dt, T.ArrayType):
+        if len(v):
+            out += _zigzag(len(v))
+            for item in v:
+                _write(out, item, dt.elementType, dt.containsNull)
+        out += _zigzag(0)
+    elif isinstance(dt, T.MapType):
+        items = list(v.items())
+        if items:
+            out += _zigzag(len(items))
+            for k, val in items:
+                kb = k.encode("utf-8")
+                out += _zigzag(len(kb)) + kb
+                _write(out, val, dt.valueType, dt.valueContainsNull)
+        out += _zigzag(0)
+    elif isinstance(dt, T.StringType):
+        b = v.encode("utf-8")
+        out += _zigzag(len(b)) + b
+    elif isinstance(dt, T.BinaryType):
+        out += _zigzag(len(v)) + bytes(v)
+    elif isinstance(dt, T.BooleanType):
+        out += b"\x01" if v else b"\x00"
+    elif isinstance(dt, (T.IntegerType, T.ShortType, T.LongType)):
+        out += _zigzag(int(v))
+    elif isinstance(dt, T.FloatType):
+        out += _struct.pack("<f", float(v))
+    elif isinstance(dt, T.DoubleType):
+        out += _struct.pack("<d", float(v))
+    else:
+        raise TypeError(f"avro_python: unsupported type {dt}")
+
+
+def decode_avro_python(
+    df: DataFrame,
+    payload_col: str,
+    schema: T.StructType,
+    out_col: str = "value",
+) -> DataFrame:
+    """Parse an Avro-binary payload column (writer schema = the Avro
+    derivation of ``schema``, per ``to_avro_schema`` conventions) into
+    a typed struct column — Arrow-batched, map-only."""
+    _check_supported(schema, "$")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, schema)]
+    )
+
+    def mapper(batches):
+        def parse(b):
+            if b is None:
+                return None
+            # top-level record: fields in order (no outer union)
+            return _read(_Reader(bytes(b)), schema, nullable=False)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[payload_col].map(parse)
+            yield pdf
+
+    return df.mapInPandas(mapper, out_schema)
+
+
+def encode_avro_python(
+    df: DataFrame,
+    struct_col: str,
+    schema: T.StructType,
+    out_col: str = "payload",
+) -> DataFrame:
+    """Serialize a struct column to Avro binary — the reverse path
+    (reference ``kafka.py:86-109`` uses ``to_avro``); compose with
+    :func:`jibaro_spark.codecs.confluent.wire_encode`."""
+    _check_supported(schema, "$")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def mapper(batches):
+        def ser(v):
+            if v is None:
+                return None
+            out = bytearray()
+            _write(
+                out,
+                v if isinstance(v, dict) else v.asDict(recursive=True),
+                schema,
+                nullable=False,
+            )
+            return bytes(out)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[struct_col].map(ser)
+            yield pdf
+
+    return df.mapInPandas(mapper, out_schema)
+
+
+def decode_confluent_batch_avro_python(
+    batch: DataFrame,
+    schema_resolver,
+    on_tombstone: str = "drop",
+) -> list:
+    """Schema-partitioned Confluent Avro decode (R7) on the Python
+    codec — same native slicing + pair loop as the jar path; each
+    pair's payloads parse with exactly that pair's reader schema
+    (``schema_resolver(role, id) -> StructType``)."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.codecs.confluent import KAFKA_META_COLS, split_wire_format
+
+    sliced = split_wire_format(batch, "avro")
+    pairs = [
+        (r.keySchemaId, r.valueSchemaId)
+        for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
+    ]
+    pairs.sort(key=lambda p: (p[0] is None, p[1] is None, p[0] or 0, p[1] or 0))
+    out = []
+    for key_id, value_id in pairs:
+        if value_id is None:
+            if on_tombstone == "error":
+                raise ValueError(f"tombstone rows for keySchemaId={key_id}")
+            if on_tombstone == "drop":
+                continue
+        cond = (
+            F.col("keySchemaId").isNull()
+            if key_id is None
+            else (F.col("keySchemaId") == key_id)
+        ) & (
+            F.col("valueSchemaId").isNull()
+            if value_id is None
+            else (F.col("valueSchemaId") == value_id)
+        )
+        part = sliced.filter(cond).drop("key", "value")
+        if value_id is not None:
+            part = decode_avro_python(
+                part, "valuePayload", schema_resolver("value", value_id), "value"
+            )
+        else:
+            part = part.withColumn("value", F.lit(None))
+        if key_id is not None:
+            part = decode_avro_python(
+                part, "keyPayload", schema_resolver("key", key_id), "key"
+            )
+        else:
+            part = part.withColumn("key", F.lit(None).cast("string"))
+        keep = (
+            ["key", "value"]
+            + [c for c in KAFKA_META_COLS if c in part.columns]
+            + ["keySchemaId", "valueSchemaId"]
+        )
+        out.append(((key_id, value_id), part.select(*keep)))
+    return out

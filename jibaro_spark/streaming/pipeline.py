@@ -113,12 +113,13 @@ def raw_to_staged(
     from jibaro_spark.codecs.confluent import DECODERS
     from jibaro_spark.io import default_table_format
 
-    if content_type == "protobuf-python":
-        # jar-free protobuf decode (codecs/proto_python.py): the
-        # resolver must return Spark StructType reader schemas
+    _PY_CODECS = ("protobuf-python", "avro-python")
+    if content_type in _PY_CODECS:
+        # jar-free decode (codecs/proto_python.py / avro_python.py):
+        # the resolver must return Spark StructType reader schemas
         if schema_resolver is None:
             raise ValueError(
-                "content_type='protobuf-python' requires a schema_resolver "
+                f"content_type={content_type!r} requires a schema_resolver "
                 "returning StructType per (role, schema_id)"
             )
     elif content_type not in DECODERS:
@@ -126,7 +127,7 @@ def raw_to_staged(
         # silently skipped whenever the checkpoint yields an empty batch
         raise ValueError(
             f"unknown content_type {content_type!r}; known: "
-            f"{sorted(DECODERS) + ['protobuf-python']}"
+            f"{sorted(DECODERS) + list(_PY_CODECS)}"
         )
     src = TableRef(str(Layer.RAW), project, database, table)
     dst = TableRef(str(Layer.STAGED), project, database, table)
@@ -138,6 +139,12 @@ def raw_to_staged(
             )
 
             return decode_confluent_batch_protobuf_python(batch, schema_resolver)
+        if content_type == "avro-python":
+            from jibaro_spark.codecs.avro_python import (
+                decode_confluent_batch_avro_python,
+            )
+
+            return decode_confluent_batch_avro_python(batch, schema_resolver)
         return decode_confluent_batch_pairs(
             batch, registry, content_type, schema_resolver
         )
