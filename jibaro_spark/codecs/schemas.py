@@ -347,3 +347,75 @@ def generate_proto_descriptors(
             spark.sparkContext.addFile(desc_path)
         out[name] = desc_path
     return out
+
+
+def avro_schema_to_struct(doc: str | dict) -> T.StructType:
+    """Avro record schema (JSON text or parsed) → StructType — the
+    decode-side inverse of :func:`to_avro_schema`, closing the
+    registry loop for the pure-Python Avro codec: the Confluent
+    registry stores Avro JSON (reference ``utils.py:178-179``), this
+    turns a fetched writer schema into the StructType that
+    ``codecs.avro_python`` parses with.
+
+    ``["null", T]`` unions map to nullable fields; logical types ride
+    their underlying primitive (``timestamp-micros`` → TimestampType,
+    ``date`` → DateType); unsupported branches (multi-type unions,
+    enums, fixed) raise rather than guess.
+    """
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+    dt, _ = _avro_type_to_spark(doc)
+    if not isinstance(dt, T.StructType):
+        raise TypeError(f"avro_schema_to_struct: top level must be a record, got {doc}")
+    return dt
+
+
+def _avro_type_to_spark(t) -> "tuple[T.DataType, bool]":
+    """Returns (DataType, nullable)."""
+    if isinstance(t, list):  # union
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise TypeError(f"unsupported Avro union {t}")
+        inner, _ = _avro_type_to_spark(branches[0])
+        return inner, "null" in t
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        kind = t.get("type")
+        if logical == "timestamp-micros":
+            return T.TimestampType(), False
+        if logical == "local-timestamp-micros":
+            return T.TimestampNTZType(), False
+        if logical == "date":
+            return T.DateType(), False
+        if logical == "decimal":
+            return T.DecimalType(t["precision"], t["scale"]), False
+        if kind == "record":
+            fields = []
+            for f in t["fields"]:
+                fdt, fnull = _avro_type_to_spark(f["type"])
+                fields.append(T.StructField(f["name"], fdt, nullable=fnull))
+            return T.StructType(fields), False
+        if kind == "array":
+            idt, inull = _avro_type_to_spark(t["items"])
+            return T.ArrayType(idt, containsNull=inull), False
+        if kind == "map":
+            vdt, vnull = _avro_type_to_spark(t["values"])
+            return (
+                T.MapType(T.StringType(), vdt, valueContainsNull=vnull),
+                False,
+            )
+        if isinstance(kind, (str, list, dict)):
+            return _avro_type_to_spark(kind)
+        raise TypeError(f"unsupported Avro type {t}")
+    prims = {
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+    }
+    if t in prims:
+        return prims[t], False
+    raise TypeError(f"unsupported Avro type {t!r}")

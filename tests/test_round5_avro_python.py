@@ -180,3 +180,40 @@ def test_unsupported_type_raises(spark):
     df = spark.createDataFrame([], T.StructType([T.StructField("v", bad)]))
     with pytest.raises(TypeError, match="unsupported Spark type"):
         A.encode_avro_python(df, "v", bad)
+
+
+def test_registry_schema_round_trip(spark):
+    """StructType → Avro JSON (to_avro_schema, what the publish path
+    registers) → StructType (avro_schema_to_struct, what the decode
+    path resolves) is the identity on the supported surface — the
+    full registry loop for the Python codec."""
+    from jibaro_spark.codecs.schemas import avro_schema_to_struct, to_avro_schema
+
+    back = avro_schema_to_struct(to_avro_schema(ENV_SCHEMA, "Envelope"))
+    assert back == ENV_SCHEMA
+
+    # and a registry-driven decode: resolver = fetch text → struct
+    from jibaro_spark.codecs.confluent import InMemorySchemaRegistry, wire_encode
+
+    reg = InMemorySchemaRegistry()
+    sid = reg.register("products-value", to_avro_schema(ENV_SCHEMA, "Envelope"))
+    df = spark.createDataFrame(
+        [({"op": "c", "after": {"id": 3, "name": "n", "weight": 0.5},
+           "tags": [9]},)],
+        T.StructType([T.StructField("v", ENV_SCHEMA)]),
+    )
+    framed = A.encode_avro_python(df, "v", ENV_SCHEMA).select(
+        F.lit(None).cast("binary").alias("key"),
+        wire_encode(F.col("payload"), sid, "avro").alias("value"),
+        F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    parts = A.decode_confluent_batch_avro_python(
+        framed,
+        lambda role, s_id: avro_schema_to_struct(reg.get_schema(s_id)),
+    )
+    assert len(parts) == 1
+    row = parts[0][1].collect()[0]
+    assert row["value"]["after"]["id"] == 3
+    assert row["value"]["tags"] == [9]
