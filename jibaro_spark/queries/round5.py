@@ -964,3 +964,62 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro codec round trip, driver-checked: rows → Avro binary (pure-
+# stdlib spec codec) → Confluent frame → native wire slice → decode →
+# rows.  decode(encode(x)) == x means the ORACLE is simply the source
+# rows — any drift anywhere in the codec chain (zigzag, unions, frame
+# offsets) breaks the hash.  The protobuf twin lives in pytest only:
+# its runtime import cannot be assumed on the driver's workers.
+QAVRO_RT_ORACLE = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_avro_roundtrip",
+    oracle=QAVRO_RT_ORACLE,
+    description="Confluent Avro encode→frame→slice→decode round trip over documents — codec chain hash-checked against the source rows (F4 [ext])",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from jibaro_spark.codecs.avro_python import (
+        decode_avro_python,
+        encode_avro_python,
+    )
+    from jibaro_spark.codecs.confluent import payload_of, schema_id_of, wire_encode
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    rec = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), nullable=False),
+            T.StructField("lang", T.StringType(), nullable=True),
+            T.StructField("n_chars", T.LongType(), nullable=True),
+        ]
+    )
+    framed = encode_avro_python(
+        docs.select(
+            F.struct(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("lang"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            ).alias("v")
+        ),
+        "v",
+        rec,
+    ).select(wire_encode(F.col("payload"), 31, "avro").alias("value"))
+    sliced = framed.select(
+        schema_id_of("value").alias("sid"),
+        payload_of("value", "avro").alias("payload"),
+    )
+    decoded = decode_avro_python(sliced, "payload", rec)
+    return (
+        decoded.filter(F.col("sid") == 31)
+        .select("value.doc_id", "value.lang", "value.n_chars")
+        .orderBy("doc_id")
+    )
