@@ -304,3 +304,44 @@ def decode_confluent_batch_avro_python(
         )
         out.append(((key_id, value_id), part.select(*keep)))
     return out
+
+
+def encode_confluent_avro_python(
+    df: DataFrame,
+    key_cols: list[str],
+    registry,
+    topic: str,
+) -> DataFrame:
+    """Reverse path on the Python codec (reference ``kafka.py:22-119``
+    with ``to_avro`` → stdlib writer): derive Avro schemas from the
+    DataFrame, register them under ``{topic}-key``/``{topic}-value``,
+    encode both sides, and assemble Confluent frames — the publisher
+    whose output :func:`decode_confluent_batch_avro_python` (resolver
+    = ``avro_schema_to_struct(registry.get_schema(id))``) consumes,
+    closing the jar-free produce→consume loop end to end."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.codecs.confluent import wire_encode
+    from jibaro_spark.codecs.schemas import to_avro_schema
+
+    value_cols = [c for c in df.columns if c not in key_cols]
+    value_schema_t = df.select(*value_cols).schema
+    value_schema = to_avro_schema(value_schema_t, "Envelope", namespace=topic)
+    value_id = registry.register(f"{topic}-value", value_schema, "AVRO")
+
+    staged = df.select(
+        F.struct(*value_cols).alias("__v"),
+        *([F.struct(*key_cols).alias("__k")] if key_cols else []),
+    )
+    staged = encode_avro_python(staged, "__v", value_schema_t, out_col="__vp")
+    value_bin = wire_encode(F.col("__vp"), value_id, "avro")
+
+    if key_cols:
+        key_schema_t = df.select(*key_cols).schema
+        key_schema = to_avro_schema(key_schema_t, "Key", namespace=topic)
+        key_id = registry.register(f"{topic}-key", key_schema, "AVRO")
+        staged = encode_avro_python(staged, "__k", key_schema_t, out_col="__kp")
+        key_bin = wire_encode(F.col("__kp"), key_id, "avro")
+    else:
+        key_bin = F.lit(None).cast("binary")
+    return staged.select(key_bin.alias("key"), value_bin.alias("value"))

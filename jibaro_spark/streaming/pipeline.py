@@ -234,7 +234,12 @@ def publish_table(
     from jibaro_spark.io import read_table
 
     df = read_table(spark, catalog, ref)
-    framed = encode_confluent(df, key_cols, registry, topic, content_type)
+    if content_type == "avro-python":
+        from jibaro_spark.codecs.avro_python import encode_confluent_avro_python
+
+        framed = encode_confluent_avro_python(df, key_cols, registry, topic)
+    else:
+        framed = encode_confluent(df, key_cols, registry, topic, content_type)
     if sink is not None:
         sink(framed)
     elif has_kafka(spark):

@@ -217,3 +217,44 @@ def test_registry_schema_round_trip(spark):
     row = parts[0][1].collect()[0]
     assert row["value"]["after"]["id"] == 3
     assert row["value"]["tags"] == [9]
+
+
+def test_publish_consume_loop_avro_python(spark, tmp_path):
+    """The full reverse+forward loop jar-free: publish_table encodes a
+    curated table to Confluent Avro frames (registering derived schemas),
+    and the consumer decodes them with schemas RESOLVED FROM THE
+    REGISTRY — reference curated2kafka_avro.py + raw2staged in one."""
+    from jibaro_spark.catalog import Catalog, Layer, TableRef
+    from jibaro_spark.codecs.confluent import InMemorySchemaRegistry
+    from jibaro_spark.codecs.schemas import avro_schema_to_struct
+    from jibaro_spark.config import Settings
+    from jibaro_spark.streaming import pipeline as pl
+
+    lake = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    ref = TableRef(str(Layer.CURATED), "lab", "inventory", "pub_products")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, weight double"
+    ).write.parquet(lake.path(ref))
+
+    reg = InMemorySchemaRegistry()
+    framed = pl.publish_table(
+        spark, lake, ref, key_cols=["id"], registry=reg,
+        topic="products", content_type="avro-python", sink=lambda df: None,
+    )
+    assert dict(framed.dtypes) == {"key": "binary", "value": "binary"}
+
+    parts = A.decode_confluent_batch_avro_python(
+        framed.select(
+            "key", "value", F.lit("products").alias("topic"),
+            F.lit(0).alias("partition"), F.lit(0).cast("long").alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        ),
+        lambda role, sid: avro_schema_to_struct(reg.get_schema(sid)),
+    )
+    assert len(parts) == 1
+    rows = {
+        r["key"]["id"]: (r["value"]["name"], r["value"]["weight"])
+        for r in parts[0][1].collect()
+    }
+    assert rows == {1: ("a", 1.0), 2: ("b", 2.0)}
