@@ -419,3 +419,69 @@ def _avro_type_to_spark(t) -> "tuple[T.DataType, bool]":
     if t in prims:
         return prims[t], False
     raise TypeError(f"unsupported Avro type {t!r}")
+
+
+def schema_diff(old: T.StructType, new: T.StructType) -> dict:
+    """Field-level diff of two Spark schemas — the governance check
+    behind every ``mergeSchema=true`` append (K2): what exactly is the
+    evolution about to commit?  Returns
+    ``{"added", "removed", "retyped", "relaxed_nullability",
+    "tightened_nullability"}`` with dotted paths for nested fields.
+    """
+    out = {
+        "added": [],
+        "removed": [],
+        "retyped": [],
+        "relaxed_nullability": [],
+        "tightened_nullability": [],
+    }
+
+    def walk(o: T.StructType, n: T.StructType, prefix: str) -> None:
+        ofields = {f.name: f for f in o.fields}
+        nfields = {f.name: f for f in n.fields}
+        for name in nfields:
+            if name not in ofields:
+                out["added"].append(f"{prefix}{name}")
+        for name, of in ofields.items():
+            if name not in nfields:
+                out["removed"].append(f"{prefix}{name}")
+                continue
+            nf = nfields[name]
+            path = f"{prefix}{name}"
+            odt, ndt = of.dataType, nf.dataType
+            if isinstance(odt, T.StructType) and isinstance(ndt, T.StructType):
+                walk(odt, ndt, f"{path}.")
+            elif odt != ndt:
+                out["retyped"].append(f"{path}: {odt.simpleString()} -> {ndt.simpleString()}")
+            if not of.nullable and nf.nullable:
+                out["relaxed_nullability"].append(path)
+            elif of.nullable and not nf.nullable:
+                out["tightened_nullability"].append(path)
+
+    walk(old, new, "")
+    return out
+
+
+def is_backward_compatible(old: T.StructType, new: T.StructType) -> bool:
+    """Confluent BACKWARD compatibility on the Spark-schema level:
+    consumers using ``new`` can read data written with ``old`` — true
+    iff evolution only ADDS nullable fields (readable as null from old
+    data) and/or relaxes nullability; removals, retypes, and new
+    NON-nullable fields break it.  The check a registry-register call
+    should gate on (reference registers blindly, ``utils.py:43-54``).
+    """
+    d = schema_diff(old, new)
+    if d["removed"] or d["retyped"] or d["tightened_nullability"]:
+        return False
+
+    def field_nullable(schema: T.StructType, dotted: str) -> bool:
+        parts = dotted.split(".")
+        cur: T.DataType = schema
+        f = None
+        for p in parts:
+            assert isinstance(cur, T.StructType)
+            f = next(x for x in cur.fields if x.name == p)
+            cur = f.dataType
+        return f.nullable if f else True
+
+    return all(field_nullable(new, p) for p in d["added"])

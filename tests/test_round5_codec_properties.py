@@ -166,3 +166,64 @@ def test_txlog_concurrent_appenders_lose_nothing(spark, tmp_path):
     vals = sorted(r["v"] for r in TX.read_versioned(spark, table).collect())
     expected = [0] + [100 * i + j for i in range(1, 9) for j in range(3)]
     assert vals == sorted(expected)
+
+
+def test_schema_diff_and_backward_compat():
+    from pyspark.sql import types as TT
+
+    from jibaro_spark.codecs.schemas import is_backward_compatible, schema_diff
+
+    old = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType(), nullable=False),
+            TT.StructField("name", TT.StringType()),
+            TT.StructField(
+                "meta",
+                TT.StructType([TT.StructField("src", TT.StringType())]),
+            ),
+        ]
+    )
+    # compatible: add nullable field (top + nested), relax nullability
+    new_ok = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType(), nullable=True),
+            TT.StructField("name", TT.StringType()),
+            TT.StructField(
+                "meta",
+                TT.StructType(
+                    [
+                        TT.StructField("src", TT.StringType()),
+                        TT.StructField("lang", TT.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    d = schema_diff(old, new_ok)
+    assert d["added"] == ["meta.lang"]
+    assert d["relaxed_nullability"] == ["id"]
+    assert not d["removed"] and not d["retyped"]
+    assert is_backward_compatible(old, new_ok)
+
+    # incompatible: retype, remove, add non-nullable
+    new_retype = TT.StructType(
+        [
+            TT.StructField("id", TT.StringType(), nullable=False),
+            TT.StructField("name", TT.StringType()),
+            TT.StructField(
+                "meta",
+                TT.StructType([TT.StructField("src", TT.StringType())]),
+            ),
+        ]
+    )
+    assert "id: bigint -> string" in schema_diff(old, new_retype)["retyped"]
+    assert not is_backward_compatible(old, new_retype)
+
+    new_removed = TT.StructType(old.fields[:2])
+    assert schema_diff(old, new_removed)["removed"] == ["meta"]
+    assert not is_backward_compatible(old, new_removed)
+
+    new_required = TT.StructType(
+        list(old.fields) + [TT.StructField("req", TT.LongType(), nullable=False)]
+    )
+    assert not is_backward_compatible(old, new_required)
