@@ -77,6 +77,14 @@ class _Reader:
         return (acc >> 1) ^ -(acc & 1)  # zigzag
 
     def raw(self, n: int) -> bytes:
+        # bounds-checked: a corrupt length varint (negative, or past
+        # the end) must RAISE, not silently return a short slice —
+        # python slicing would otherwise mask corruption as truncation
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError(
+                f"avro frame truncated/corrupt: need {n} bytes at "
+                f"offset {self.pos} of {len(self.buf)}"
+            )
         out = self.buf[self.pos : self.pos + n]
         self.pos += n
         return out
@@ -190,10 +198,20 @@ def decode_avro_python(
     payload_col: str,
     schema: T.StructType,
     out_col: str = "value",
+    mode: str = "failfast",
 ) -> DataFrame:
     """Parse an Avro-binary payload column (writer schema = the Avro
     derivation of ``schema``, per ``to_avro_schema`` conventions) into
-    a typed struct column — Arrow-batched, map-only."""
+    a typed struct column — Arrow-batched, map-only.
+
+    ``mode``: ``failfast`` (default — a corrupt frame aborts the batch,
+    the reference's FAILFAST stance, ``avro_handler.py:25``) or
+    ``permissive`` — corrupt/truncated frames yield a null ``out_col``
+    so a ``{out_col} IS NULL AND {payload_col} IS NOT NULL`` filter
+    routes them to quarantine instead of poisoning 100 TB of good rows
+    (the ``parse_json_quarantine`` philosophy)."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"decode_avro_python: unknown mode {mode!r}")
     _check_supported(schema, "$")
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, schema)]
@@ -204,7 +222,15 @@ def decode_avro_python(
             if b is None:
                 return None
             # top-level record: fields in order (no outer union)
-            return _read(_Reader(bytes(b)), schema, nullable=False)
+            rdr = _Reader(bytes(b))
+            if mode == "failfast":
+                return _read(rdr, schema, nullable=False)
+            try:
+                val = _read(rdr, schema, nullable=False)
+            except Exception:
+                return None
+            # spec frames decode exactly; trailing garbage = corrupt
+            return val if rdr.pos == len(rdr.buf) else None
 
         for pdf in batches:
             pdf = pdf.copy()

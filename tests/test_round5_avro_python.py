@@ -258,3 +258,31 @@ def test_publish_consume_loop_avro_python(spark, tmp_path):
         for r in parts[0][1].collect()
     }
     assert rows == {1: ("a", 1.0), 2: ("b", 2.0)}
+
+
+def test_permissive_mode_quarantines_corrupt_frames(spark):
+    """Corrupt payloads yield null structs under mode='permissive'
+    (routable to quarantine); failfast raises for the same input."""
+    s1 = T.StructType(
+        [
+            T.StructField("a", T.LongType(), nullable=False),
+            T.StructField("s", T.StringType(), nullable=False),
+        ]
+    )
+    rows = [
+        (1, b"\x02\x04ab"),            # valid
+        (2, b"\x02\x7fab"),            # declared string length > buffer
+        (3, b"\x02\x04abEXTRA"),       # trailing garbage
+        (4, None),                      # tombstone
+    ]
+    raw = spark.createDataFrame(rows, "i long, payload binary")
+    dec = A.decode_avro_python(raw, "payload", s1, mode="permissive")
+    got = {r["i"]: r["value"] for r in dec.collect()}
+    assert got[1]["a"] == 1 and got[1]["s"] == "ab"
+    assert got[2] is None and got[3] is None and got[4] is None
+    quarantined = dec.filter(
+        F.col("value").isNull() & F.col("payload").isNotNull()
+    ).count()
+    assert quarantined == 2
+    with pytest.raises(Exception):
+        A.decode_avro_python(raw, "payload", s1).collect()

@@ -430,3 +430,39 @@ def test_transform_with_state_running_totals(spark, events_dir):
         gn, gtot = final[u]
         assert gn == n, (u, gn, n)
         assert abs(gtot - tot) < 1e-4, (u, gtot, tot)
+
+
+def test_stream_static_enrichment_join(spark, events_dir, tmp_path):
+    """Stream-static join — the enrichment pattern (streaming facts ×
+    static dimension): the static side is re-read per micro-batch and
+    needs NO watermark or state; results equal the batch join."""
+    dim = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(200)], "user_id long, segment string"
+    )
+    dim_dir = str(tmp_path / "dim")
+    dim.write.parquet(dim_dir)
+    static = spark.read.parquet(dim_dir)
+
+    sdf = _stream(spark, events_dir)
+    enriched = sdf.join(static, "user_id", "left").groupBy("segment").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["segment"]: r["count"]
+        for r in spark.sql("SELECT * FROM stream_static_out").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r["segment"]: r["count"]
+        for r in batch.join(static, "user_id", "left")
+        .groupBy("segment")
+        .count()
+        .collect()
+    }
+    assert got == expected and got, got
