@@ -180,7 +180,14 @@ def vacuum_if_due(spark: SparkSession, catalog: Catalog, ref: TableRef) -> bool:
     if head is not None:
         if head == 0 or head % s.vacuum_every_n_versions != 0:
             return False
-        txlog.vacuum_versioned(path, keep_versions=s.vacuum_every_n_versions)
+        txlog.vacuum_versioned(
+            path,
+            keep_versions=s.vacuum_every_n_versions,
+            # the reference's retention window (768 h) doubles as the
+            # concurrent-writer guard: only files older than it are
+            # reclaimed (txlog.vacuum_versioned docstring)
+            min_file_age_s=s.vacuum_retention_hours * 3600.0,
+        )
         return True
     if not has_delta(spark):
         return False

@@ -183,14 +183,31 @@ def history(table: str) -> list[dict]:
     return out
 
 
-def vacuum_versioned(table: str, keep_versions: int = 5) -> int:
+def vacuum_versioned(
+    table: str, keep_versions: int = 5, min_file_age_s: float = 3600.0
+) -> int:
     """Delete data files referenced ONLY by versions older than the
     ``keep_versions`` most recent (and staging orphans); returns the
     number of files deleted.  Time travel keeps working within the
-    retained window — a retained snapshot's files are never touched."""
+    retained window — a retained snapshot's files are never touched.
+
+    ``min_file_age_s`` is the concurrent-writer guard (the role Delta's
+    retention hours play): an in-flight ``write_versioned`` moves its
+    uniquely-named data files into the table root BEFORE committing the
+    log entry, so an unreferenced-but-YOUNG file may belong to a commit
+    about to happen — only files older than the age floor are
+    reclaimed.  Set 0 only when no writer can be active."""
     head = latest_version(table)
     if head is None:
         return 0
+    now = time.time()
+
+    def old_enough(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= min_file_age_s
+        except OSError:
+            return False
+
     cutoff = max(0, head - keep_versions + 1)
     keep: set[str] = set()
     for v in range(cutoff, head + 1):
@@ -201,10 +218,11 @@ def vacuum_versioned(table: str, keep_versions: int = 5) -> int:
         if fname == LOG_DIR:
             continue
         if fname.startswith("_staging_") and os.path.isdir(full):
-            shutil.rmtree(full)
-            deleted += 1
+            if old_enough(full):
+                shutil.rmtree(full)
+                deleted += 1
             continue
-        if fname.endswith(".parquet") and fname not in keep:
+        if fname.endswith(".parquet") and fname not in keep and old_enough(full):
             os.unlink(full)
             deleted += 1
     # Log entries are retained (metadata is tiny): out-of-retention

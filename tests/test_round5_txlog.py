@@ -81,7 +81,7 @@ def test_uncommitted_write_leaves_table_unchanged(spark, table, monkeypatch):
     assert T.snapshot_files(table) == before
     assert _vals(T.read_versioned(spark, table)) == [0, 1, 2]
     # vacuum reclaims the orphans
-    n = T.vacuum_versioned(table, keep_versions=5)
+    n = T.vacuum_versioned(table, keep_versions=5, min_file_age_s=0)
     assert n > 0
     assert _vals(T.read_versioned(spark, table)) == [0, 1, 2]
 
@@ -106,7 +106,7 @@ def test_vacuum_respects_retention(spark, table):
             table,
             mode="overwrite" if i else "append",
         )
-    deleted = T.vacuum_versioned(table, keep_versions=2)
+    deleted = T.vacuum_versioned(table, keep_versions=2, min_file_age_s=0)
     assert deleted > 0
     # retained versions still read fine
     assert _vals(T.read_versioned(spark, table, version=3)) == [30, 31]
@@ -246,3 +246,17 @@ def test_compact_versioned_preserves_rows_and_history(spark, table):
     assert T.history(table)[0]["operation"].startswith("OPTIMIZE ZORDER")
     # pre-compaction version still time-travels
     assert _vals(T.read_versioned(spark, table, version=4)) == before
+
+
+def test_vacuum_age_guard_spares_young_files(spark, table):
+    """Default vacuum must NOT reclaim freshly-written unreferenced
+    files — they may belong to an in-flight commit (the concurrent-
+    writer guard); with the age floor at 0 the same files go."""
+    T.write_versioned(spark.range(2).select(F.col("id").alias("v")), table)
+    T.write_versioned(
+        spark.range(5, 6).select(F.col("id").alias("v")), table, mode="overwrite"
+    )
+    assert T.vacuum_versioned(table, keep_versions=1) == 0  # young files spared
+    assert _vals(T.read_versioned(spark, table, version=0)) == [0, 1]
+    assert T.vacuum_versioned(table, keep_versions=1, min_file_age_s=0) > 0
+    assert _vals(T.read_versioned(spark, table)) == [5]
