@@ -157,10 +157,18 @@ def decode_protobuf_python(
     message_name: str = "Envelope",
     out_col: str = "value",
     package: str = "jibaro",
+    mode: str = "failfast",
 ) -> DataFrame:
     """Parse a protobuf-payload binary column into a typed struct
     column via Arrow-batched ``mapInPandas`` (map-only; all other
-    columns pass through).  Null payloads yield null structs."""
+    columns pass through).  Null payloads yield null structs.
+
+    ``mode``: ``failfast`` (default — a corrupt frame aborts the
+    batch) or ``permissive`` — unparseable frames yield a null
+    ``out_col`` routable to quarantine (mirrors
+    ``decode_avro_python``)."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"decode_protobuf_python: unknown mode {mode!r}")
     fdp_bytes = struct_to_file_descriptor_bytes(schema, message_name, package)
     full_name = f"{package}.{message_name}"
     in_fields = df.schema.fields
@@ -173,6 +181,12 @@ def decode_protobuf_python(
             if b is None:
                 return None
             m = cls()
+            if mode == "permissive":
+                try:
+                    m.ParseFromString(bytes(b))
+                except Exception:
+                    return None
+                return _msg_to_value(m, schema)
             m.ParseFromString(bytes(b))
             return _msg_to_value(m, schema)
 

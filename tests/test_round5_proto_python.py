@@ -258,3 +258,23 @@ def test_three_hop_pipeline_protobuf_python(spark, tmp_path):
         for r in spark.read.parquet(lake.path(cur_ref)).collect()
     }
     assert got == {1: ("a2", 1.5)}  # id 2 deleted, id 1 updated
+
+
+def test_permissive_mode_quarantines_corrupt_frames(spark):
+    schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    rows = [
+        (1, b"\x08\x96\x01\x12\x02ab"),  # valid
+        (2, b"\x12\xff\xff\xff\xff"),     # declared length overruns buffer
+        (3, None),                          # tombstone
+    ]
+    raw = spark.createDataFrame(rows, "i long, payload binary")
+    dec = P.decode_protobuf_python(
+        raw, "payload", schema, "Tiny", mode="permissive"
+    )
+    got = {r["i"]: r["value"] for r in dec.collect()}
+    assert got[1]["n"] == 150 and got[1]["s"] == "ab"
+    assert got[2] is None and got[3] is None
+    with pytest.raises(Exception):
+        P.decode_protobuf_python(raw, "payload", schema, "Tiny").collect()
