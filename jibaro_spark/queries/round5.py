@@ -1023,3 +1023,180 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value.doc_id", "value.lang", "value.n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture reweighting (DoReMi-lite / static mixture): given the
+# actual token mass per source and a UNIFORM target mixture, emit the
+# per-source sampling weight (target share / actual share, clipped to
+# [0.25, 4]) and the token count a weighted sampler would draw.  The
+# standard knob for re-balancing a web-scale corpus before training.
+# Scale shape: one groupBy over the corpus (shuffles #sources rows),
+# the target math is a crossJoin against a broadcast 1-row aggregate —
+# no second corpus pass, no driver collect.  Determinism: integer
+# token counts until the final per-row double divisions; weight
+# rounded before the product so both engines multiply identical
+# operands.
+QMIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len({_R5_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), g AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_source
+), w AS (
+  SELECT s.source, s.n_tokens,
+         ROUND(CAST(s.n_tokens AS DOUBLE) / CAST(g.total AS DOUBLE), 6) AS share,
+         ROUND(LEAST(GREATEST(
+           CAST(g.total AS DOUBLE)
+             / (CAST(g.n_sources AS DOUBLE) * CAST(s.n_tokens AS DOUBLE)),
+           0.25), 4.0), 6) AS weight
+  FROM per_source s CROSS JOIN g
+)
+SELECT source, n_tokens, share, weight,
+       CAST(ROUND(CAST(n_tokens AS DOUBLE) * weight, 0) AS BIGINT)
+         AS sampled_tokens
+FROM w
+ORDER BY source
+"""
+
+
+@declare(
+    "q_mixture_reweight",
+    oracle=QMIX_ORACLE,
+    description="static domain-mixture reweighting: per-source sampling weight toward a uniform token target, clipped — the corpus re-balancing knob (curation [ext])",
+)
+def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    g = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    weight = F.round(
+        F.least(
+            F.greatest(
+                F.col("total").cast("double")
+                / (F.col("n_sources").cast("double") * F.col("n_tokens").cast("double")),
+                F.lit(0.25),
+            ),
+            F.lit(4.0),
+        ),
+        6,
+    )
+    return (
+        per_source.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+            weight.alias("weight"),
+        )
+        .withColumn(
+            "sampled_tokens",
+            F.round(F.col("n_tokens").cast("double") * F.col("weight"), 0).cast(
+                "long"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: 8 bins of o_totalprice with equal row counts
+# (NTILE over a deterministic total order), each bin reporting its
+# [lo, hi] edge and population — the optimizer-statistics primitive
+# (selectivity estimation / range-partition boundary choice use
+# exactly these bins at scale).  Scale shape: single window sort on
+# (price, key) — the same shuffle a global ORDER BY costs — then an
+# 8-group aggregate; no per-bin passes.  Ties broken by o_orderkey so
+# both engines assign identical bin membership.
+QEQD_ORACLE = """
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@declare(
+    "q_equidepth_histogram",
+    oracle=QEQD_ORACLE,
+    description="equi-depth 8-bin histogram of order prices (NTILE edges + populations) — the selectivity/range-boundary statistics primitive (A9/W3 [ext])",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    binned = orders.select(
+        "o_totalprice",
+        F.ntile(8)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-hash join: the third physical join strategy (after broadcast
+# and sort-merge) — when BOTH sides are too big to broadcast but one
+# side's per-partition build fits memory, hashing beats sorting (no
+# sort of either side).  The SHUFFLE_HASH hint pins the strategy; the
+# plan test (tests/test_scale_plans.py) asserts ShuffledHashJoin is
+# the chosen physical node.  At 100 TB this is the join for
+# mid-sized dimensions above the broadcast threshold.
+QSHJ_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@declare(
+    "q_shufflehash_join",
+    oracle=QSHJ_ORACLE,
+    description="SHUFFLE_HASH-hinted fact-dim join (no sort of either side) — the third physical join strategy, plan-asserted (J1/J2 [ext])",
+)
+def q_shufflehash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .join(
+            t["customer"].hint("SHUFFLE_HASH"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -289,3 +289,20 @@ def test_rrf_lists_are_take_ordered(spark):
     df = REGISTRY["q_rrf_hybrid_search"].fn(spark, SF)
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shufflehash_hint_picks_shuffled_hash_join(spark):
+    """q_shufflehash_join pins the third physical join strategy: the
+    SHUFFLE_HASH hint must yield ShuffledHashJoin (no sort of either
+    side), with broadcast disabled so AQE can't upgrade the small
+    fixture dim to a broadcast."""
+    from jibaro_spark.queries.round5 import q_shufflehash_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(q_shufflehash_join(spark, SF))
+        assert "ShuffledHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
