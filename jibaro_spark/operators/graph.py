@@ -95,7 +95,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below is the round's
+        # single blocking action — it materializes edges2's checkpoint
+        # as a side effect, so each round costs ONE driver round-trip
+        # instead of two (eager checkpoint + count).
+        edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # converged ⟺ edge set unchanged (both sides are distinct
         # sets).  ONE full-outer join job — a null on either side is a
         # symmetric-difference element (replaces two anti-join counts).
