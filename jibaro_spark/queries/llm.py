@@ -294,13 +294,22 @@ WITH toks AS (
            i -> array_to_string(words[i:i+2], ' ')
          )) AS s
   FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
 )
 SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
-  FROM sh a, sh b
-  WHERE a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b,
+         CAST(c.inter AS DOUBLE)
+           / CAST(sa.n + sb.n - c.inter AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sz sa ON sa.doc_id = c.id_a
+  JOIN sz sb ON sb.doc_id = c.id_b
 ) WHERE jaccard >= 0.3
 ORDER BY id_a, id_b
 """
@@ -453,10 +462,13 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Near-dup clustering: pairs → connected components → cluster ids.
-# The oracle recomputes the exact n-gram pairs (QNGRAM_ORACLE's CTEs) and
-# closes them transitively with a recursive CTE — an independent
-# formulation of the same graph semantics the alternating-star operator
-# computes in O(log n) distributed rounds.
+# The oracle recomputes the exact n-gram pairs (QNGRAM_ORACLE's CTEs —
+# inverted-index candidates, jaccard = inter/(|A|+|B|-inter) over
+# distinct shingle sets, identical doubles to the list_intersect
+# all-pairs form but ~20x faster at fixture scale) and closes them
+# transitively with a recursive CTE — an independent formulation of the
+# same graph semantics the alternating-star operator computes in
+# O(log n) distributed rounds.
 QCLUSTER_ORACLE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, {_TOKS} AS words FROM documents
@@ -467,13 +479,22 @@ WITH RECURSIVE toks AS (
            i -> array_to_string(words[i:i+2], ' ')
          )) AS s
   FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
 ), pr AS (
   SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
-    FROM sh a, sh b
-    WHERE a.doc_id < b.doc_id
+    SELECT c.id_a, c.id_b,
+           CAST(c.inter AS DOUBLE)
+             / CAST(sa.n + sb.n - c.inter AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sz sa ON sa.doc_id = c.id_a
+    JOIN sz sb ON sb.doc_id = c.id_b
   ) WHERE jaccard >= 0.3
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pr
