@@ -87,6 +87,9 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_incremental_agg",
     "q_salted_join",
+    "q_mixture_reweight",
+    "q_equidepth_histogram",
+    "q_shufflehash_join",
 ]
 
 

@@ -1200,3 +1200,38 @@ def q_shufflehash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence splitting — the chunking-adjacent curation primitive, run
+# on the NATIVE lane (posexplode(split): Scan → Generate inside
+# whole-stage codegen, zero Python).  The same contract is carried by
+# a Python UDTF and a mapInArrow kernel (operators/udtf_ops.py) —
+# row-identical, pinned in tests — completing the §2.9 table-function
+# surface.  sent_id keeps the pre-filter split index (gap semantics
+# identical across all lanes and the oracle).
+QSENT_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(text), '[.!?]+\s+') AS ss
+  FROM documents
+), e AS (
+  SELECT doc_id, unnest(range(1, len(ss) + 1)) AS i, ss FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i - 1 AS INT) AS sent_id,
+       ss[i] AS sentence
+FROM e WHERE len(ss[i]) > 0
+ORDER BY doc_id, sent_id
+"""
+
+
+@declare(
+    "q_sentence_split",
+    oracle=QSENT_ORACLE,
+    description="sentence splitting on the native Generate lane; UDTF + mapInArrow lanes carry the identical contract (U5/§2.9 [ext])",
+)
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.udtf_ops import split_sentences_native
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return split_sentences_native(docs).orderBy("doc_id", "sent_id")
