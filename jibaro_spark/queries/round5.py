@@ -1235,3 +1235,129 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return split_sentences_native(docs).orderBy("doc_id", "sent_id")
+
+
+# ---------------------------------------------------------------------------
+# One distributed training step of the quality classifier: full-batch
+# logistic-regression gradient at the production weights, labels =
+# (lang = 'en').  The scale shape IS the point: weights broadcast as
+# literals, per-row error map-side, gradient = dim-bounded decimal
+# sums (map-side partial agg) — one scan, no shuffle beyond the
+# aggregate, at any corpus size.  Determinism recipe (as
+# q_quality_model_score): z rounded 6dp before the sigmoid, p rounded
+# 6dp after, per-row gradient terms rounded 8dp then DECIMAL-summed —
+# bit-identical across engines regardless of row order.  The k-step
+# trainer (operators/training.py logreg_train) is pinned against a
+# numpy reference in pytest.
+_LR_W = (-1.5, 2.0, 1.2, -3.0, 2.0)  # bias, alpha, uniq, punct, n_tok/1000
+_LR_RATE = 0.5
+QLRSTEP_ORACLE = f"""
+WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_distinct({{toks}})) AS DOUBLE) / CAST(len({{toks}}) AS DOUBLE)
+           AS uniq_token_ratio,
+         CAST(len({{toks}}) AS DOUBLE) / 1000.0 AS ntk
+  FROM documents
+), z AS (
+  SELECT y, alpha_ratio, punct_ratio, uniq_token_ratio, ntk,
+         ROUND({_LR_W[0]} + {_LR_W[1]} * alpha_ratio + {_LR_W[2]} * uniq_token_ratio
+               + {_LR_W[3]} * punct_ratio + {_LR_W[4]} * ntk, 6) AS z
+  FROM f
+), e AS (
+  SELECT y, alpha_ratio, punct_ratio, uniq_token_ratio, ntk,
+         ROUND(1.0 / (1.0 + EXP(-z)), 6) - y AS err
+  FROM z
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(err, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_bias,
+         CAST(SUM(CAST(ROUND(err * alpha_ratio, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_alpha,
+         CAST(SUM(CAST(ROUND(err * uniq_token_ratio, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_uniq,
+         CAST(SUM(CAST(ROUND(err * punct_ratio, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_punct,
+         CAST(SUM(CAST(ROUND(err * ntk, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_ntk
+  FROM e
+)
+SELECT n_rows, g_bias, g_alpha, g_uniq, g_punct, g_ntk,
+       ROUND({_LR_W[0]} - {_LR_RATE} * g_bias / n_rows, 6) AS w_bias,
+       ROUND({_LR_W[1]} - {_LR_RATE} * g_alpha / n_rows, 6) AS w_alpha,
+       ROUND({_LR_W[2]} - {_LR_RATE} * g_uniq / n_rows, 6) AS w_uniq,
+       ROUND({_LR_W[3]} - {_LR_RATE} * g_punct / n_rows, 6) AS w_punct,
+       ROUND({_LR_W[4]} - {_LR_RATE} * g_ntk / n_rows, 6) AS w_ntk
+FROM g
+""".replace("{toks}", "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')")
+
+
+@declare(
+    "q_logreg_step",
+    oracle=QLRSTEP_ORACLE,
+    description="one full-batch logistic-regression training step of the quality classifier — broadcast weights, decimal-summed dim-bounded gradient, updated weights (training [ext])",
+)
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text").cast("double")
+        ).alias("alpha_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double")
+            / F.length("text").cast("double")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("uniq_token_ratio"),
+        (F.size(toks).cast("double") / F.lit(1000.0)).alias("ntk"),
+    )
+    w = _LR_W
+    z = F.round(
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("alpha_ratio")
+        + F.lit(w[2]) * F.col("uniq_token_ratio")
+        + F.lit(w[3]) * F.col("punct_ratio")
+        + F.lit(w[4]) * F.col("ntk"),
+        6,
+    )
+    e = f.select(
+        "alpha_ratio",
+        "punct_ratio",
+        "uniq_token_ratio",
+        "ntk",
+        (
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) - F.col("y")
+        ).alias("err"),
+    )
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 8).cast("decimal(28,10)")).cast("double")
+
+    g = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum(F.col("err")).alias("g_bias"),
+        dsum(F.col("err") * F.col("alpha_ratio")).alias("g_alpha"),
+        dsum(F.col("err") * F.col("uniq_token_ratio")).alias("g_uniq"),
+        dsum(F.col("err") * F.col("punct_ratio")).alias("g_punct"),
+        dsum(F.col("err") * F.col("ntk")).alias("g_ntk"),
+    )
+    lr = F.lit(_LR_RATE)
+    n = F.col("n_rows").cast("double")
+    return g.select(
+        "n_rows",
+        "g_bias",
+        "g_alpha",
+        "g_uniq",
+        "g_punct",
+        "g_ntk",
+        F.round(F.lit(w[0]) - lr * F.col("g_bias") / n, 6).alias("w_bias"),
+        F.round(F.lit(w[1]) - lr * F.col("g_alpha") / n, 6).alias("w_alpha"),
+        F.round(F.lit(w[2]) - lr * F.col("g_uniq") / n, 6).alias("w_uniq"),
+        F.round(F.lit(w[3]) - lr * F.col("g_punct") / n, 6).alias("w_punct"),
+        F.round(F.lit(w[4]) - lr * F.col("g_ntk") / n, 6).alias("w_ntk"),
+    )
