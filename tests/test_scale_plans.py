@@ -306,3 +306,44 @@ def test_shufflehash_hint_picks_shuffled_hash_join(spark):
         assert "SortMergeJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB a selective dim-side filter should prune the fact scan
+    before the shuffle via Spark's runtime bloom filter
+    (InjectRuntimeFilter).  The injection thresholds are sized for
+    real clusters (10 GB application-side scans), so at fixture scale
+    we lower them to put the fixture join INTO the size regime the
+    rule targets — pinning that the engine's sessions have the rule
+    live and the plan carries bloom_filter_agg → might-contain, and
+    that results are row-identical with the filter on and off."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+
+    def q():
+        l = load_tables(spark, SF, "lineitem")["lineitem"]
+        o = load_tables(spark, SF, "orders")["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        with_bloom = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    without_bloom = sorted(map(tuple, q().collect()))
+    assert with_bloom == without_bloom
