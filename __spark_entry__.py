@@ -3,11 +3,11 @@
 ``queries()`` / ``oracle_sql()`` are populated from the declared-query
 registry in :mod:`jibaro_spark.queries` — one entry per implemented
 operator from SURVEY.md §2 (plus the [ext] LLM-pipeline operators).
-Queries without an oracle entry (9 of 148) are genuinely
+Queries without an oracle entry (10 of 149) are genuinely
 non-SQL-expressible — LSH/IVF/IVF-PQ approximate retrieval (knn_lsh,
 knn_ivf, knn_ivfpq, minhash/simhash near-dup pairs), engine-specific
 sketches (approx_count_distinct, HLL union rollup, count-min heavy
-hitters), and the iterative BPE trainer; each gets the driver's
+hitters, approx_percentile quantiles), and the iterative BPE trainer; each gets the driver's
 rows-only check and is verified against exact ground truth in pytest
 (``tests/test_approx_ops.py``, ``tests/test_units.py``) instead.  The xxhash64-based fingerprint/signature
 ops additionally ship md5 "verifiable modes" that ARE fully

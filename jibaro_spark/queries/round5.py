@@ -1361,3 +1361,33 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(w[3]) - lr * F.col("g_punct") / n, 6).alias("w_punct"),
         F.round(F.lit(w[4]) - lr * F.col("g_ntk") / n, 6).alias("w_ntk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles — the mergeable QUANTILE sketch completing the
+# sketch family (HLL distinct / KMV / CMS frequency / this): Spark's
+# approx_percentile (Greenwald-Khanna variant) with explicit accuracy.
+# Partials merge across partitions by construction — per-partition
+# sketches combine without a global sort, the quantile story at any
+# corpus size.  Values are engine-specific (DuckDB's approx sketch
+# differs), so this is a rows-only driver entry; the rank-error
+# contract |rank(est) − target_rank| ≤ n/accuracy is pinned exactly in
+# tests/test_approx_ops.py against the exact quantiles.
+@declare(
+    "q_approx_quantiles",
+    oracle=None,  # sketch estimates are engine-specific; error bound pinned in pytest
+    description="approx_percentile quantile sketch over order prices at two accuracies — mergeable quantile summary, rank-error-bounded (sketch family [ext])",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    return orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.percentile_approx("o_totalprice", p, acc).alias(
+                f"p{int(p * 100)}_acc{acc}"
+            )
+            for acc in (100, 10000)
+            for p in pcts
+        ],
+    )

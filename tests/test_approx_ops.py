@@ -428,3 +428,30 @@ def test_knn_ivfpq_recall_matches_ivf_budget(spark, sf_dir, emb_local):
     hits = sum(len(got.get(q, set()) & set(v)) for q, v in exact.items())
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.4, f"IVF-PQ recall {hits}/{total}"
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    """approx_percentile's Greenwald-Khanna contract: the estimate's
+    RANK is within n/accuracy of the target rank (value error is
+    unbounded on skewed data; rank error is the guarantee)."""
+    import bisect
+
+    from jibaro_spark.queries.registry import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.01", "orders")["orders"]
+    vals = sorted(r[0] for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+    row = orders.agg(
+        *[
+            F.percentile_approx("o_totalprice", p, acc).alias(
+                f"p{int(p * 100)}_acc{acc}"
+            )
+            for acc in (100, 10000)
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ]
+    ).first()
+    for acc in (100, 10000):
+        for p in (0.25, 0.5, 0.75, 0.95):
+            est = row[f"p{int(p * 100)}_acc{acc}"]
+            rank = bisect.bisect_left(vals, est)
+            assert abs(rank - p * n) <= n / acc + 1, (acc, p, rank, p * n)
