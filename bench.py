@@ -90,6 +90,11 @@ HEADLINE = [
     "q_mixture_reweight",
     "q_equidepth_histogram",
     "q_shufflehash_join",
+    # round 5 (second batch): level-synchronous BFS, Markov transition
+    # matrix, MAD robust outlier fences
+    "q_bfs_hops",
+    "q_markov_transitions",
+    "q_mad_outliers",
 ]
 
 

@@ -153,12 +153,49 @@ def append_history_metrics(
 
 def generate_manifest(spark: SparkSession, catalog: Catalog, ref: TableRef) -> bool:
     """Symlink manifest for Trino/Athena/Hive interop (reference
-    ``cdc.py:261-262``).  Delta-only; returns False on parquet."""
-    if not has_delta(spark):
-        return False
-    from delta.tables import DeltaTable
+    ``cdc.py:261-262``).
 
-    DeltaTable.forPath(spark, catalog.path(ref)).generate("symlink_format_manifest")
+    A symlink manifest is a plain text file —
+    ``_symlink_format_manifest/manifest`` — listing the absolute URIs
+    of exactly the table's live data files; engines reading through
+    Hive's ``SymlinkTextInputFormat`` (Trino/Athena/Presto, the
+    reference's ``lake_lab`` clients stack) scan those files instead
+    of listing the directory, which is what makes a
+    multi-version/vacuumed table readable to them.  Delta tables get
+    ``DeltaTable.generate``; ``jibaro_spark.txlog`` versioned tables
+    (r5) get the SAME artifact computed from the log's current
+    snapshot — so the interop path is REAL without the jars.  Plain
+    parquet directories fall back to listing their part files (every
+    file is live by definition).  Returns False only when the path
+    does not exist."""
+    import os
+
+    from jibaro_spark import txlog
+
+    path = catalog.path(ref)
+    head = txlog.latest_version(path)
+    if head is not None:
+        files = txlog.snapshot_files(path)
+    elif has_delta(spark):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).generate("symlink_format_manifest")
+        return True
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        return False
+    manifest_dir = os.path.join(path, "_symlink_format_manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = os.path.join(manifest_dir, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        for p in files:
+            f.write("file://" + os.path.abspath(p) + "\n")
+    os.replace(tmp, os.path.join(manifest_dir, "manifest"))
     return True
 
 

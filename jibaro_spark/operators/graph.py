@@ -340,3 +340,61 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from any node of ``sources`` (a one-column
+    DataFrame of node ids) to every reachable node within
+    ``max_hops`` — distributed level-synchronous BFS ([ext]; the
+    reference has no graph surface).
+
+    Returns ``(node, dist)`` with ``dist`` ∈ [0, max_hops]; source
+    nodes get 0; unreachable nodes are absent.
+
+    Scale shape: per level, ONE hash join of the current frontier
+    against the node-partitioned edge list plus one anti-join against
+    the visited set — both shuffles keyed on the node id, so at 1000
+    executors each level is a co-partitioned lookup, never a
+    broadcast of the graph.  The frontier (not the visited set) drives
+    the join, so per-level work is proportional to the expanding ring,
+    not to nodes already settled.  Lineage is truncated per level with
+    ``localCheckpoint`` (the iterative-plan rule used by
+    :func:`connected_components`); driver actions are one ``count``
+    per level — O(diameter), never O(rows).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    visited = (
+        sources.toDF("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if not new.limit(1).count():
+            break
+        # visited is a union of per-level checkpoints — lineage depth
+        # grows with hops (bounded by max_hops), not with data
+        visited = visited.union(new)
+        frontier = new.select("node")
+    return visited

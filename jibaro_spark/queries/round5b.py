@@ -1,0 +1,268 @@
+"""Round-5 (second batch) declared queries: distributed BFS, Markov
+event-transition model, robust (MAD) outlier detection, and
+set-similarity between event cohorts ([ext] — analytics surface the
+reference engine delegates entirely to Spark; rebuilt Spark-first with
+DuckDB oracles).
+
+Cross-engine determinism: integer counts everywhere possible; double
+divisions only of identical integer/exact operands; medians via linear
+interpolation (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) over
+identical value sets, rounded for output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.queries.registry import declare, load_tables
+
+# ---------------------------------------------------------------------------
+# Distributed BFS (level-synchronous) over the bipartite
+# customer–supplier trade graph: who is within N hops of the smallest
+# active customer?  Spark side runs jibaro_spark.operators.graph.
+# bfs_distances (frontier joins, hash-partitioned on node id); the
+# oracle recomputes min-hop distance with a recursive CTE.  At 100 TB
+# the per-level cost is one co-partitioned join of the frontier ring
+# against the edge list — no broadcast of the graph, no path
+# enumeration (the (node, depth) UNION-dedup in the oracle is the
+# SQL-side equivalent bound).
+_BFS_HOPS = 4
+
+QBFS_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), ud AS (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+), reach(node, d) AS (
+  SELECT 'c:' || CAST((SELECT MIN(o_custkey) FROM orders) AS VARCHAR), 0
+  UNION
+  SELECT ud.dst, reach.d + 1
+  FROM reach JOIN ud ON ud.src = reach.node
+  WHERE reach.d < {_BFS_HOPS}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@declare(
+    "q_bfs_hops",
+    oracle=QBFS_ORACLE,
+    description="level-synchronous distributed BFS over the customer–supplier graph vs recursive-CTE oracle (graph [ext])",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.graph import bfs_distances
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    # the BFS seed is a query parameter: one bounded 1-row aggregate
+    root = t["orders"].agg(F.min("o_custkey")).first()[0]
+    sources = spark.createDataFrame([(f"c:{root}",)], ["node"])
+    return bfs_distances(edges, sources, max_hops=_BFS_HOPS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition model over per-user event sequences:
+# P(next event type | current event type).  One window pass builds the
+# bigram stream (lag/lead keyed on user — co-partitioned with the
+# session layout any event table already has), then a keyed count and
+# a per-prev normalizing window.  Counts are exact integers; the
+# probability is a single double division of two BIGINTs, so the hash
+# matches bit-for-bit.
+QMARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS prev_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+@declare(
+    "q_markov_transitions",
+    oracle=QMARKOV_ORACLE,
+    description="first-order Markov transition matrix over per-user event sequences (W3/A9 [ext])",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "prob"
+        ),
+    ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: per event type, the median and the median
+# absolute deviation (MAD), and how many values sit beyond the
+# 3×MAD fence.  Medians via linear interpolation — Spark `percentile`
+# and DuckDB `quantile_cont` compute lower + frac·(upper−lower) over
+# the same value multiset, so the doubles agree exactly; they are
+# rounded for output anyway.  Two grouped aggregates + two small
+# joins; the per-type median table is broadcast-sized at any scale
+# (one row per type).
+QMAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY event_type
+), dev AS (
+  SELECT v.event_type, v.value, med.med, ABS(v.value - med.med) AS adev
+  FROM v JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       ROUND(MIN(dev.med), 6) AS median_value,
+       ROUND(MIN(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""
+
+
+@declare(
+    "q_mad_outliers",
+    oracle=QMAD_ORACLE,
+    description="median-absolute-deviation robust outlier fences per event type (A9 [ext])",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v = events.filter(F.col("value").isNotNull()).select("event_type", "value")
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity between event-type cohorts: Jaccard of the user sets
+# of every type pair, computed via the inverted-index join (distinct
+# (user, type) pairs self-joined on user) — the same
+# candidates-by-shared-key shape as the n-gram similarity join, never
+# a cross product of cohorts.  The per-type sizes are a
+# broadcast-sized dimension (one row per type).
+QTYPEJAC_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE value > 90
+), sz AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_both,
+       CAST(sa.n_users + sb.n_users - n_both AS BIGINT) AS n_union,
+       CAST(n_both AS DOUBLE)
+         / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.event_type = type_a
+JOIN sz sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+@declare(
+    "q_type_jaccard",
+    oracle=QTYPEJAC_ORACLE,
+    description="Jaccard similarity of user cohorts per event-type pair via inverted-index self-join (J5 family [ext])",
+)
+def q_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    # high-value cohorts — the unfiltered user sets are saturated
+    # (every user emits every type), which would make every Jaccard
+    # trivially 1.0; the fence keeps the oracle discriminative
+    ut = (
+        events.filter(F.col("value") > 90)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sz = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na")))
+    sb = F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")))
+    un = F.col("na") + F.col("nb") - F.col("n_both")
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            un.cast("long").alias("n_union"),
+            (F.col("n_both").cast("double") / un.cast("double")).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

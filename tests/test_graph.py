@@ -102,3 +102,42 @@ def test_triangle_count_matches_numpy_enumeration(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert got == expected
+
+
+def test_bfs_distances_chain_and_branch(spark):
+    """Min-hop distances on a chain with a shortcut: BFS must take the
+    shorter route; unreachable nodes are absent; max_hops truncates."""
+    from jibaro_spark.operators.graph import bfs_distances
+
+    # 0-1-2-3-4 chain, plus shortcut 0-3, plus isolated pair 8-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (8, 9)], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    # truncation: with max_hops=1 only the direct neighbors appear
+    got1 = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_distances_directed_and_multi_source(spark):
+    from jibaro_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (3, 2)], ["src", "dst"])
+    src = spark.createDataFrame([(0,)], ["node"])
+    directed = {
+        r.node: r.dist
+        for r in bfs_distances(edges, src, max_hops=5, directed=True).collect()
+    }
+    # edge 3→2 is not traversable FROM 0 in the directed graph
+    assert directed == {0: 0, 1: 1, 2: 2}
+    multi = {
+        r.node: r.dist
+        for r in bfs_distances(
+            edges, spark.createDataFrame([(0,), (3,)], ["node"]), max_hops=5
+        ).collect()
+    }
+    # undirected, two sources: every node within 1 hop of {0, 3}
+    assert multi == {0: 0, 3: 0, 1: 1, 2: 1}

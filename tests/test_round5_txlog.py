@@ -260,3 +260,64 @@ def test_vacuum_age_guard_spares_young_files(spark, table):
     assert _vals(T.read_versioned(spark, table, version=0)) == [0, 1]
     assert T.vacuum_versioned(table, keep_versions=1, min_file_age_s=0) > 0
     assert _vals(T.read_versioned(spark, table)) == [5]
+
+
+def test_generate_manifest_lists_live_snapshot_files(spark, tmp_path):
+    """generate_manifest (K9) on a txlog table writes a real
+    _symlink_format_manifest/manifest listing EXACTLY the current
+    snapshot's data files (overwritten versions' files excluded even
+    though still on disk), and refreshes after a new commit; on a
+    plain parquet dir it lists the part files."""
+    from jibaro_spark.catalog import Catalog, TableRef
+    from jibaro_spark.config import Settings
+    from jibaro_spark.maintenance import generate_manifest
+
+    cat = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    ref = TableRef("curated", "proj", "db", "man_tbl")
+    path = cat.path(ref)
+    T.write_versioned(spark.range(3).select(F.col("id").alias("v")), path)
+    T.write_versioned(
+        spark.range(10, 12).select(F.col("id").alias("v")),
+        path,
+        mode="overwrite",
+    )
+    assert generate_manifest(spark, cat, ref) is True
+    mf = os.path.join(path, "_symlink_format_manifest", "manifest")
+    with open(mf) as f:
+        listed = sorted(line.strip() for line in f if line.strip())
+    live = sorted("file://" + os.path.abspath(p) for p in T.snapshot_files(path))
+    assert listed == live
+    # version-0 files are still on disk (time travel) but NOT listed
+    all_parquet = {
+        "file://" + os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert set(listed) < all_parquet
+    # a new commit changes the manifest on regeneration
+    T.write_versioned(
+        spark.range(20, 21).select(F.col("id").alias("v")),
+        path,
+        mode="overwrite",
+    )
+    assert generate_manifest(spark, cat, ref) is True
+    with open(mf) as f:
+        relisted = sorted(line.strip() for line in f if line.strip())
+    assert relisted == sorted(
+        "file://" + os.path.abspath(p) for p in T.snapshot_files(path)
+    )
+    assert relisted != listed
+
+    # plain (non-txlog) parquet directory: every part file is live
+    plain_ref = TableRef("curated", "proj", "db", "plain_tbl")
+    plain = cat.path(plain_ref)
+    spark.range(5).select(F.col("id").alias("v")).write.parquet(plain)
+    assert generate_manifest(spark, cat, plain_ref) is True
+    with open(os.path.join(plain, "_symlink_format_manifest", "manifest")) as f:
+        plain_listed = sorted(line.strip() for line in f if line.strip())
+    assert plain_listed == sorted(
+        "file://" + os.path.abspath(os.path.join(plain, f))
+        for f in os.listdir(plain)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    assert len(plain_listed) > 0
