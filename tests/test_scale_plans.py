@@ -347,3 +347,25 @@ def test_runtime_bloom_filter_injection(spark):
             spark.conf.set(k, v)
     without_bloom = sorted(map(tuple, q().collect()))
     assert with_bloom == without_bloom
+
+
+def test_mad_outlier_median_joins_are_broadcast(spark):
+    """q_mad_outliers joins the full event stream against per-type
+    median tables (one row per type) — both must be broadcast, never a
+    shuffle of the stream onto a 5-row dimension."""
+    from jibaro_spark.queries.round5b import q_mad_outliers
+
+    plan = _executed_plan(q_mad_outliers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_type_jaccard_is_inverted_index_join(spark):
+    """q_type_jaccard builds candidates by shared user id (equi-join),
+    never a cartesian cohort product; the size dimension is broadcast."""
+    from jibaro_spark.queries.round5b import q_type_jaccard
+
+    plan = _executed_plan(q_type_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
