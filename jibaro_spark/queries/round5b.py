@@ -58,19 +58,30 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.graph import bfs_distances
 
     t = load_tables(spark, sf_dir, "orders", "lineitem")
+    # BFS runs on NUMERIC node ids (customer k → k, supplier k →
+    # −k−1): the per-level shuffles then hash/compare 8-byte longs
+    # instead of strings; the 'c:'/'s:' rendering the oracle uses is
+    # applied to the RESULT rows only (≈ nodes), never to the edge
+    # list (≈ |distinct pairs| rows, 40× larger here)
     edges = (
         t["orders"]
         .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (-F.col("l_suppkey").cast("long") - 1).alias("dst"),
         )
         .distinct()
     )
     # the BFS seed is a query parameter: one bounded 1-row aggregate
     root = t["orders"].agg(F.min("o_custkey")).first()[0]
-    sources = spark.createDataFrame([(f"c:{root}",)], ["node"])
-    return bfs_distances(edges, sources, max_hops=_BFS_HOPS).orderBy("node")
+    sources = spark.createDataFrame([(int(root),)], ["node"])
+    reached = bfs_distances(edges, sources, max_hops=_BFS_HOPS)
+    label = F.when(
+        F.col("node") >= 0, F.concat(F.lit("c:"), F.col("node").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("s:"), (-F.col("node") - 1).cast("string"))
+    )
+    return reached.select(label.alias("node"), "dist").orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -265,4 +276,69 @@ def q_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both").cast("double") / un.cast("double")).alias("jaccard"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought together in ≥2
+# orders.  Classic two-phase frequent-pair mining with the a-priori
+# prune built in: items below the support floor are filtered BEFORE
+# pair generation (a pair can only reach support s if both items
+# appear in ≥ s baskets), so the quadratic per-basket pair explode
+# runs on the frequent-item subset only.  Candidates come from the
+# basket-keyed self-join (inverted index on the order key) — never a
+# part × part cross product.
+_BASKET_MIN_SUPPORT = 2
+
+QBASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey FROM items GROUP BY l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+), fi AS (
+  SELECT items.l_orderkey, items.l_partkey FROM items JOIN freq USING (l_partkey)
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM fi a JOIN fi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support
+FROM pairs ORDER BY support DESC, part_a, part_b
+"""
+
+
+@declare(
+    "q_basket_pairs",
+    oracle=QBASKET_ORACLE,
+    description="frequent co-purchased part pairs with a-priori item pruning (J5/A9 family [ext])",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= _BASKET_MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    fi = items.join(freq, "l_partkey").localCheckpoint(eager=True)
+    a = fi.alias("a")
+    b = fi.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b")
     )
