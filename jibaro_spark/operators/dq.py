@@ -85,3 +85,45 @@ def fk_violations(
         *[F.col(a).alias(b) for a, b in zip(pk, child_keys)]
     ).dropDuplicates(child_keys)
     return child.join(p, child_keys, "left_anti")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-scan column profiler: per column, row/null/distinct counts
+    and the min/max rendered as strings — the "describe my table"
+    primitive a curation pipeline runs before writing expectations
+    (the numbers :func:`expect` thresholds are then derived from).
+
+    Returns ``(col_name, n_rows, n_nulls, n_distinct, min_value,
+    max_value)``, one row per profiled column, ordered by name.
+
+    Physically a SINGLE aggregate over one scan: the exact multi-column
+    ``count(DISTINCT col)``s compile to one Expand (rows × #cols) with
+    map-side partial aggregation — the standard exact-profile shape.
+    At 100 TB profile either a sample or swap ``approx_count_distinct``
+    in via ``exact=False``-style wrappers; exactness here is what lets
+    the DuckDB oracle pin the operator.
+    """
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )

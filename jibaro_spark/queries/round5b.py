@@ -342,3 +342,108 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
         .orderBy(F.desc("support"), "part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-scan table profiler over a typed projection of orders: row /
+# null / exact-distinct counts and min/max rendered as strings.  Type
+# renderings are pinned cross-engine by profiling a projection that
+# casts doubles to DECIMAL(18,2) and timestamps to DATE-strings
+# (double→string and timestamp→string formats differ between
+# engines; decimal/date/integer/varchar renderings agree).
+QPROFILE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+  FROM src
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM src
+  UNION ALL
+  SELECT 'total_dec', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(total_dec) AS BIGINT),
+         CAST(COUNT(DISTINCT total_dec) AS BIGINT),
+         CAST(MIN(total_dec) AS VARCHAR), CAST(MAX(total_dec) AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT 'order_day', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(order_day) AS BIGINT),
+         CAST(COUNT(DISTINCT order_day) AS BIGINT),
+         MIN(order_day), MAX(order_day)
+  FROM src
+) ORDER BY col_name
+"""
+
+
+@declare(
+    "q_profile_orders",
+    oracle=QPROFILE_ORACLE,
+    description="one-scan column profiler (row/null/exact-distinct counts, min/max) over a typed orders projection (DQ family [ext])",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dq import profile_table
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_dec"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
+    )
+    return profile_table(src)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot/melt: wide per-flag metric columns back to long
+# (metric, value) rows — the inverse of the pivot surface
+# (q_pivot_status), completing the reshape pair.  Spark's native
+# unpivot (SQL `stack`-equivalent) against DuckDB's UNPIVOT.  Values
+# are decimal-accumulated before the unpivot so the melted doubles are
+# bit-identical.
+QUNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, metric
+"""
+
+
+@declare(
+    "q_unpivot_metrics",
+    oracle=QUNPIVOT_ORACLE,
+    description="unpivot/melt wide metric columns to long rows — inverse of the pivot surface (A9 [ext])",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.queries.registry import dsum
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    wide = lineitem.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")

@@ -154,3 +154,19 @@ def test_bucketed_overwrite_qualified_and_repeat(spark, tmp_path):
         write_bucketed_table(df, "jb_r5_bucket_probe", ["k"], num_buckets=4)
     assert spark.table("jb_r5_bucket_probe").count() == 100
     spark.sql("DROP TABLE IF EXISTS jb_r5_bucket_probe")
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from jibaro_spark.operators.dq import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], ["x", "s"]
+    )
+    got = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(got) == {"x", "s"}
+    assert (got["x"].n_rows, got["x"].n_nulls, got["x"].n_distinct) == (4, 1, 2)
+    assert (got["x"].min_value, got["x"].max_value) == ("1", "2")
+    assert (got["s"].n_rows, got["s"].n_nulls, got["s"].n_distinct) == (4, 1, 2)
+    # column subset profiles only the requested columns
+    only = profile_table(df, ["s"]).collect()
+    assert [r.col_name for r in only] == ["s"]
