@@ -208,3 +208,40 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def idempotent_batch_writer(table_path: str, mode: str = "append"):
+    """``foreachBatch`` callback writing each micro-batch to a
+    ``jibaro_spark.txlog`` versioned table EXACTLY ONCE.
+
+    Structured Streaming re-delivers the in-flight micro-batch after a
+    restart (``foreachBatch`` is at-least-once); the txlog's
+    transactional watermark (``txn_app``/``txn_version`` =
+    table identity/batch id, the Delta ``txnAppId``/``txnVersion``
+    pattern — reference sink ``cdc.py:250-256``) turns that into
+    exactly-once table commits: a replayed ``batch_id`` at or below
+    the committed watermark writes nothing.
+
+    Caveat (inherited from the Delta pattern): the app identity is the
+    TABLE, so batch ids must move forward for the writer's lifetime.
+    Restarting from the SAME checkpoint (the normal failure recovery)
+    is safe — batch ids continue; starting a FRESH checkpoint over a
+    source that has since grown replays ids from 0 and would be
+    skipped below the watermark — pass a new ``txn_app`` (or table)
+    when intentionally reprocessing from scratch.
+    """
+    app = f"stream::{table_path}"
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        from jibaro_spark import txlog
+
+        txlog.write_versioned(
+            df,
+            table_path,
+            mode=mode,
+            operation=f"STREAMING-BATCH-{batch_id}",
+            txn_app=app,
+            txn_version=int(batch_id),
+        )
+
+    return write

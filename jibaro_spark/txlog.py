@@ -97,14 +97,37 @@ def read_versioned(
     return spark.read.parquet(*files)
 
 
+def latest_txn_version(table: str, app: str) -> int | None:
+    """Highest streaming-transaction version committed for ``app``
+    (the idempotence watermark of :func:`write_versioned`'s
+    ``txn_app``/``txn_version`` contract), or None if the app has never
+    committed.  One pass over the log — same O(versions) cost as the
+    snapshot replay every reader already pays."""
+    head = latest_version(table)
+    if head is None:
+        return None
+    best: int | None = None
+    for v in range(head + 1):
+        for a in _read_actions(table, v):
+            txn = a.get("commit", {}).get("txn")
+            if txn and txn.get("app") == app:
+                tv = int(txn["version"])
+                best = tv if best is None or tv > best else best
+    return best
+
+
 def write_versioned(
     df: DataFrame,
     table: str,
     mode: str = "append",
     operation: str | None = None,
     max_retries: int = 10,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
-    """Commit ``df`` as a new table version; returns the version.
+    """Commit ``df`` as a new table version; returns the version
+    (or, for an idempotently-skipped transactional write, the current
+    head version — see below).
 
     Data files are written under a staging dir, moved into the table
     root under unique names (immutable — never overwritten), and only
@@ -113,9 +136,27 @@ def write_versioned(
     reclaims orphans).  ``mode='overwrite'`` logs removes for the prior
     snapshot's files alongside the adds — the files themselves stay on
     disk for time travel until vacuumed.
+
+    **Exactly-once streaming sink**: pass ``txn_app`` (a stable writer
+    identity, e.g. the query's checkpoint name) and ``txn_version``
+    (the micro-batch id).  A (app, version) pair at or below the app's
+    committed watermark is SKIPPED — the replayed micro-batch a
+    ``foreachBatch`` restart re-delivers commits nothing, which is the
+    Delta ``txnAppId``/``txnVersion`` idempotence contract rebuilt on
+    the log (reference sink: ``cdc.py:250-256``).  The watermark
+    re-check happens inside the commit retry loop, so two racing
+    writers of the same batch commit it once; the loser's already-moved
+    data files are left as orphans for vacuum (the crash path's
+    guarantee, and the same files Delta leaves unreferenced).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_versioned: unsupported mode {mode!r}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    if txn_app is not None:
+        seen = latest_txn_version(table, txn_app)
+        if seen is not None and seen >= txn_version:
+            return latest_version(table)
     os.makedirs(_log_path(table), exist_ok=True)
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
     df.write.parquet(staging)
@@ -133,6 +174,13 @@ def write_versioned(
 
     for _ in range(max_retries):
         head = latest_version(table)
+        if txn_app is not None:
+            seen = latest_txn_version(table, txn_app)
+            if seen is not None and seen >= txn_version:
+                # a racer committed this batch between our pre-check
+                # and now — drop out; our moved files become orphans
+                # (vacuum's problem), the TABLE stays exactly-once
+                return head
         version = 0 if head is None else head + 1
         actions = list(adds)
         if mode == "overwrite" and head is not None:
@@ -140,17 +188,16 @@ def write_versioned(
                 actions.append(
                     {"remove": {"path": os.path.relpath(p, table)}}
                 )
-        actions.append(
-            {
-                "commit": {
-                    "version": version,
-                    "ts": time.time(),
-                    "operation": operation
-                    or ("OVERWRITE" if mode == "overwrite" else "WRITE"),
-                    "num_added": len(adds),
-                }
-            }
-        )
+        commit = {
+            "version": version,
+            "ts": time.time(),
+            "operation": operation
+            or ("OVERWRITE" if mode == "overwrite" else "WRITE"),
+            "num_added": len(adds),
+        }
+        if txn_app is not None:
+            commit["txn"] = {"app": txn_app, "version": int(txn_version)}
+        actions.append({"commit": commit})
         tmp = os.path.join(
             _log_path(table), f"_tmp_{uuid.uuid4().hex[:12]}.json"
         )

@@ -321,3 +321,70 @@ def test_generate_manifest_lists_live_snapshot_files(spark, tmp_path):
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
     assert len(plain_listed) > 0
+
+
+def test_txn_write_is_idempotent_on_replay(spark, table):
+    """A (txn_app, txn_version) pair at or below the committed
+    watermark commits NOTHING — the foreachBatch-replay guarantee."""
+    df1 = spark.range(3).select(F.col("id").alias("v"))
+    v0 = T.write_versioned(df1, table, txn_app="app", txn_version=0)
+    assert v0 == 0 and T.latest_txn_version(table, "app") == 0
+    # replay of batch 0: skipped, head unchanged, rows unchanged
+    got = T.write_versioned(
+        spark.range(100, 103).select(F.col("id").alias("v")),
+        table, txn_app="app", txn_version=0,
+    )
+    assert got == 0 and T.latest_version(table) == 0
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2]
+    # next batch commits; an UNRELATED app is not blocked
+    v1 = T.write_versioned(
+        spark.range(3, 5).select(F.col("id").alias("v")),
+        table, txn_app="app", txn_version=1,
+    )
+    assert v1 == 1
+    v2 = T.write_versioned(
+        spark.range(9, 10).select(F.col("id").alias("v")),
+        table, txn_app="other", txn_version=0,
+    )
+    assert v2 == 2
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2, 3, 4, 9]
+    # mismatched arg pairing is rejected loudly
+    with pytest.raises(ValueError):
+        T.write_versioned(df1, table, txn_app="app")
+
+
+def test_streaming_restart_replay_commits_each_batch_once(spark, tmp_path):
+    """End-to-end exactly-once: run a file stream into a txlog table
+    via idempotent_batch_writer, then DELETE the checkpoint and rerun
+    (the harshest replay — every micro-batch is re-delivered).  The
+    table must not double its rows."""
+    import shutil
+
+    from jibaro_spark.io import idempotent_batch_writer
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out_tbl")
+    spark.range(5).select(F.col("id").alias("v")).write.parquet(src)
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("v long").parquet(src)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .foreachBatch(idempotent_batch_writer(out))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    assert _vals(T.read_versioned(spark, out)) == [0, 1, 2, 3, 4]
+    head = T.latest_version(out)
+    # simulate a lost checkpoint: the stream replays from scratch
+    shutil.rmtree(ckpt)
+    run(str(tmp_path / "ckpt2"))
+    assert _vals(T.read_versioned(spark, out)) == [0, 1, 2, 3, 4]
+    assert T.latest_version(out) == head
