@@ -447,3 +447,126 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("l_returnflag", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC of a per-document signal against a binary label via
+# the Mann-Whitney rank statistic, computed WITHOUT ranking individual
+# rows: scores are first collapsed to (score, n, n_pos) group counts
+# (one keyed aggregate — the 100 TB-sized pass), and midranks come
+# from a running sum over the DISTINCT-score table, which is orders of
+# magnitude smaller than the corpus (and at worst bin-quantized —
+# binned AUC — when a signal is continuous).  All arithmetic stays in
+# BIGINTs (midrank sums doubled to avoid halves) until the single
+# final double division, so the value is bit-exact across engines.
+QAUC_ORACLE = """
+WITH s AS (
+  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS npos
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, n, npos,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM g
+), t AS (
+  SELECT CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS s2,
+         CAST(SUM(npos) AS BIGINT) AS n1,
+         CAST(SUM(n) - SUM(npos) AS BIGINT) AS n0
+  FROM c
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       CAST(s2 - n1 * (n1 + 1) AS DOUBLE)
+         / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+FROM t
+"""
+
+
+@declare(
+    "q_auc_nchars_en",
+    oracle=QAUC_ORACLE,
+    description="exact ROC-AUC (Mann-Whitney midranks over grouped scores) of doc length predicting lang=en — ML-eval primitive (A9 [ext])",
+)
+def q_auc_nchars_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    t = c.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("cum_before") + F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("s2"),
+        F.sum("npos").cast("long").alias("n1"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("n0"),
+    )
+    return t.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        (
+            (F.col("s2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2 * F.col("n1") * F.col("n0")).cast("double")
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burst dedup: keep only the FIRST event of each activity burst per
+# (user, type), bursts split where the quiet gap reaches 24 h — the
+# batch form of streaming dedup-within-watermark (T6), and the
+# event-stream analogue of the throttled-notification pattern.  Gap
+# arithmetic stays in microsecond BIGINTs (`unix_micros` ≡ DuckDB
+# `epoch_us`), no doubles.  One key-partitioned window — the same
+# (user, type) shuffle any per-entity pass already pays.
+_BURST_GAP_US = 86_400_000_000  # 24 h
+
+QBURST_ORACLE = f"""
+WITH seq AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM seq
+WHERE gap_us IS NULL OR gap_us >= {_BURST_GAP_US}
+ORDER BY event_id
+"""
+
+
+@declare(
+    "q_burst_dedup",
+    oracle=QBURST_ORACLE,
+    description="keep first event per (user,type) activity burst — 24h quiet-gap split; batch analogue of streaming dedup-within-watermark (T6/A3 [ext])",
+)
+def q_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    return (
+        seq.filter(
+            F.col("gap_us").isNull() | (F.col("gap_us") >= _BURST_GAP_US)
+        )
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

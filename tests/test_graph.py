@@ -141,3 +141,39 @@ def test_bfs_distances_directed_and_multi_source(spark):
     }
     # undirected, two sources: every node within 1 hop of {0, 3}
     assert multi == {0: 0, 3: 0, 1: 1, 2: 1}
+
+
+def test_bfs_distances_matches_python_bfs_on_random_graph(spark):
+    """Cross-check against a textbook queue BFS on a seeded random
+    graph (the triangle-count test's pattern)."""
+    import random
+    from collections import deque
+
+    from jibaro_spark.operators.graph import bfs_distances
+
+    rng = random.Random(13)
+    nodes = list(range(60))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(90))
+            if a != b
+        }
+    )
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    expected = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in expected:
+                expected[v] = expected[u] + 1
+                dq.append(v)
+    expected = {n: d for n, d in expected.items() if d <= 8}
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    src = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(df, src, max_hops=8).collect()}
+    assert got == expected
