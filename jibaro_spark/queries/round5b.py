@@ -570,3 +570,229 @@ def q_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reliability/calibration curve: decile the signal (deterministic
+# NTILE with id tiebreak — the equi-depth-histogram range shuffle),
+# then per-decile size, positive count/rate and mean signal.  The
+# companion of q_auc_nchars_en: AUC says HOW WELL the signal ranks,
+# the calibration table says WHERE it is over/under-confident.
+QCALIB_ORACLE = """
+WITH s AS (
+  SELECT doc_id, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), d AS (
+  SELECT score, y, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM s
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_score
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
+@declare(
+    "q_calibration_deciles",
+    oracle=QCALIB_ORACLE,
+    description="decile calibration/reliability table for the doc-length signal vs lang=en (ML-eval family [ext])",
+)
+def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    d = s.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("score", "doc_id"))
+    )
+    return (
+        d.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "pos_rate"
+            ),
+            (
+                F.sum("score").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per user recency (days since last event, vs the
+# global horizon), frequency (events) and monetary (decimal-exact
+# value sum), each quintiled into 1..5 with explicit id tiebreaks,
+# composed into the classic 3-digit segment code.  The corpus pass is
+# ONE keyed aggregate; the three quintile windows run over the USER
+# table (orders of magnitude smaller than events).  Day arithmetic in
+# microsecond BIGINT floor-division — no doubles anywhere until none.
+QRFM_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,4))) AS monetary
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT MAX(last_us) AS horizon_us FROM u
+), r AS (
+  SELECT u.user_id,
+         CAST((g.horizon_us - u.last_us) // 86400000000 AS BIGINT)
+           AS recency_days,
+         u.frequency, u.monetary
+  FROM u, g
+), q AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM r
+)
+SELECT user_id, recency_days, frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment
+FROM q ORDER BY user_id
+"""
+
+
+@declare(
+    "q_rfm_segments",
+    oracle=QRFM_ORACLE,
+    description="RFM (recency/frequency/monetary) quintile segmentation per user — one events pass, quintile windows over the user table (A9/W3 [ext])",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    u = events.groupBy("user_id").agg(
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary"),
+    )
+    g = u.agg(F.max("last_us").alias("horizon_us"))
+    r = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.expr("(horizon_us - last_us) div 86400000000")
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    q = (
+        r.withColumn(
+            "r_q", F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id")),
+        )
+    )
+    return q.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("long")
+        .alias("segment"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period: monthly order revenue with the previous month's
+# revenue and percent change — the lag window runs over the MONTH
+# table (decimal-exact monthly sums; the corpus pass is one keyed
+# aggregate).  pct_change divides two exact-decimal-derived doubles,
+# so it is engine-identical.
+QPOP_ORACLE = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, revenue,
+       LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       CASE WHEN LAG(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+            ELSE ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                       / LAG(revenue) OVER (ORDER BY month), 8)
+       END AS pct_change
+FROM m ORDER BY month
+"""
+
+
+@declare(
+    "q_period_over_period",
+    oracle=QPOP_ORACLE,
+    description="monthly revenue with previous-period and percent change — the period-over-period BI window (W3 [ext])",
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("revenue") - prev) / prev, 8))
+        .alias("pct_change"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys pair
+# with NULL keys instead of vanishing — the join variant plain
+# equality cannot express.  Key nullability is manufactured with
+# NULLIF so the fixture exercises the NULL bucket.
+QNULLSAFE_ORACLE = """
+WITH o AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS status_key, o_totalprice FROM orders
+), d AS (
+  SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS status_key FROM orders
+)
+SELECT d.status_key,
+       CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_orders
+FROM d JOIN o ON d.status_key IS NOT DISTINCT FROM o.status_key
+GROUP BY d.status_key
+ORDER BY d.status_key NULLS FIRST
+"""
+
+
+@declare(
+    "q_nullsafe_join",
+    oracle=QNULLSAFE_ORACLE,
+    description="null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys match NULL keys (J1 variant [ext])",
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    o = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key"),
+        "o_totalprice",
+    )
+    d = o.select("status_key").distinct()
+    return (
+        d.join(o, d["status_key"].eqNullSafe(o["status_key"]))
+        .groupBy(d["status_key"].alias("status_key"))
+        .agg(F.count("o_totalprice").cast("long").alias("n_orders"))
+        .orderBy(F.col("status_key").asc_nulls_first())
+    )
