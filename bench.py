@@ -95,6 +95,8 @@ HEADLINE = [
     "q_bfs_hops",
     "q_markov_transitions",
     "q_mad_outliers",
+    "q_basket_pairs",
+    "q_rfm_segments",
 ]
 
 

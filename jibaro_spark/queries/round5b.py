@@ -97,7 +97,7 @@ WITH seq AS (
   SELECT event_type,
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type AS prev_type, next_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -116,6 +116,9 @@ ORDER BY prev_type, next_type
 )
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
+    # explicit null-ts fence: Spark windows order NULLS FIRST,
+    # DuckDB NULLS LAST — pin the contract instead of the fixture
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         F.col("event_type").alias("prev_type"),
@@ -539,7 +542,7 @@ WITH seq AS (
          epoch_us(ts) - LAG(epoch_us(ts)) OVER (
            PARTITION BY user_id, event_type ORDER BY ts, event_id
          ) AS gap_us
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id, event_type
 FROM seq
@@ -555,6 +558,9 @@ ORDER BY event_id
 )
 def q_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
+    # null-ts fence — same cross-engine window-ordering contract as
+    # q_markov_transitions
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     seq = events.select(
@@ -640,7 +646,7 @@ WITH u AS (
          MAX(epoch_us(ts)) AS last_us,
          CAST(COUNT(*) AS BIGINT) AS frequency,
          SUM(CAST(value AS DECIMAL(18,4))) AS monetary
-  FROM events GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
 ), g AS (
   SELECT MAX(last_us) AS horizon_us FROM u
 ), r AS (
@@ -670,6 +676,9 @@ FROM q ORDER BY user_id
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
+    # RFM is defined over timestamped events; a null-ts user would get
+    # a null recency whose NTILE placement differs across engines
+    events = events.filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts"))
     u = events.groupBy("user_id").agg(
         F.max(us).alias("last_us"),

@@ -40,7 +40,18 @@ def nulled_events_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["q_ewma_events", "q_sliding_windows"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_ewma_events",
+        "q_sliding_windows",
+        "q_markov_transitions",
+        "q_burst_dedup",
+        "q_rfm_segments",
+        "q_mad_outliers",
+        "q_type_jaccard",
+    ],
+)
 def test_null_injected_oracle_match(name, spark, nulled_events_dir):
     import duckdb
 
