@@ -584,3 +584,90 @@ def priority_sample_per_group(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+    out_col: str = "__rn",
+) -> DataFrame:
+    """Exact 1-based global row number under a total order WITHOUT a
+    single-partition window ([ext] scale primitive).
+
+    ``Window.orderBy(...)`` with no partition key — what a naive
+    global ``row_number``/``ntile`` compiles to — moves the ENTIRE
+    dataset into one task.  This does it distributed, the
+    zipWithIndex pattern on DataFrames: range-repartition + local sort
+    (the same physical shape as a global ORDER BY), count rows per
+    range partition (one metadata-sized aggregate; the bounded collect
+    is #partitions rows), broadcast the cumulative offsets back, and
+    add ``offset + local row number`` with a window PARTITIONED by the
+    range-partition id — every step parallel, ties MUST be broken by
+    ``order_cols`` (include a unique id) for the number to be
+    deterministic.
+    """
+    numbered, _total = _global_row_number_with_total(
+        df, order_cols, num_partitions, out_col
+    )
+    return numbered
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int | None,
+    out_col: str,
+) -> tuple[DataFrame, int]:
+    cols = [F.col(c) for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__gpid"]: r["cnt"]
+        for r in s.groupBy("__gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__gpid").orderBy(*cols)
+    numbered = s.withColumn(
+        out_col,
+        (off_map[F.col("__gpid")] + F.row_number().over(w)).cast("long"),
+    ).drop("__gpid")
+    return numbered, acc
+
+
+def ntile_exact(
+    df: DataFrame,
+    k: int,
+    order_cols: Sequence[str],
+    out_col: str = "__ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``NTILE(k)`` semantics (first ``n % k`` buckets get the
+    extra row) computed from :func:`global_row_number` — i.e. without
+    the single-partition window Spark's native ``ntile`` requires.
+    The row count the bucket formula needs is taken from the same
+    bounded per-partition count pass.
+    """
+    rn, n = _global_row_number_with_total(df, order_cols, num_partitions, "__rn")
+    q, r = divmod(n, k)
+    threshold = (q + 1) * r
+    # integer `div` throughout — double division would misplace bucket
+    # boundaries once row numbers exceed 2^53
+    bucket = F.when(
+        F.col("__rn") <= F.lit(threshold),
+        F.expr(f"(__rn - 1) div {q + 1}"),
+    ).otherwise(
+        F.lit(r) + F.expr(f"(__rn - 1 - {threshold}) div {max(q, 1)}")
+    )
+    return rn.withColumn(out_col, (bucket + 1).cast("long")).drop("__rn")

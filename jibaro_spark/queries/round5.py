@@ -1138,14 +1138,16 @@ FROM b GROUP BY bin ORDER BY bin
     description="equi-depth 8-bin histogram of order prices (NTILE edges + populations) — the selectivity/range-boundary statistics primitive (A9/W3 [ext])",
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from jibaro_spark.operators.relational import ntile_exact
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    binned = orders.select(
-        "o_totalprice",
-        F.ntile(8)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+    # distributed NTILE (range-repartition + per-partition offsets) —
+    # the native ntile window would funnel the table into ONE task
+    binned = ntile_exact(
+        orders.select("o_totalprice", "o_orderkey"),
+        8,
+        ["o_totalprice", "o_orderkey"],
+        out_col="bin",
     )
     return (
         binned.groupBy(F.col("bin").cast("long").alias("bin"))

@@ -613,9 +613,11 @@ def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    d = s.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("score", "doc_id"))
-    )
+    from jibaro_spark.operators.relational import ntile_exact
+
+    # distributed NTILE — see q_equidepth_histogram; never a
+    # single-partition window over the corpus
+    d = ntile_exact(s, 10, ["score", "doc_id"], out_col="decile")
     return (
         d.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(

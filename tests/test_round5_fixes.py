@@ -181,3 +181,46 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     # column subset profiles only the requested columns
     only = profile_table(df, ["s"]).collect()
     assert [r.col_name for r in only] == ["s"]
+
+
+def test_global_row_number_matches_window_row_number(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.relational import global_row_number
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 501).alias("k"), F.col("id").alias("tie")
+    )
+    got = {
+        (r.k, r.tie): r["__rn"]
+        for r in global_row_number(df, ["k", "tie"], num_partitions=7).collect()
+    }
+    rows = sorted(((r.k, r.tie) for r in df.collect()))
+    expected = {kt: i + 1 for i, kt in enumerate(rows)}
+    assert got == expected
+
+
+@pytest.mark.parametrize("n,k", [(1000, 8), (17, 5), (5, 8), (999, 10)])
+def test_ntile_exact_matches_native_ntile(spark, n, k):
+    """Bucket-for-bucket parity with Spark's (single-partition) native
+    ntile window, including the n % k remainder distribution and the
+    n < k degenerate case."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from jibaro_spark.operators.relational import ntile_exact
+
+    df = spark.range(n).select(
+        (F.col("id") * 17 % 97).alias("v"), F.col("id").alias("tie")
+    )
+    native = {
+        (r.v, r.tie): r.b
+        for r in df.select(
+            "v", "tie", F.ntile(k).over(Window.orderBy("v", "tie")).alias("b")
+        ).collect()
+    }
+    got = {
+        (r.v, r.tie): r["__ntile"]
+        for r in ntile_exact(df, k, ["v", "tie"], num_partitions=6).collect()
+    }
+    assert got == native

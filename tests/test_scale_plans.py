@@ -369,3 +369,18 @@ def test_type_jaccard_is_inverted_index_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_equidepth_ntile_has_no_single_partition_window(spark):
+    """The distributed-NTILE rewrite: the plan must range-partition
+    (the global-ORDER-BY shape) and every Window must carry a
+    partition key — a partitionless Window funnels the corpus into one
+    task."""
+    from jibaro_spark.queries.round5 import q_equidepth_histogram
+
+    plan = _executed_plan(q_equidepth_histogram(spark, SF))
+    assert "rangepartitioning" in plan.lower()
+    # the row-number Window is partitioned by the range-partition id —
+    # NO exchange in the whole plan may collapse to one partition
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
