@@ -264,11 +264,26 @@ ORDER BY c_custkey
     description="ntile bucketing with deterministic tiebreak (W1 family)",
 )
 def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import ntile_exact
+
     cust = load_tables(spark, sf_dir, "customer")["customer"]
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return cust.select(
-        "c_custkey", F.ntile(4).over(w).alias("wealth_quartile")
-    ).orderBy("c_custkey")
+    # distributed NTILE (range-repartition + per-partition offsets,
+    # operators/relational.ntile_exact) — the native ntile window
+    # would move the whole customer table into one task.  DESC order
+    # is expressed by negating the sort key (acctbal is numeric).
+    binned = ntile_exact(
+        cust.select(
+            "c_custkey", (-F.col("c_acctbal")).alias("__neg_bal")
+        ),
+        4,
+        ["__neg_bal", "c_custkey"],
+        out_col="wealth_quartile",
+    )
+    return (
+        binned.select(
+            "c_custkey", F.col("wealth_quartile").cast("int").alias("wealth_quartile")
+        ).orderBy("c_custkey")
+    )
 
 
 QREGEX_ORACLE = """

@@ -696,18 +696,23 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+    # three DISTRIBUTED quintile passes (ntile_exact — range shuffle +
+    # per-partition offsets, never a single-task window; DESC via
+    # negated sort keys) joined back on the user key
+    from jibaro_spark.operators.relational import ntile_exact
+
+    r = r.localCheckpoint(eager=True)  # three consumers, derive once
+
+    def quintile(col_expr, name: str):
+        keyed = r.select("user_id", col_expr.alias("__k"))
+        return ntile_exact(keyed, 5, ["__k", "user_id"], out_col=name).select(
+            "user_id", name
+        )
+
     q = (
-        r.withColumn(
-            "r_q", F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
-        )
-        .withColumn(
-            "f_q",
-            F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")),
-        )
-        .withColumn(
-            "m_q",
-            F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id")),
-        )
+        r.join(quintile(F.col("recency_days"), "r_q"), "user_id")
+        .join(quintile(-F.col("frequency"), "f_q"), "user_id")
+        .join(quintile(-F.col("monetary"), "m_q"), "user_id")
     )
     return q.select(
         "user_id",
