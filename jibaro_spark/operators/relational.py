@@ -635,6 +635,10 @@ def _global_row_number_with_total(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if not offsets:
+        # empty input: no partitions counted — emit the (empty) frame
+        # with the column typed correctly
+        return s.withColumn(out_col, F.lit(None).cast("long")).drop("__gpid"), 0
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
@@ -659,6 +663,8 @@ def ntile_exact(
     The row count the bucket formula needs is taken from the same
     bounded per-partition count pass.
     """
+    if k < 1:
+        raise ValueError(f"ntile_exact: k must be >= 1, got {k}")
     rn, n = _global_row_number_with_total(df, order_cols, num_partitions, "__rn")
     q, r = divmod(n, k)
     threshold = (q + 1) * r

@@ -224,3 +224,15 @@ def test_ntile_exact_matches_native_ntile(spark, n, k):
         for r in ntile_exact(df, k, ["v", "tie"], num_partitions=6).collect()
     }
     assert got == native
+
+
+def test_global_row_number_and_ntile_empty_and_guards(spark):
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.operators.relational import global_row_number, ntile_exact
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert global_row_number(empty, ["k"]).count() == 0
+    assert ntile_exact(empty, 4, ["k"]).count() == 0
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        ntile_exact(empty, 0, ["k"])
