@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
 from jibaro_spark.catalog import Catalog, TableRef
@@ -245,3 +246,34 @@ def idempotent_batch_writer(table_path: str, mode: str = "append"):
         )
 
     return write
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    name: str = "write_metrics",
+    metrics: "dict[str, Any] | None" = None,
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> dict:
+    """Write ``df`` and return batch metrics measured DURING the write
+    — ``spark.sql.Observation`` attaches aggregate expressions to the
+    existing job, so the row count / sums the reference's history
+    table records per merge (``cdc.py:224-247``) cost ZERO extra scans
+    (its ``DeltaTable.history`` numbers come from the commit the write
+    already made; this is the same no-second-pass contract for any
+    sink).
+
+    ``metrics`` maps name → aggregate Column (default: ``n_rows``).
+    Returns the observed dict.  Works for any batch write; for
+    ``foreachBatch`` bodies call it inside the batch function.
+    """
+    from pyspark.sql import Observation
+
+    exprs = dict(metrics or {})
+    if not exprs:
+        exprs = {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(k) for k, c in exprs.items()])
+    observed.write.format(fmt).mode(mode).save(path)
+    return dict(obs.get)

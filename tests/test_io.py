@@ -72,3 +72,30 @@ def test_stream_read_infers_schema(spark, lake, df):
     )
     q.awaitTermination()
     assert len(out) == 3
+
+
+def test_observed_write_measures_during_the_write(spark, tmp_path):
+    """observed_write returns batch metrics captured by the write job
+    itself (Observation API) — no second scan — and the data lands."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.io import observed_write
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "obs_tbl")
+    m = observed_write(
+        df,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "v_sum": F.sum("v"),
+            "k_max": F.max("k"),
+        },
+    )
+    assert m == {"n_rows": 100, "v_sum": 9900, "k_max": 99}
+    assert spark.read.parquet(out).count() == 100
+    # default metric
+    m2 = observed_write(spark.range(7), str(tmp_path / "obs2"))
+    assert m2 == {"n_rows": 7}
