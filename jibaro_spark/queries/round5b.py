@@ -812,3 +812,149 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_totalprice").cast("long").alias("n_orders"))
         .orderBy(F.col("status_key").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule strength on the frequent-pair table: lift =
+# P(a,b) / (P(a)·P(b)) with exact integer counts scaled by the basket
+# count — rendered as lift_x1000 (integer-floored) plus the exact
+# numerator/denominator counts, so the hash never touches an
+# order-dependent float sum.  Same a-priori pruned join as
+# q_basket_pairs; item supports are a broadcast dimension.
+QLIFT_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
+), freq AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_n FROM items
+  GROUP BY l_partkey HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+), fi AS (
+  SELECT items.l_orderkey, items.l_partkey FROM items
+  JOIN freq USING (l_partkey)
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM fi a JOIN fi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, support,
+       fa.item_n AS n_a, fb.item_n AS n_b,
+       CAST((support * nb.n_baskets * 1000) // (fa.item_n * fb.item_n)
+            AS BIGINT) AS lift_x1000
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b
+CROSS JOIN nb
+ORDER BY lift_x1000 DESC, part_a, part_b
+"""
+
+
+@declare(
+    "q_basket_lift",
+    oracle=QLIFT_ORACLE,
+    description="association-rule lift for co-purchase pairs (support>=3) in exact integer arithmetic (A9/J5 family [ext])",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    n_baskets = items.select("l_orderkey").distinct().count()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_n"))
+        .filter(F.col("item_n") >= _BASKET_MIN_SUPPORT)
+    )
+    fi = items.join(freq.select("l_partkey"), "l_partkey")
+    a = fi.alias("a")
+    b = fi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    fa = F.broadcast(
+        freq.select(F.col("l_partkey").alias("part_a"), F.col("item_n").alias("n_a"))
+    )
+    fb = F.broadcast(
+        freq.select(F.col("l_partkey").alias("part_b"), F.col("item_n").alias("n_b"))
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.expr(f"(support * {n_baskets}L * 1000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_x1000"),
+        )
+        .orderBy(F.desc("lift_x1000"), "part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the customer–supplier trade graph: how many
+# nodes have each degree — the first thing to read off any graph
+# before joining on it (skew planning: a power-law tail says salt the
+# hot keys).  Two keyed aggregates; the output is #distinct-degrees
+# rows.
+QDEGREE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), ud AS (
+  SELECT src AS node, dst AS nbr FROM e
+  UNION ALL SELECT dst AS node, src AS nbr FROM e
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM ud GROUP BY node
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUBSTRING(MIN(node), 1, 1) AS VARCHAR) AS side_of_min_node
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@declare(
+    "q_degree_distribution",
+    oracle=QDEGREE_ORACLE,
+    description="degree distribution of the trade graph — the skew-planning read before any graph join (graph [ext])",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    e = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ud = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = ud.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.substring(F.min("node"), 1, 1).alias("side_of_min_node"),
+        )
+        .orderBy("degree")
+    )
