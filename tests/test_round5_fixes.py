@@ -200,7 +200,9 @@ def test_global_row_number_matches_window_row_number(spark):
     assert got == expected
 
 
-@pytest.mark.parametrize("n,k", [(1000, 8), (17, 5), (5, 8), (999, 10)])
+@pytest.mark.parametrize(
+    "n,k", [(1000, 8), (17, 5), (5, 8), (999, 10), (1, 3), (8, 8), (9, 8)]
+)
 def test_ntile_exact_matches_native_ntile(spark, n, k):
     """Bucket-for-bucket parity with Spark's (single-partition) native
     ntile window, including the n % k remainder distribution and the
