@@ -117,7 +117,7 @@ def cdc_merge_table(
     target_ref: TableRef,
     key_cols: Sequence[str],
     order_by: Sequence[str] = ("timestamp",),
-) -> None:
+) -> dict:
     """Storage-backed CDC merge into the curated table at ``target_ref``.
 
     Delta path: transactional ``MERGE`` on PK equality built from the
@@ -129,27 +129,37 @@ def cdc_merge_table(
     snapshot-isolated readers, MERGE history, crash-safe (an aborted
     write leaves the table unchanged) — the Delta semantics without
     the jars; see ``tests/test_round5_txlog.py``.
+
+    Returns per-merge metrics — ``rowsWritten`` observed DURING the
+    write job itself (``Observation``; no second scan — the parquet
+    analogue of the Delta ``operationMetrics`` the reference's history
+    append reads, ``cdc.py:224-247``) plus the operation name.  The
+    Delta branch returns only the operation (its metrics live in the
+    commit's own history).
     """
+    from pyspark.sql import Observation
+
     from jibaro_spark import txlog
+
+    def _observed(df: DataFrame) -> "tuple[DataFrame, Observation]":
+        obs = Observation()
+        return df.observe(obs, F.count(F.lit(1)).alias("rowsWritten")), obs
 
     path = catalog.path(target_ref)
     if txlog.latest_version(path) is not None:
         current = txlog.read_versioned(spark, path)
-        result = cdc_apply(current, envelope, key_cols, order_by)
+        result, obs = _observed(cdc_apply(current, envelope, key_cols, order_by))
         txlog.write_versioned(result, path, mode="overwrite", operation="MERGE")
-        return
+        return {"operation": "MERGE", **obs.get}
     exists = _path_exists(spark, path)
     if (
         not exists
         and getattr(catalog.settings, "use_txlog", False)
         and not has_delta(spark)
     ):
-        txlog.write_versioned(
-            initial_load(envelope, key_cols, order_by),
-            path,
-            operation="INITIAL_LOAD",
-        )
-        return
+        result, obs = _observed(initial_load(envelope, key_cols, order_by))
+        txlog.write_versioned(result, path, operation="INITIAL_LOAD")
+        return {"operation": "INITIAL_LOAD", **obs.get}
 
     if has_delta(spark):
         from delta.tables import DeltaTable
@@ -159,7 +169,7 @@ def cdc_merge_table(
                 initial_load(envelope, key_cols, order_by),
                 catalog, target_ref, fmt="delta", mode="overwrite",
             )
-            return
+            return {"operation": "INITIAL_LOAD"}
         batch = latest_changes_per_key(envelope, key_cols, order_by)
         src = batch.select(
             *[F.col(f"key.{k}").alias(f"__k_{k}") for k in key_cols],
@@ -178,16 +188,20 @@ def cdc_merge_table(
             .whenNotMatchedInsert(condition=f"s.__op != '{DELETE_OP}'", values=set_all)
             .execute()
         )
-        return
+        return {"operation": "MERGE"}
 
     if not exists:
+        op = "INITIAL_LOAD"
         result = initial_load(envelope, key_cols, order_by)
     else:
+        op = "MERGE"
         target = read_table(spark, catalog, target_ref, fmt="parquet")
         # Materialize executor-side (no driver collect) before
         # overwriting the path the plan reads from.
         result = cdc_apply(target, envelope, key_cols, order_by).localCheckpoint(eager=True)
+    result, obs = _observed(result)
     write_table(result, catalog, target_ref, fmt="parquet", mode="overwrite")
+    return {"operation": op, **obs.get}
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:

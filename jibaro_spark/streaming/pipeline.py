@@ -201,8 +201,23 @@ def staged_to_curated(
     def process(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        cdc_merge_table(
+        metrics = cdc_merge_table(
             spark, catalog, batch, dst, key_cols=list(key_cols), order_by=list(order_by)
+        )
+        # per-merge history row, the reference's cadence (cdc.py:224-247):
+        # rowsWritten was observed by the merge's own write job — the
+        # history append costs one file listing, never a second scan
+        from jibaro_spark.maintenance import append_history_metrics
+
+        append_history_metrics(
+            spark,
+            catalog,
+            dst,
+            operation=str((metrics or {}).get("operation", "MERGE")),
+            extra={
+                **{k: str(v) for k, v in (metrics or {}).items() if k != "operation"},
+                "batchId": str(batch_id),
+            },
         )
 
     stream = read_stream(

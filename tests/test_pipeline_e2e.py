@@ -340,3 +340,33 @@ def test_three_hop_pipeline_on_txlog_curated(spark, tmp_path, registry):
     assert {
         r.id for r in txlog.read_versioned(spark, path, version=0).collect()
     } == {1, 2, 4}
+
+
+def test_cdc_merge_returns_observed_metrics_and_batch_history(spark, lake):
+    """cdc_merge_table returns rowsWritten observed by the merge's own
+    write job (no second scan) for both the initial load and the merge
+    path — the parquet analogue of Delta operationMetrics the per-batch
+    history append records (reference cdc.py:224-247)."""
+    from jibaro_spark.operators.cdc import cdc_merge_table
+
+    ref = TableRef(str(Layer.CURATED), "lab", "inventory", "metrics_probe")
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows, "op string, id long, val string, ts long"
+        ).select(
+            F.struct("id").alias("key"),
+            F.struct(
+                F.col("op").alias("op"),
+                F.lit(None).cast("struct<id:bigint,val:string>").alias("before"),
+                F.struct("id", "val").alias("after"),
+            ).alias("value"),
+            F.col("ts").alias("timestamp"),
+        )
+
+    m = cdc_merge_table(
+        spark, lake, env([("c", 1, "a", 1), ("c", 2, "b", 1)]), ref, key_cols=["id"]
+    )
+    assert m["operation"] == "INITIAL_LOAD" and m["rowsWritten"] == 2
+    m2 = cdc_merge_table(spark, lake, env([("d", 2, "b", 2)]), ref, key_cols=["id"])
+    assert m2["operation"] == "MERGE" and m2["rowsWritten"] == 1
