@@ -958,3 +958,87 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangles in the CO-PURCHASE graph: basket mining composed with the
+# graph operator — parts are linked when bought together in ≥2
+# orders, and the per-part triangle count measures how clique-like a
+# part's neighborhood is (community signal).  The bipartite trade
+# graph has no triangles by construction; the pair projection does.
+# Spark side: the a-priori pruned pair join feeds
+# graph.triangle_count (degree-ordered orientation, O(m^1.5) wedge
+# bound); the oracle enumerates oriented triangles with a 3-way
+# self-join and unpivots corners.
+QCOTRI_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey FROM items GROUP BY l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+), fi AS (
+  SELECT items.l_orderkey, items.l_partkey FROM items JOIN freq USING (l_partkey)
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM fi a JOIN fi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), nodes AS (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+)
+SELECT nodes.node,
+       CAST(COALESCE(COUNT(corners.node), 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN corners ON corners.node = nodes.node
+GROUP BY nodes.node
+ORDER BY nodes.node
+"""
+
+
+@declare(
+    "q_copurchase_triangles",
+    oracle=QCOTRI_ORACLE,
+    description="per-part triangle counts in the co-purchase pair graph — basket mining composed with the O(m^1.5) triangle operator (graph/J5 [ext])",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.graph import triangle_count
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= _BASKET_MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    fi = items.join(freq, "l_partkey").localCheckpoint(eager=True)
+    a = fi.alias("a")
+    b = fi.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= _BASKET_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    return (
+        triangle_count(edges)
+        .select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )
