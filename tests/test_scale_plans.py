@@ -384,3 +384,15 @@ def test_equidepth_ntile_has_no_single_partition_window(spark):
     # NO exchange in the whole plan may collapse to one partition
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+@pytest.mark.parametrize("qname", ["q_burst_dedup", "q_markov_transitions"])
+def test_event_sequence_windows_are_key_partitioned(spark, qname):
+    """The event-sequence queries' corpus-sized windows run inside the
+    (user[,type]) shuffle — nothing in the plan may collapse the event
+    stream into one partition (the final ORDER BY of the tiny result
+    is rangepartitioned, not single)."""
+    from jibaro_spark.queries import REGISTRY
+
+    plan = _executed_plan(REGISTRY[qname].fn(spark, SF))
+    assert "SinglePartition" not in plan
