@@ -517,11 +517,12 @@ WITH surviving AS (
 ), repriced AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 5 = 0
-              THEN o_totalprice + 50.25 ELSE o_totalprice END AS price
+              THEN CAST(o_totalprice AS DECIMAL(28,4)) + CAST(50.25 AS DECIMAL(28,4))
+              ELSE CAST(o_totalprice AS DECIMAL(28,4)) END AS price
   FROM surviving
 ), inserted AS (
   SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
-         o_totalprice + 7.5 AS price
+         CAST(o_totalprice AS DECIMAL(28,4)) + CAST(7.5 AS DECIMAL(28,4)) AS price
   FROM surviving WHERE o_orderkey % 9 = 0
 ), t2 AS (
   SELECT * FROM repriced UNION ALL SELECT * FROM inserted
@@ -548,24 +549,29 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_spend"),
     )
+    # Δ arithmetic runs entirely in the DECIMAL domain: cast o_totalprice
+    # to decimal(28,4) BEFORE adding decimal literals, so no engine ever
+    # rounds a double at the cast boundary (r5 driver hash drift root cause
+    # — the oracle mirrors the cast-first shape).
+    dec_price = F.col("o_totalprice").cast("decimal(28,4)")
     deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
         F.lit("d").alias("op"),
         "o_custkey",
-        F.col("o_totalprice").alias("before_total_spend"),
-        F.lit(None).cast("double").alias("after_total_spend"),
+        dec_price.alias("before_total_spend"),
+        F.lit(None).cast("decimal(28,4)").alias("after_total_spend"),
     )
     surviving = orders.filter(F.col("o_orderkey") % 13 != 0)
     updates = surviving.filter(F.col("o_orderkey") % 5 == 0).select(
         F.lit("u").alias("op"),
         "o_custkey",
-        F.col("o_totalprice").alias("before_total_spend"),
-        (F.col("o_totalprice") + F.lit(50.25)).alias("after_total_spend"),
+        dec_price.alias("before_total_spend"),
+        (dec_price + F.lit("50.25").cast("decimal(28,4)")).alias("after_total_spend"),
     )
     inserts = surviving.filter(F.col("o_orderkey") % 9 == 0).select(
         F.lit("c").alias("op"),
         "o_custkey",
-        F.lit(None).cast("double").alias("before_total_spend"),
-        (F.col("o_totalprice") + F.lit(7.5)).alias("after_total_spend"),
+        F.lit(None).cast("decimal(28,4)").alias("before_total_spend"),
+        (dec_price + F.lit("7.5").cast("decimal(28,4)")).alias("after_total_spend"),
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
     out = incremental_agg_apply(
