@@ -27,13 +27,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
-def has_protobuf_runtime() -> bool:
+def ensure_protobuf_runtime() -> bool:
+    """Import-or-enable ``google.protobuf`` in THIS process.  Unlike
+    :func:`jibaro_spark.streaming.windows.enable_tws_runtime` (which
+    exports ``$PYTHONPATH`` and therefore must run before the JVM
+    starts), this mutates ``sys.path`` of the current interpreter — so
+    calling it from inside an Arrow mapper self-heals each executor
+    Python worker even when the session was built before enablement.
+    No-op where the real package is installed."""
     try:
         from google.protobuf import descriptor_pb2  # noqa: F401
 
         return True
     except Exception:
-        return False
+        pass
+    import os
+    import sys
+
+    from jibaro_spark.streaming.windows import _PROTOBUF_RUNTIME_PATHS
+
+    import importlib
+
+    for p in _PROTOBUF_RUNTIME_PATHS:
+        if not os.path.isdir(os.path.join(p, "google", "protobuf")):
+            continue
+        if p not in sys.path:
+            sys.path.insert(0, p)
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        # Executor workers have the spark-core JAR on sys.path; its
+        # bundled google/protobuf/*.proto RESOURCES make
+        # ``google.protobuf`` import as an EMPTY namespace package,
+        # which the probe import above just cached.  Purge those
+        # stale file-less modules so the re-import recombines the
+        # namespace with the vendored (regular) package winning — a
+        # real installed runtime (has __file__) is never purged.
+        for mod in [
+            m for m in list(sys.modules)
+            if m == "google" or m.startswith("google.")
+        ]:
+            if getattr(sys.modules[mod], "__file__", None) is None:
+                del sys.modules[mod]
+        importlib.invalidate_caches()
+        try:
+            from google.protobuf import descriptor_pb2  # noqa: F401
+
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def has_protobuf_runtime() -> bool:
+    return ensure_protobuf_runtime()
 
 
 #: Spark type → (proto field type enum name, python coercion)
@@ -55,6 +102,7 @@ def struct_to_file_descriptor_bytes(
     """Serialized ``FileDescriptorProto`` declaring ``message_name``
     (plus nested messages for struct fields) from a Spark schema —
     the programmatic replacement for .proto text + protoc."""
+    ensure_protobuf_runtime()
     from google.protobuf import descriptor_pb2
 
     fdp = descriptor_pb2.FileDescriptorProto()
@@ -96,6 +144,9 @@ def struct_to_file_descriptor_bytes(
 
 
 def _message_class(fdp_bytes: bytes, full_name: str):
+    # runs inside the Arrow mapper on executor workers — self-heal the
+    # runtime per-process (sys.path, not $PYTHONPATH) before importing
+    ensure_protobuf_runtime()
     from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
 
     fdp = descriptor_pb2.FileDescriptorProto()
@@ -304,3 +355,57 @@ def decode_confluent_batch_protobuf_python(
         )
         out.append(((key_id, value_id), part.select(*keep)))
     return out
+
+
+def encode_confluent_protobuf_python(
+    df: DataFrame,
+    key_cols: list,
+    registry,
+    topic: str,
+) -> DataFrame:
+    """Reverse path on the Python protobuf codec — the missing half of
+    the jar-free publisher (reference ``kafka.py:86-109`` protobuf
+    branch; the Avro twin is
+    :func:`jibaro_spark.codecs.avro_python.encode_confluent_avro_python`):
+    derive proto3 schema text from the DataFrame, register under
+    ``{topic}-key``/``{topic}-value`` as ``PROTOBUF`` subjects, encode
+    both sides with the Arrow mapper, and assemble Confluent frames
+    (magic ++ id ++ message-index ``0x00`` ++ payload).  Output is
+    consumable by :func:`decode_confluent_batch_protobuf_python` with
+    resolver ``proto_schema_to_struct(registry.get_schema(id))`` —
+    closing the jar-free protobuf produce→consume loop end to end.
+
+    Scale shape: map-only (two Arrow passes fused into one stage), no
+    shuffle; registry calls happen once on the driver at plan time.
+    """
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.codecs.confluent import wire_encode
+    from jibaro_spark.codecs.schemas import to_proto_schema
+
+    value_cols = [c for c in df.columns if c not in key_cols]
+    value_schema_t = df.select(*value_cols).schema
+    value_text = to_proto_schema(value_schema_t, "Envelope")
+    value_id = registry.register(f"{topic}-value", value_text, "PROTOBUF")
+
+    staged = df.select(
+        F.struct(*value_cols).alias("__v"),
+        *([F.struct(*key_cols).alias("__k")] if key_cols else []),
+    )
+    staged = encode_protobuf_python(
+        staged, "__v", value_schema_t, "Envelope", out_col="__vp"
+    )
+    value_bin = wire_encode(F.col("__vp"), value_id, "protobuf")
+
+    if key_cols:
+        key_schema_t = df.select(*key_cols).schema
+        key_text = to_proto_schema(key_schema_t, "Key")
+        key_id = registry.register(f"{topic}-key", key_text, "PROTOBUF")
+        staged = encode_protobuf_python(
+            staged, "__k", key_schema_t, "Key", out_col="__kp",
+            package="jibarokey",
+        )
+        key_bin = wire_encode(F.col("__kp"), key_id, "protobuf")
+    else:
+        key_bin = F.lit(None).cast("binary")
+    return staged.select(key_bin.alias("key"), value_bin.alias("value"))

