@@ -502,6 +502,19 @@ def simhash_md5_bits(col: Column, shingle_n: int = 2, bits: int = 64) -> Column:
     return F.transform(F.array(nibbles), over)[0]
 
 
+def _qgram_set(col: str, q: int):
+    """Distinct padded q-grams of a string column, native exprs only
+    (pad = ``q-1`` ``#`` on both ends, so every non-null string has at
+    least one gram)."""
+    pad = "#" * (q - 1)
+    padded = f"concat('{pad}', {col}, '{pad}')"
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({padded}) - {q - 1}, 1)),"
+        f" i -> substr({padded}, i, {q}))"
+    )
+    return F.array_distinct(grams)
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -511,28 +524,52 @@ def edit_distance_join(
     right_str: str,
     max_dist: int,
     block_on: tuple[str, str] | None = None,
+    qgram: int | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
-    """String-similarity join by edit distance: equi-join on a blocking
-    key, cheap length prefilter, then exact Levenshtein verification —
-    the classic filter-verify shape for distributed string joins (cf.
-    compressed-index string joins, ICDE'22: candidates from a coarse
-    signature, exact check only on survivors).
+    """String-similarity join by edit distance: candidate generation
+    by blocking key and/or q-gram prefix signature, cheap length
+    prefilter, then exact Levenshtein verification — the classic
+    filter-verify shape for distributed string joins (Ed-Join,
+    VLDB'08: candidates from a coarse signature, exact check only on
+    survivors).
 
-    Filters, in evaluation order:
+    Candidate generation — at least one of these MUST be chosen
+    (``ValueError`` otherwise; an unbounded cross join is never the
+    default at 100 TB):
 
-    1. **blocking** (optional ``block_on``): candidates must share the
-       key — turns the cross product into an equi-join shuffle whose
-       fan-out is the block size; pick keys with bounded selectivity
-       (brand, domain, simhash band, ...).  At 100 TB a q-gram/prefix
-       signature join replaces the single key — same plan shape.
-    2. **length**: ``|len(a) − len(b)| ≤ max_dist`` — a free lower
-       bound on edit distance, applied inside the join.
-    3. **verify**: native ``levenshtein`` (JVM codegen, no UDF)
-       ``≤ max_dist`` on the per-block candidates only.
+    - ``block_on=(left_key, right_key)``: candidates must share the
+      key — turns the cross product into an equi-join shuffle whose
+      fan-out is the block size; pick keys with bounded selectivity
+      (brand, domain, simhash band, ...).
+    - ``qgram=q``: LOSSLESS signature blocking with no domain key
+      needed — the Ed-Join prefix filter (Xiao/Wang/Lin, VLDB'08).
+      One edit destroys at most ``q`` padded q-grams, so strings
+      within ``max_dist`` edits share a gram inside both of their
+      ``max_dist*q + 1``-gram prefixes under ANY fixed total order on
+      grams; candidates come from the gram-keyed inverted-index
+      equi-join on those prefixes.  The order used is ascending
+      document frequency (computed over both inputs in one extra
+      bounded agg), so universal grams — padding, stop-grams — never
+      enter a signature and no single inverted-index key fans out to
+      the whole corpus.  The scale path when no natural blocking key
+      exists.
+    - ``allow_cross_join=True``: explicit opt-in for tiny inputs only.
+
+    Then, in evaluation order: **length** prefilter
+    (``|len(a) − len(b)| ≤ max_dist``, a free lower bound) and exact
+    **verify** via native ``levenshtein`` (JVM codegen, no UDF) on the
+    surviving candidates only.
 
     Returns ``(left_id, right_id, dist)`` plus the blocking key when
-    given.  Callers dedupe/orient ids as needed.
+    ``block_on`` is given.  Callers dedupe/orient ids as needed.
     """
+    if block_on is None and qgram is None and not allow_cross_join:
+        raise ValueError(
+            "edit_distance_join: choose a candidate strategy — block_on "
+            "(domain key), qgram (lossless signature blocking), or opt "
+            "in to the cross product with allow_cross_join=True"
+        )
     lcols = [F.col(left_id), F.col(left_str).alias("__ls")]
     rcols = [F.col(right_id), F.col(right_str).alias("__rs")]
     if block_on is not None:
@@ -541,8 +578,67 @@ def edit_distance_join(
         rcols.append(F.col(rb).alias("__blk"))
     l = left.select(*lcols)
     r = right.select(*rcols)
-    on = ["__blk"] if block_on is not None else []
-    joined = l.join(r, on) if on else l.crossJoin(r)
+    if qgram is not None:
+        # document-frequency-ordered prefix signatures: one exploded
+        # gram pass per side, one bounded gram→df agg over the union,
+        # then each string keeps its max_dist*q+1 LEAST-frequent grams
+        k1 = max_dist * qgram + 1
+        lset = l.withColumn("__gs", _qgram_set("__ls", qgram))
+        rset = r.withColumn("__gs", _qgram_set("__rs", qgram))
+        lg = lset.select(*[c for c in lset.columns if c != "__gs"],
+                         F.explode("__gs").alias("__g"))
+        rg = rset.select(*[c for c in rset.columns if c != "__gs"],
+                         F.explode("__gs").alias("__g"))
+        freq = (
+            lg.select("__g").unionByName(rg.select("__g"))
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+
+        def prefixed(side: DataFrame, id_col: str) -> DataFrame:
+            carry = [c for c in side.columns if c not in (id_col, "__g")]
+            sig = (
+                side.join(freq, "__g")
+                .groupBy(id_col)
+                .agg(
+                    F.slice(
+                        F.array_sort(F.collect_list(F.struct("__df", "__g"))),
+                        1,
+                        k1,
+                    ).alias("__sig"),
+                    *[F.first(c).alias(c) for c in carry],
+                )
+            )
+            return sig.select(
+                id_col, *carry, F.explode("__sig.__g").alias("__g")
+            )
+
+        lsig = prefixed(lg, left_id)
+        rsig = prefixed(rg, right_id)
+        on = ["__g"] + (["__blk"] if block_on is not None else [])
+        sig_pairs = lsig.join(rsig, on).drop("__g")
+        # Prefix guarantee needs max(|Qa|,|Qb|) > max_dist*q: an edit
+        # destroys ≤ q distinct grams, so overlap ≥ max−kq ≥ 1 and the
+        # kq+1-prefixes must intersect (the small side's prefix is its
+        # whole set).  Pairs where BOTH gram sets are ≤ kq — strings of
+        # length ≲ q(k−1)+1 or degenerate repeats — escape it, so that
+        # bucket pairs exhaustively on its own: it is bounded by the
+        # alphabet (tiny strings) plus rare single-char repeats, never
+        # corpus-sized.
+        kq = max_dist * qgram
+        lsmall = lset.filter(F.size("__gs") <= kq).drop("__gs")
+        rsmall = rset.filter(F.size("__gs") <= kq).drop("__gs")
+        small_pairs = (
+            lsmall.join(rsmall, ["__blk"])
+            if block_on is not None
+            else lsmall.crossJoin(rsmall)
+        )
+        joined = sig_pairs.unionByName(small_pairs).dropDuplicates(
+            [left_id, right_id]
+        )
+    else:
+        on = ["__blk"] if block_on is not None else []
+        joined = l.join(r, on) if on else l.crossJoin(r)
     d = F.levenshtein(F.col("__ls"), F.col("__rs"))
     out = (
         joined.filter(
@@ -551,6 +647,12 @@ def edit_distance_join(
         .withColumn("dist", d)
         .filter(F.col("dist") <= max_dist)
     )
-    keep = [left_id, right_id, "dist"] + (["__blk"] if on else [])
+    keep = [left_id, right_id, "dist"] + (
+        ["__blk"] if block_on is not None else []
+    )
     res = out.select(*keep)
-    return res.withColumnRenamed("__blk", "block") if on else res
+    return (
+        res.withColumnRenamed("__blk", "block")
+        if block_on is not None
+        else res
+    )

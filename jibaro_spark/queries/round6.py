@@ -76,3 +76,42 @@ def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value.doc_id", "value.lang", "value.n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join in q-gram signature mode (VERDICT r5 §Next-4):
+# NO blocking key — candidates come from the Ed-Join document-
+# frequency-ordered prefix signature (operators/dedup.edit_distance_
+# join, qgram=2), which is LOSSLESS by the prefix-filter theorem.
+# The oracle is the brute-force all-pairs Levenshtein answer, so a
+# driver hash match proves the signature path loses no true pair and
+# invents none.  Customer names differ only in their digit block —
+# plentiful ed≤1 pairs (19.5k at sf0.01), zero at ed=0 (names unique).
+QEDQ_ORACLE = """
+SELECT a.c_custkey AS lid, b.c_custkey AS rid,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY lid, rid
+"""
+
+
+@declare(
+    "q_edit_distance_qgram",
+    oracle=QEDQ_ORACLE,
+    description="edit-distance self-join via df-ordered q-gram prefix signatures (Ed-Join) — keyless lossless blocking, hash-checked against brute force (J5 [ext])",
+)
+def q_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import edit_distance_join
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    a = cust.select(F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname"))
+    b = cust.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("rname"))
+    pairs = edit_distance_join(
+        a, b, "lid", "rid", "lname", "rname", max_dist=1, qgram=2
+    )
+    return (
+        pairs.filter(F.col("lid") < F.col("rid"))
+        .select("lid", "rid", F.col("dist").cast("int").alias("dist"))
+        .orderBy("lid", "rid")
+    )

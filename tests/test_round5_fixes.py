@@ -10,6 +10,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from jibaro_spark.queries import REGISTRY
 from jibaro_spark.testing import compare_with_oracle
@@ -238,3 +239,50 @@ def test_global_row_number_and_ntile_empty_and_guards(spark):
     assert ntile_exact(empty, 4, ["k"]).count() == 0
     with pytest.raises(ValueError, match="k must be >= 1"):
         ntile_exact(empty, 0, ["k"])
+
+
+def test_edit_distance_join_requires_candidate_strategy(spark):
+    """The unbounded cross product is opt-in only (VERDICT r5 §Wrong-2)."""
+    from jibaro_spark.operators.dedup import edit_distance_join
+
+    df = spark.createDataFrame([(1, "abc")], "id long, s string")
+    b = df.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
+    with pytest.raises(ValueError, match="candidate strategy"):
+        edit_distance_join(df, b, "id", "id2", "s", "s2", max_dist=1)
+    # explicit opt-in still works for tiny inputs
+    out = edit_distance_join(
+        df, b, "id", "id2", "s", "s2", max_dist=1, allow_cross_join=True
+    )
+    assert out.count() == 1
+
+
+def test_edit_distance_qgram_mode_is_lossless(spark):
+    """qgram signature candidates reproduce the cross-join answer
+    exactly — the prefix-filter guarantee, pinned on strings with
+    shared universal grams (padding, common prefixes)."""
+    from jibaro_spark.operators.dedup import edit_distance_join
+
+    words = [
+        "kitten", "sitten", "sittin", "mitten", "smitten",
+        "flask", "flash", "flush", "brush", "crush",
+        "abc", "abd", "xbc", "a", "", "zzzzz",
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    b = df.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
+    for k in (1, 2):
+        exact = {
+            (r["id"], r["id2"], r["dist"])
+            for r in edit_distance_join(
+                df, b, "id", "id2", "s", "s2", max_dist=k,
+                allow_cross_join=True,
+            ).collect()
+        }
+        sig = {
+            (r["id"], r["id2"], r["dist"])
+            for r in edit_distance_join(
+                df, b, "id", "id2", "s", "s2", max_dist=k, qgram=2
+            ).collect()
+        }
+        assert sig == exact
