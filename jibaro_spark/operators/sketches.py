@@ -17,11 +17,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cms_cell(term_col: str, d: int, width: int, hash_mode: str):
+    """Cell column index of hash row ``d`` for a term — deterministic
+    and engine-independent.  ``xxhash64`` is the production mode;
+    ``md5`` is the cross-engine-VERIFIABLE mode (same trick as
+    ``minhash_signature_md5``): ``conv(substr(md5(d|term),1,8),16,10)``
+    replays bit-identically in DuckDB via
+    ``CAST('0x'||substr(md5(...),1,8) AS BIGINT)``, so the whole
+    sketch→lookup pipeline gets a SQL oracle."""
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width))
+    if hash_mode == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{d}|"), F.col(term_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+    raise ValueError(f"cms: unknown hash_mode {hash_mode!r}")
+
+
 def cms_sketch(
     terms: DataFrame,
     term_col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Count-min sketch of a term column: ``depth`` hash rows ×
     ``width`` counter columns, as a DataFrame ``(row, col, cnt)`` with
@@ -41,9 +64,9 @@ def cms_sketch(
                     *[
                         F.struct(
                             F.lit(d).alias("row"),
-                            F.pmod(
-                                F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width)
-                            ).alias("col"),
+                            _cms_cell(term_col, d, width, hash_mode).alias(
+                                "col"
+                            ),
                         )
                         for d in range(depth)
                     ]
@@ -81,6 +104,7 @@ def cms_lookup(
     term_col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Point-query the sketch for every row of ``terms``: join each
     term's d cells (sketch side broadcast — ≤ depth×width rows, a few
@@ -90,9 +114,7 @@ def cms_lookup(
     hashed = terms.select(
         F.col(term_col).alias("term"),
         *[
-            F.pmod(F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width)).alias(
-                f"__c{d}"
-            )
+            _cms_cell(term_col, d, width, hash_mode).alias(f"__c{d}")
             for d in range(depth)
         ],
     )
@@ -118,11 +140,13 @@ def cms_estimates(
     term_col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Count-min estimates for every distinct term in ``terms`` —
     :func:`cms_sketch` + :func:`cms_lookup` over the distinct term set
     (the one-shot heavy-hitters shape used by q_cms_heavy_hitters)."""
-    sketch = cms_sketch(terms, term_col, depth, width)
+    sketch = cms_sketch(terms, term_col, depth, width, hash_mode)
     return cms_lookup(
-        sketch, terms.dropDuplicates([term_col]), term_col, depth, width
+        sketch, terms.dropDuplicates([term_col]), term_col, depth, width,
+        hash_mode,
     )

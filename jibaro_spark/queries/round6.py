@@ -115,3 +115,57 @@ def q_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lid", "rid", F.col("dist").cast("int").alias("dist"))
         .orderBy("lid", "rid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch in verifiable md5 mode (VERDICT r5 §Next-6): with a
+# deterministic cross-engine hash, CMS estimates are a pure function of
+# the data — the oracle REPLAYS the sketch (cell counts per (row,col))
+# and the d-way min lookup in SQL, so the driver hash-checks the whole
+# sketch→merge-law→lookup pipeline, not just row counts.  The xxhash64
+# production mode (q_cms_heavy_hitters) keeps its pytest error-bound
+# checks; cell math here is conv(substr(md5(d|term),1,8),16,10) % width
+# == DuckDB CAST('0x'||substr(md5(...),1,8) AS BIGINT) % width.
+_CMS_TOKS = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+QCMS_MD5_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_CMS_TOKS}) AS term FROM documents
+), ds AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), sketch AS (
+  SELECT d.d AS row,
+         CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 1024 AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks, ds d
+  GROUP BY 1, 2
+), est AS (
+  SELECT t.term, MIN(s.cnt) AS est
+  FROM (SELECT DISTINCT term FROM toks) t
+  CROSS JOIN ds d
+  JOIN sketch s
+    ON s.row = d.d
+   AND s.col = CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || t.term), 1, 8)) AS BIGINT) % 1024
+  GROUP BY t.term
+)
+SELECT term, CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, term LIMIT 25
+"""
+
+
+@declare(
+    "q_cms_heavy_hitters_md5",
+    oracle=QCMS_MD5_ORACLE,
+    description="count-min heavy hitters, verifiable md5 hash mode — the SQL oracle replays sketch cells and d-way min lookup exactly (sketch family [ext])",
+)
+def q_cms_heavy_hitters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.sketches import cms_estimates
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        cms_estimates(terms, "term", depth=4, width=1024, hash_mode="md5")
+        .select("term", F.col("est").cast("long").alias("est"))
+        .orderBy(F.col("est").desc(), "term")
+        .limit(25)
+    )
