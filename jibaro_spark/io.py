@@ -211,7 +211,9 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
-def idempotent_batch_writer(table_path: str, mode: str = "append"):
+def idempotent_batch_writer(
+    table_path: str, mode: str = "append", txn_app: str | None = None
+):
     """``foreachBatch`` callback writing each micro-batch to a
     ``jibaro_spark.txlog`` versioned table EXACTLY ONCE.
 
@@ -223,15 +225,20 @@ def idempotent_batch_writer(table_path: str, mode: str = "append"):
     exactly-once table commits: a replayed ``batch_id`` at or below
     the committed watermark writes nothing.
 
-    Caveat (inherited from the Delta pattern): the app identity is the
-    TABLE, so batch ids must move forward for the writer's lifetime.
-    Restarting from the SAME checkpoint (the normal failure recovery)
-    is safe — batch ids continue; starting a FRESH checkpoint over a
-    source that has since grown replays ids from 0 and would be
-    skipped below the watermark — pass a new ``txn_app`` (or table)
-    when intentionally reprocessing from scratch.
+    ``txn_app`` is the WRITER's identity (Delta's ``txnAppId``,
+    reference ``cdc.py:250-256``) — pass the checkpoint location or
+    query name.  It defaults to the table path only as a single-writer
+    convenience; two DIFFERENT streaming queries appending to one
+    table MUST pass distinct ``txn_app`` values, or they share a
+    watermark and the later-starting query's batches are silently
+    skipped (ADVICE r5).  Batch ids must move forward for a given
+    ``txn_app``'s lifetime: restarting from the SAME checkpoint (the
+    normal failure recovery) is safe — batch ids continue; starting a
+    FRESH checkpoint over a source that has since grown replays ids
+    from 0 below the watermark — pass a new ``txn_app`` when
+    intentionally reprocessing from scratch.
     """
-    app = f"stream::{table_path}"
+    app = txn_app if txn_app is not None else f"stream::{table_path}"
 
     def write(df: DataFrame, batch_id: int) -> None:
         from jibaro_spark import txlog

@@ -182,11 +182,25 @@ def generate_manifest(spark: SparkSession, catalog: Catalog, ref: TableRef) -> b
         DeltaTable.forPath(spark, path).generate("symlink_format_manifest")
         return True
     elif os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
+        # recurse so Hive-partitioned layouts (part files under
+        # key=value subdirs) produce a non-empty manifest; _/.-prefixed
+        # dirs (logs, checkpoints, the manifest itself) are pruned
+        files = []
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            files.extend(
+                os.path.join(dirpath, f)
+                for f in filenames
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        files.sort()
+        if not files:
+            # a directory with no data files would write an EMPTY
+            # manifest that external engines read as a zero-row table
+            # with no error signal (ADVICE r5) — refuse instead
+            return False
     else:
         return False
     manifest_dir = os.path.join(path, "_symlink_format_manifest")

@@ -476,14 +476,14 @@ WITH s AS (
            AS cum_before
   FROM g
 ), t AS (
-  SELECT CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS s2,
+  SELECT SUM(CAST(npos AS HUGEINT) * (2 * cum_before + n + 1)) AS s2,
          CAST(SUM(npos) AS BIGINT) AS n1,
          CAST(SUM(n) - SUM(npos) AS BIGINT) AS n0
   FROM c
 )
 SELECT n1 AS n_pos, n0 AS n_neg,
-       CAST(s2 - n1 * (n1 + 1) AS DOUBLE)
-         / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+       CAST(s2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+         / CAST(CAST(2 AS HUGEINT) * n1 * n0 AS DOUBLE) AS auc
 FROM t
 """
 
@@ -507,11 +507,15 @@ def q_auc_nchars_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = g.withColumn(
         "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
     )
+    # s2 is O(rows^2)-magnitude (midrank sums) — DECIMAL(38,0), not
+    # BIGINT, so a web-scale corpus can't silently wrap with ANSI off
+    # while the oracle widens (ADVICE r5); HUGEINT on the DuckDB side.
     t = c.agg(
         F.sum(
-            F.col("npos") * (2 * F.col("cum_before") + F.col("n") + 1)
+            F.col("npos").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("n") + 1)
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("s2"),
         F.sum("npos").cast("long").alias("n1"),
         (F.sum("n") - F.sum("npos")).cast("long").alias("n0"),
@@ -520,8 +524,15 @@ def q_auc_nchars_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_pos"),
         F.col("n0").alias("n_neg"),
         (
-            (F.col("s2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
-            / (2 * F.col("n1") * F.col("n0")).cast("double")
+            (
+                F.col("s2")
+                - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+            ).cast("double")
+            / (
+                F.lit(2).cast("decimal(38,0)")
+                * F.col("n1")
+                * F.col("n0")
+            ).cast("double")
         ).alias("auc"),
     )
 
@@ -842,7 +853,8 @@ WITH items AS (
 )
 SELECT part_a, part_b, support,
        fa.item_n AS n_a, fb.item_n AS n_b,
-       CAST((support * nb.n_baskets * 1000) // (fa.item_n * fb.item_n)
+       CAST((CAST(support AS HUGEINT) * nb.n_baskets * 1000)
+            // (CAST(fa.item_n AS HUGEINT) * fb.item_n)
             AS BIGINT) AS lift_x1000
 FROM pairs
 JOIN freq fa ON fa.l_partkey = part_a
@@ -899,9 +911,13 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support",
             "n_a",
             "n_b",
-            F.expr(f"(support * {n_baskets}L * 1000) div (n_a * n_b)")
-            .cast("long")
-            .alias("lift_x1000"),
+            # DECIMAL(38,0) products: BIGINT would wrap silently at
+            # n_baskets ~1e8 with ANSI off, and wrap differently from
+            # the oracle (ADVICE r5) — decimal keeps both engines exact
+            F.expr(
+                f"CAST(floor((CAST(support AS DECIMAL(38,0)) * {n_baskets}"
+                f" * 1000) / (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)"
+            ).alias("lift_x1000"),
         )
         .orderBy(F.desc("lift_x1000"), "part_a", "part_b")
     )

@@ -101,19 +101,26 @@ def latest_txn_version(table: str, app: str) -> int | None:
     """Highest streaming-transaction version committed for ``app``
     (the idempotence watermark of :func:`write_versioned`'s
     ``txn_app``/``txn_version`` contract), or None if the app has never
-    committed.  One pass over the log — same O(versions) cost as the
-    snapshot replay every reader already pays."""
+    committed.
+
+    Scans the log NEWEST-FIRST and stops at the first commit carrying
+    the app's txn: per-app txn versions are monotone (the
+    :func:`write_versioned` skip-below-watermark contract), so the
+    most recent occurrence IS the watermark.  For a long-lived stream
+    checking before each micro-batch, the previous batch's commit sits
+    at (or near) the head — O(1)-ish per batch instead of the full
+    replay's O(total commits), which compounds to O(n²) over a
+    stream's lifetime (ADVICE r5).  A full O(versions) scan happens
+    only when the app has never committed."""
     head = latest_version(table)
     if head is None:
         return None
-    best: int | None = None
-    for v in range(head + 1):
+    for v in range(head, -1, -1):
         for a in _read_actions(table, v):
             txn = a.get("commit", {}).get("txn")
             if txn and txn.get("app") == app:
-                tv = int(txn["version"])
-                best = tv if best is None or tv > best else best
-    return best
+                return int(txn["version"])
+    return None
 
 
 def write_versioned(

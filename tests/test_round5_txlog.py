@@ -388,3 +388,57 @@ def test_streaming_restart_replay_commits_each_batch_once(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     assert _vals(T.read_versioned(spark, out)) == [0, 1, 2, 3, 4]
     assert T.latest_version(out) == head
+
+
+def test_generate_manifest_recurses_hive_partitions(spark, tmp_path):
+    """Plain-parquet fallback walks key=value subdirs (a Hive layout
+    has NO top-level part files) and refuses to write an empty
+    manifest for a dir without data (ADVICE r5)."""
+    from jibaro_spark.catalog import Catalog, TableRef
+    from jibaro_spark.config import Settings
+    from jibaro_spark.maintenance import generate_manifest
+
+    cat = Catalog(Settings(protocol="file", base_path=str(tmp_path)))
+    ref = TableRef("curated", "proj", "db", "hive_tbl")
+    path = cat.path(ref)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "v long, k string"
+    )
+    df.write.partitionBy("k").parquet(path)
+    assert generate_manifest(spark, cat, ref) is True
+    mf = os.path.join(path, "_symlink_format_manifest", "manifest")
+    with open(mf) as f:
+        listed = [line.strip() for line in f if line.strip()]
+    assert listed, "hive-partitioned table must yield a non-empty manifest"
+    assert all("/k=" in p for p in listed)
+    # empty dir → False, no manifest written
+    ref2 = TableRef("curated", "proj", "db", "empty_tbl")
+    os.makedirs(cat.path(ref2), exist_ok=True)
+    assert generate_manifest(spark, cat, ref2) is False
+    assert not os.path.exists(
+        os.path.join(cat.path(ref2), "_symlink_format_manifest", "manifest")
+    )
+
+
+def test_idempotent_batch_writer_distinct_txn_apps(spark, tmp_path):
+    """Two writers appending to ONE table with distinct txn_app ids
+    keep independent watermarks — the second writer's batch 0 is NOT
+    skipped by the first writer's committed batch 0 (ADVICE r5)."""
+    from jibaro_spark.io import idempotent_batch_writer
+
+    table = str(tmp_path / "shared_tbl")
+    w1 = idempotent_batch_writer(table, txn_app="ckpt://q1")
+    w2 = idempotent_batch_writer(table, txn_app="ckpt://q2")
+    w1(spark.range(3).select(F.col("id").alias("v")), 0)
+    w2(spark.range(10, 13).select(F.col("id").alias("v")), 0)
+    assert sorted(
+        r["v"] for r in T.read_versioned(spark, table).collect()
+    ) == [0, 1, 2, 10, 11, 12]
+    # replay of either writer's batch 0 is still skipped
+    w2(spark.range(99, 100).select(F.col("id").alias("v")), 0)
+    assert T.read_versioned(spark, table).count() == 6
+    # the table-path default shares one watermark (the documented
+    # single-writer convenience): same batch id would be skipped
+    assert T.latest_txn_version(table, "ckpt://q1") == 0
+    assert T.latest_txn_version(table, "ckpt://q2") == 0
+    assert T.latest_txn_version(table, "nope") is None
