@@ -169,3 +169,239 @@ def q_cms_heavy_hitters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), "term")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence from the corpus token distribution — the
+# data-mixture drift metric (which sources are unrepresentative, and
+# by how many nats) that complements q_mixture_reweight's mass-based
+# weights.  KL(P_s‖Q) = Σ_t p(t|s)·ln(p(t|s)/q(t)); every probability
+# is a ratio of exact integer counts, the per-term contribution is
+# rounded then DECIMAL-summed (order-free — the repo's established
+# float-sum determinism trick), and ln() runs on identical doubles in
+# both engines.  Scale shape: one token-keyed count shuffle, the
+# per-source totals are a broadcast dimension, and the term-frequency
+# join is key-partitioned — no corpus re-scan, no driver collect.
+_R6_TOKS = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+QKL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_R6_TOKS}) AS term FROM documents
+), st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM toks GROUP BY source, term
+), s AS (
+  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY source
+), t AS (
+  SELECT term, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY term
+), g AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM t
+)
+SELECT st.source,
+       MIN(s.n_s) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(st.n_st AS DOUBLE) / s.n_s)
+           * ln((CAST(st.n_st AS DOUBLE) * g.n)
+                / (CAST(s.n_s AS DOUBLE) * t.n_t)), 8)
+         AS DECIMAL(28,10))) AS DOUBLE), 6) AS kl_nats
+FROM st
+JOIN s USING (source)
+JOIN t USING (term)
+CROSS JOIN g
+GROUP BY st.source
+ORDER BY st.source
+"""
+
+
+@declare(
+    "q_source_kl_divergence",
+    oracle=QKL_ORACLE,
+    description="per-source KL divergence from the corpus unigram distribution — data-mixture drift in nats, decimal-summed for cross-engine exactness (LLM mixture [ext])",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_st")
+    )
+    st = st.localCheckpoint(eager=True)  # three aggregates share this pass
+    s = st.groupBy("source").agg(F.sum("n_st").cast("long").alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("n_st").cast("long").alias("n_t"))
+    g = t.agg(F.sum("n_t").cast("long").alias("n"))
+    contrib = F.round(
+        (F.col("n_st").cast("double") / F.col("n_s"))
+        * F.log(
+            (F.col("n_st").cast("double") * F.col("n"))
+            / (F.col("n_s").cast("double") * F.col("n_t"))
+        ),
+        8,
+    ).cast("decimal(28,10)")
+    return (
+        st.join(F.broadcast(s), "source")
+        .join(t, "term")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-window spans: which 8-token windows occur in MORE THAN ONE
+# document — the distributed approximation of suffix-array substring
+# dedup (the "repeated passages" signal used to trim memorized
+# boilerplate from training corpora; cf. dedup literature on exact
+# substring matching at N tokens).  Per doc: window count and how many
+# of its window POSITIONS are corpus-repeated, the per-doc trim
+# budget.  Scale shape: one explode (≈ token count per doc), one
+# window-keyed count, one semi-join back — all linear; production
+# would xxhash64 the window string before the shuffle (Spark hashes
+# the key either way; the plain string keeps the oracle exact).
+QDUPWIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_R6_TOKS} AS tk FROM documents
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8
+              THEN list_transform(range(1, len(tk) - 6),
+                                  i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END AS ws
+  FROM toks
+), w AS (
+  SELECT doc_id, unnest(ws) AS win FROM wins
+), rep AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT wins.doc_id,
+       CAST(len(wins.ws) AS BIGINT) AS n_windows,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows
+FROM wins
+LEFT JOIN (
+  SELECT w.doc_id, COUNT(*) AS n_dup
+  FROM w JOIN rep USING (win) GROUP BY w.doc_id
+) d USING (doc_id)
+ORDER BY wins.doc_id
+"""
+
+
+@declare(
+    "q_dup_window_spans",
+    oracle=QDUPWIN_ORACLE,
+    description="corpus-repeated 8-token windows per document — the distributed substring-dedup (repeated-passage) trim signal (dedup family [ext])",
+)
+def q_dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.size(tokens(F.col("text"))) >= 8,
+            F.expr(
+                "transform(sequence(1, size(split(regexp_replace(trim(lower(text)),"
+                " '\\\\s+', ' '), ' ')) - 7),"
+                " i -> concat_ws(' ', slice(split(regexp_replace(trim(lower(text)),"
+                " '\\\\s+', ' '), ' '), i, 8)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("ws"),
+    )
+    base = base.localCheckpoint(eager=True)  # explode + per-doc sizes share it
+    w = base.select("doc_id", F.explode("ws").alias("win"))
+    rep = (
+        w.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    per_doc = (
+        w.join(rep, "win", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend: per event type, the least-squares slope of value
+# over time — the distributed "is this metric drifting" primitive.
+# Closed form from five sufficient statistics (n, Σx, Σy, Σxy, Σx²),
+# each an EXACT integer: x is epoch-microseconds centered on the
+# group's min (bounds the magnitudes), y is value scaled to integer
+# micro-units.  Spark accumulates in DECIMAL(38,0), DuckDB in HUGEINT
+# — no float sum anywhere until the single final division, so the
+# hash is bit-exact.  One groupBy for the center, one for the sums;
+# the center table is a broadcast dimension.
+QTREND_ORACLE = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) AS x,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), c AS (
+  SELECT event_type, MIN(x) AS x0 FROM v GROUP BY event_type
+), s AS (
+  SELECT v.event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(v.x - c.x0 AS HUGEINT)) AS sx,
+         SUM(CAST(v.y AS HUGEINT)) AS sy,
+         SUM(CAST(v.x - c.x0 AS HUGEINT) * v.y) AS sxy,
+         SUM(CAST(v.x - c.x0 AS HUGEINT) * (v.x - c.x0)) AS sxx
+  FROM v JOIN c USING (event_type)
+  GROUP BY v.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 86400000000, 6)
+         AS slope_per_day
+FROM s ORDER BY event_type
+"""
+
+
+@declare(
+    "q_trend_slopes",
+    oracle=QTREND_ORACLE,
+    description="per-group OLS slope of value over time from exact integer sufficient statistics — drift detection with a bit-exact cross-engine hash (A9/W3 [ext])",
+)
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v = events.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("y"),
+    )
+    c = v.groupBy("event_type").agg(F.min("x").alias("x0"))
+    dec = "decimal(38,0)"
+    xc = (F.col("x") - F.col("x0")).cast(dec)
+    s = (
+        v.join(F.broadcast(c), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(xc).cast(dec).alias("sx"),
+            F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+            F.sum(xc * F.col("y")).cast(dec).alias("sxy"),
+            F.sum(xc * (F.col("x") - F.col("x0"))).cast(dec).alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den * F.lit(86400000000.0), 6).alias("slope_per_day"),
+    ).orderBy("event_type")
