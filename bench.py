@@ -97,6 +97,13 @@ HEADLINE = [
     "q_mad_outliers",
     "q_basket_pairs",
     "q_rfm_segments",
+    # round 6 additions: jar-free protobuf codec chain, keyless
+    # signature-blocked edit-distance join, repeated-window dedup
+    # spans, source-KL mixture drift
+    "q_proto_roundtrip",
+    "q_edit_distance_qgram",
+    "q_dup_window_spans",
+    "q_source_kl_divergence",
 ]
 
 
