@@ -358,13 +358,18 @@ def bfs_distances(
     Returns ``(node, dist)`` with ``dist`` ∈ [0, max_hops]; source
     nodes get 0; unreachable nodes are absent.
 
-    Scale shape: per level, ONE hash join of the current frontier
-    against the node-partitioned edge list plus one anti-join against
-    the visited set — both shuffles keyed on the node id, so at 1000
-    executors each level is a co-partitioned lookup, never a
-    broadcast of the graph.  The frontier (not the visited set) drives
-    the join, so per-level work is proportional to the expanding ring,
-    not to nodes already settled.  Lineage is truncated per level with
+    Scale shape: per level, the frontier ring joins the checkpointed
+    edge list.  While the ring is small (the common case — it is
+    bounded by the ``new.count()`` the level loop already pays for),
+    it is BROADCAST, so the level costs one edge-list SCAN with no
+    edge shuffle and no per-level sort; a ring past the broadcast
+    budget falls back to the co-partitioned hash join (never a
+    broadcast of the graph).  The r6 10× scale smoke caught the old
+    always-shuffle shape at 17× for 10× data — per-level sort-merge
+    re-sorted the full edge list every hop; the broadcast form is a
+    map-side lookup proportional to E per level, with only the
+    matched ring shuffled for the distinct.  The anti-join against
+    visited is ring-sized.  Lineage is truncated per level with
     ``localCheckpoint`` (the iterative-plan rule used by
     :func:`connected_components`); driver actions are one ``count``
     per level — O(diameter), never O(rows).
@@ -380,18 +385,21 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = visited.select("node")
+    n_frontier = visited.count()
+    broadcast_limit = 2_000_000  # ring rows; ~16 MB of longs, executor-safe
     for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
+        if n_frontier <= broadcast_limit:
+            joined = e.join(F.broadcast(frontier), e["src"] == frontier["node"])
+        else:
+            joined = frontier.join(e, frontier["node"] == e["src"])
+        nxt = joined.select(F.col("dst").alias("node")).distinct()
         new = (
             nxt.join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if not new.limit(1).count():
+        n_frontier = new.count()
+        if not n_frontier:
             break
         # visited is a union of per-level checkpoints — lineage depth
         # grows with hops (bounded by max_hops), not with data
