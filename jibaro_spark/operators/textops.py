@@ -341,3 +341,96 @@ def redact_pii(col: Column) -> Column:
     for _, pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def tfidf_cosine_pairs(
+    docs: "DataFrame",
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    min_cosine: float = 0.2,
+    max_df: int | None = None,
+    round_decimals: int = 6,
+) -> "DataFrame":
+    """All-pairs SPARSE cosine similarity over TF-IDF term vectors via
+    a term-at-a-time inverted index ([ext]; the classic all-pairs
+    similarity-search shape, cf. Bayardo et al. WWW'07) — the sparse
+    sibling of the dense-embedding kernels in
+    :mod:`jibaro_spark.operators.similarity`.
+
+    Per-term partial products flow through the term-keyed equi-join
+    (never an all-pairs cross join); candidate volume is Σ_t df_t² —
+    bound it with ``group_col`` (pairs only within a group) and/or
+    ``max_df`` (the standard df-cut: drop ultra-common terms from the
+    vectors; they carry ≈0 TF-IDF weight anyway, and at web scale
+    they are exactly the terms whose df² explodes).
+
+    Cross-engine determinism: weights are ``tf · ln(N/df)`` on exact
+    integer counts, every float SUM (dot products, norms) runs as
+    round-then-DECIMAL — order-free, so a SQL engine replays the
+    cosine bit-for-bit.  Returns ``(id_a, id_b, cosine)`` with
+    ``id_a < id_b`` and ``cosine ≥ min_cosine``.
+    """
+    from pyspark.sql import functions as F
+
+    grp = [group_col] if group_col else []
+    toks = docs.select(
+        F.col(id_col).alias("__id"), *grp, F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    tf = toks.groupBy("__id", *grp, "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__tf")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    w = (
+        tf.join(dfreq, "__t")
+        .withColumn(
+            "__w",
+            F.col("__tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("__df").cast("double")),
+        )
+        .localCheckpoint(eager=True)  # weights feed norms AND the pair join
+    )
+    dec = "decimal(28,10)"
+    norms = w.groupBy("__id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("__w") * F.col("__w"), 8).cast(dec)).cast("double")
+        ).alias("__n")
+    )
+    a = w.select(
+        F.col("__id").alias("id_a"), *[F.col(g).alias(f"__ga_{g}") for g in grp],
+        "__t", F.col("__w").alias("__wa"),
+    )
+    b = w.select(
+        F.col("__id").alias("id_b"), *[F.col(g).alias(f"__gb_{g}") for g in grp],
+        "__t", F.col("__w").alias("__wb"),
+    )
+    cond = [a["__t"] == b["__t"]] + [
+        a[f"__ga_{g}"] == b[f"__gb_{g}"] for g in grp
+    ]
+    dots = (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.round(F.col("__wa") * F.col("__wb"), 8).cast(dec))
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")), round_decimals
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

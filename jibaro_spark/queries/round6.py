@@ -410,3 +410,168 @@ def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / den * F.lit(86400000000.0), 6).alias("slope_per_day"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: facts resolve against the dimension VERSION
+# that was valid at the fact's timestamp — the warehouse temporal join
+# (distinct from the as-of family: the predicate is validity-interval
+# membership, not nearest-neighbor).  Dim = the q_scd2_history build
+# (every 5th order repriced effective 1998-12-01); facts = lineitem
+# rows timestamped by l_shipdate, which straddles the effective date,
+# so both the expired and the fresh versions receive hits.  Scale
+# shape: ONE equi-join on the dimension key carrying the interval
+# predicate as a residual filter — key-partitioned, never a range
+# cross join; versions-per-key is small by construction (SCD2 keeps
+# one open + closed history), so per-key fan-out is bounded.
+QSCD2PIT_ORACLE = """
+WITH dim AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM orders
+), chg AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice,
+         DATE '1998-12-01' AS eff
+  FROM orders WHERE o_orderkey % 5 = 0
+), expired AS (
+  SELECT d.o_orderkey, d.o_totalprice, d.valid_from, c.eff AS valid_to
+  FROM dim d JOIN chg c USING (o_orderkey)
+), untouched AS (
+  SELECT d.* FROM dim d ANTI JOIN chg c USING (o_orderkey)
+), fresh AS (
+  SELECT o_orderkey, o_totalprice, eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM chg
+), scd2 AS (
+  SELECT * FROM expired UNION ALL SELECT * FROM untouched
+  UNION ALL SELECT * FROM fresh
+), fact AS (
+  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS fd, l_quantity
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+), joined AS (
+  SELECT f.l_orderkey, f.fd, f.l_quantity, s.o_totalprice,
+         (s.valid_to IS NULL) AS hit_current
+  FROM fact f JOIN scd2 s
+    ON f.l_orderkey = s.o_orderkey
+   AND f.fd >= s.valid_from
+   AND (s.valid_to IS NULL OR f.fd < s.valid_to)
+)
+SELECT CAST(YEAR(fd) AS INT) AS ship_year, hit_current,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS dim_price_sum
+FROM joined
+GROUP BY ship_year, hit_current
+ORDER BY ship_year, hit_current
+"""
+
+
+@declare(
+    "q_scd2_pointintime",
+    oracle=QSCD2PIT_ORACLE,
+    description="point-in-time fact→SCD2-version join (validity-interval membership on the key partition) — the warehouse temporal join (J4/CDC family [ext])",
+)
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.cdc import scd2_apply
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"]
+    dim = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    chg = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).cast("double").alias("o_totalprice"),
+        F.lit("1998-12-01").cast("date").alias("eff"),
+    )
+    scd2 = scd2_apply(dim, chg, keys=["o_orderkey"], effective_col="eff")
+    fact = t["lineitem"].filter(F.col("l_shipdate").isNotNull()).select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("fd"),
+        "l_quantity",
+    )
+    joined = fact.join(
+        scd2,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("fd") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("fd") < F.col("valid_to"))),
+    ).select(
+        "fd",
+        "o_totalprice",
+        F.col("valid_to").isNull().alias("hit_current"),
+    )
+    return (
+        joined.groupBy(
+            F.year("fd").cast("int").alias("ship_year"), "hit_current"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("dim_price_sum"),
+        )
+        .orderBy("ship_year", "hit_current")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs (operators/textops.tfidf_cosine_pairs):
+# the classic all-pairs similarity-search shape over an inverted
+# index — the SPARSE sibling of the dense embedding kernels, and the
+# IR-side near-duplicate signal (same docs, different vocabulary
+# emphasis).  Pairs are restricted to within-source (the group guard
+# that bounds Σ df² at scale); every float sum is round-then-decimal
+# so the DuckDB replay is exact.
+QSPARSE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_R6_TOKS}) AS t FROM documents
+), tf AS (
+  SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, source, t
+), dfq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.source, tf.t,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+  FROM tf JOIN dfq df USING (t) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w * w, 8) AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(ROUND(a.w * b.w, 8) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.source = b.source
+       AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.id_a, d.id_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+@declare(
+    "q_sparse_cosine_pairs",
+    oracle=QSPARSE_ORACLE,
+    description="all-pairs sparse TF-IDF cosine via term-at-a-time inverted index, within-source groups (J5/IR [ext])",
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tfidf_cosine_pairs
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        tfidf_cosine_pairs(
+            docs, "doc_id", "text", group_col="source", min_cosine=0.35
+        )
+        .orderBy("id_a", "id_b")
+    )
