@@ -104,6 +104,14 @@ HEADLINE = [
     "q_edit_distance_qgram",
     "q_dup_window_spans",
     "q_source_kl_divergence",
+    # round 6b additions: grid-blocked geo radius join, applyInPandas
+    # sequential recurrence (CUSUM), within-basket item-item cosine,
+    # distributed-prefix-max skyline, multi-touch attribution join
+    "q_geo_radius_nearest",
+    "q_cusum_changepoints",
+    "q_item_item_cosine",
+    "q_skyline_parts",
+    "q_attribution_credit",
 ]
 
 

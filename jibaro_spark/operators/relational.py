@@ -437,6 +437,79 @@ def partitioned_prefix_sum(
     )
 
 
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    chunk_width: float = 1024.0,
+) -> DataFrame:
+    """Pareto frontier (skyline) over two dimensions — distributed.
+
+    Keeps rows NOT dominated, where row *b* dominates *a* iff
+    ``b.min_col <  a.min_col and b.max_col >= a.max_col`` or
+    ``b.min_col <= a.min_col and b.max_col >  a.max_col``
+    (weakly better in both, strictly better in one).  Exact duplicates
+    on both dimensions survive together.
+
+    The naive formulation is a NOT EXISTS self-join — quadratic.  In
+    2-D the frontier test reduces to prefix maxima along the sorted
+    ``minimize_col`` axis: *a* is dominated iff
+    ``max(max_col | min_col < a) >= a.max_col`` or
+    ``max(max_col | min_col <= a) > a.max_col``.  Those prefix maxima
+    are computed with the same two-level chunked scheme as
+    :func:`partitioned_prefix_sum` — per-value group max, chunked
+    local cummax (parallel windows), one tiny window over #chunks
+    chunk totals, broadcast offsets — so there is NO single-partition
+    window over the data and the whole operator is two shuffles
+    (group-by value, join back) at any scale.
+    """
+    vmax = df.groupBy(F.col(minimize_col).alias("__v")).agg(
+        F.max(maximize_col).alias("__vmax")
+    )
+    d = vmax.withColumn("__chunk", F.floor(F.col("__v") / F.lit(float(chunk_width))))
+    w_le = (
+        Window.partitionBy("__chunk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lt = (
+        Window.partitionBy("__chunk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    w_off = Window.orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        d.groupBy("__chunk")
+        .agg(F.max("__vmax").alias("__chunk_max"))
+        .withColumn("__offset", F.max("__chunk_max").over(w_off))
+        .select("__chunk", "__offset")
+    )
+    # one row per distinct minimize value: since the chunk key is a
+    # function of __v, every strictly-lower value lives in this chunk's
+    # strict ROWS-predecessors or in a strictly-lower chunk (__offset)
+    pref = (
+        d.withColumn("__le_loc", F.max("__vmax").over(w_le))
+        .withColumn("__lt_loc", F.max("__vmax").over(w_lt))
+        .join(F.broadcast(offsets), "__chunk")
+        .select(
+            F.col("__v"),
+            F.greatest(F.col("__le_loc"), F.coalesce(F.col("__offset"), F.col("__le_loc"))).alias("__m_le"),
+            F.when(
+                F.col("__lt_loc").isNull(), F.col("__offset")
+            ).otherwise(
+                F.greatest(F.col("__lt_loc"), F.coalesce(F.col("__offset"), F.col("__lt_loc")))
+            ).alias("__m_lt"),
+        )
+    )
+    joined = df.join(pref, df[minimize_col] == pref["__v"])
+    dominated = (
+        F.col("__m_lt").isNotNull() & (F.col("__m_lt") >= F.col(maximize_col))
+    ) | (F.col("__m_le") > F.col(maximize_col))
+    return joined.filter(~dominated).drop("__v", "__m_le", "__m_lt")
+
+
 def zorder_value(*cols: Column, bits: int = 16) -> Column:
     """Morton / Z-order interleave of N non-negative integer keys: bit
     ``i`` of column ``j`` lands at z-bit ``i·N + j`` (for two columns

@@ -1,0 +1,127 @@
+"""Order-dependent per-key recurrences that plain window functions
+cannot express.
+
+A running sum, rank, or lag is windowable because it is an associative
+fold; a *clamped* running sum is not — the clamp makes each step a
+non-associative function of the previous STATE, so Spark's window
+machinery (which needs a mergeable partial aggregate) cannot compute
+it.  The classic instances:
+
+- inventory / account balances with a floor and a capacity cap
+  (``S_t = min(cap, max(floor, S_{t-1} + x_t))``),
+- CUSUM change-point statistics (``S_t = max(0, S_{t-1} + x_t - k)`` —
+  the floor-only special case),
+- energy/battery charge models, rate-limiter token buckets.
+
+Scale contract (100 TB): the recurrence is inherently sequential *per
+key* but embarrassingly parallel *across keys* — exactly the shape
+``applyInPandas`` distributes: one shuffle on the key columns, then an
+Arrow-batched O(rows-in-group) scan with O(1) state per group and no
+driver involvement.  The per-group scan is a Python loop over numpy
+arrays, which is fine up to ~10^6 rows per key; a key that is hot
+enough to exceed that is a time-series you should chunk by coarse time
+range first (each chunk seeds the next — the same carry pattern
+``incremental_agg_apply`` uses).
+
+Reference parity: the reference engine has no sequential-state
+operator at all — its CDC pipeline recomputes balances from scratch
+(``/root/reference/jibaro/datalake/cdc.py:203-269`` re-merges full
+snapshots); this module is part of the [ext] surface that closes that
+gap Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def clamped_cumsum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    floor: float | None = None,
+    cap: float | None = None,
+    out_col: str = "clamped_sum",
+    init: float = 0.0,
+) -> DataFrame:
+    """Per-key running sum of ``value_col`` clamped to [floor, cap].
+
+    ``S_0 = init``; ``S_t = min(cap, max(floor, S_{t-1} + x_t))`` in
+    iteration order ``order_by`` within each group of ``keys``.  With
+    ``floor=None``/``cap=None`` the bound is open on that side (and
+    with both open this degenerates to the windowable plain cumsum —
+    prefer ``F.sum().over(...)`` there; this operator exists for the
+    clamped case).
+
+    The output keeps every input column and appends ``out_col``
+    (double).  Rows within a group are emitted in ``order_by`` order;
+    global output order is undefined (as for any shuffle).
+    """
+    if not keys:
+        raise ValueError("clamped_cumsum requires at least one key column")
+    if not order_by:
+        raise ValueError("clamped_cumsum requires an explicit order_by")
+    if floor is not None and cap is not None and floor > cap:
+        raise ValueError(f"floor {floor} > cap {cap}")
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    order_cols = list(order_by)
+    lo = float("-inf") if floor is None else float(floor)
+    hi = float("inf") if cap is None else float(cap)
+    init_f = float(init)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64", na_value=0.0)
+        out = xs.copy()
+        s = init_f
+        for i in range(len(xs)):
+            s = s + xs[i]
+            if s < lo:
+                s = lo
+            elif s > hi:
+                s = hi
+            out[i] = s
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, out_schema)
+
+
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    target: str | float,
+    slack: float = 0.0,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided (positive-drift) CUSUM statistic per key.
+
+    ``S_t = max(0, S_{t-1} + (x_t - target - slack))`` — the Page
+    (1954) cumulative-sum control chart.  ``target`` may be a column
+    name (per-row reference level, e.g. a per-key mean joined on
+    beforehand) or a constant.  Change-point alarms are then a plain
+    filter ``S_t > h`` downstream.
+
+    Implemented as ``clamped_cumsum(floor=0)`` over the deviation
+    column, so it inherits the same shuffle-once / scan-once scale
+    shape.
+    """
+    dev = "__cusum_dev"
+    t_expr = F.col(target) if isinstance(target, str) else F.lit(float(target))
+    with_dev = df.withColumn(dev, F.col(value_col) - t_expr - F.lit(float(slack)))
+    out = clamped_cumsum(
+        with_dev, keys, order_by, dev, floor=0.0, cap=None, out_col=out_col
+    )
+    return out.drop(dev)
