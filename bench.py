@@ -112,6 +112,11 @@ HEADLINE = [
     "q_item_item_cosine",
     "q_skyline_parts",
     "q_attribution_credit",
+    # round 6c additions: distributed Bellman-Ford, monotonic-stack
+    # sequencing, rank-mapped quantile normalization
+    "q_sssp_nations",
+    "q_days_to_higher",
+    "q_quantile_normalize",
 ]
 
 

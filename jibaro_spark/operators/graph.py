@@ -406,3 +406,89 @@ def bfs_distances(
         visited = visited.union(new)
         frontier = new.select("node")
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iters: int = 30,
+    directed: bool = False,
+) -> DataFrame:
+    """Single-source(-set) shortest paths with non-negative edge
+    weights — frontier-based distributed Bellman-Ford ([ext]; the
+    weighted generalization of :func:`bfs_distances`).
+
+    Returns ``(node, dist)`` with the minimum total weight from any
+    source node; sources get 0; unreachable nodes are absent.
+
+    Scale shape: identical to BFS — per round, only the IMPROVED
+    label set (the frontier) joins the checkpointed edge list
+    (broadcast while small, co-partitioned hash join past the
+    budget), candidate labels are min-combined per node (map-side
+    partial min), and the improvement test is a frontier-sized join
+    against the current label table.  Rounds are bounded by the
+    weighted diameter in hops (≤ ``max_iters``); each costs one
+    bounded ``count``.  Unlike BFS, a node can re-enter the frontier
+    when a cheaper path arrives later — classic label-correcting
+    behavior; with non-negative weights the label table converges in
+    at most |V| rounds.  Negative weights are rejected (label
+    correction would still converge only without negative cycles,
+    and the oracle's bounded walk enumeration could not be trusted).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.filter(F.col("w") < 0).limit(1).count():
+        raise ValueError("sssp requires non-negative edge weights")
+    dist = (
+        sources.toDF("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    n_frontier = dist.count()
+    broadcast_limit = 2_000_000
+    for _ in range(max_iters):
+        if not n_frontier:
+            break
+        if n_frontier <= broadcast_limit:
+            joined = e.join(F.broadcast(frontier), e["src"] == frontier["node"])
+        else:
+            joined = frontier.join(e, frontier["node"] == e["src"])
+        cand = (
+            joined.select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd")
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = improved.count()
+        if not n_frontier:
+            break
+        dist = (
+            dist.join(improved.select(F.col("node").alias("__in")), dist["node"] == F.col("__in"), "left_anti")
+            .union(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

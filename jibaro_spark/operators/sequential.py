@@ -125,3 +125,51 @@ def cusum(
         with_dev, keys, order_by, dev, floor=0.0, cap=None, out_col=out_col
     )
     return out.drop(dev)
+
+
+def next_greater(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "next_ord",
+) -> DataFrame:
+    """For each row, the ``order_col`` value of the FIRST subsequent
+    row (within the same key group) whose ``value_col`` is strictly
+    greater — the classic monotonic-stack problem ("days until a
+    higher price"), null when no later row is greater.
+
+    Not windowable: "first later row satisfying a value predicate" is
+    neither a fixed frame nor an associative aggregate.  The monotonic
+    stack makes it O(rows-in-group): scan in order keeping a
+    decreasing stack of unresolved rows; each new value pops (and
+    resolves) every stacked row it exceeds.  Same distribution
+    contract as :func:`clamped_cumsum` — one shuffle on the keys,
+    Arrow-batched per-group scan, state bounded by the longest
+    decreasing run.
+    """
+    if not keys:
+        raise ValueError("next_greater requires at least one key column")
+
+    ord_field = df.schema[order_col]
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, ord_field.dataType, True)]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy()
+        ords = pdf[order_col].to_numpy()
+        out = [None] * len(pdf)
+        stack: list[int] = []  # indices with strictly decreasing values
+        for i in range(len(pdf)):
+            while stack and vals[stack[-1]] < vals[i]:
+                out[stack.pop()] = ords[i]
+            stack.append(i)
+        # object dtype: Arrow converts python scalars + None to the
+        # declared output type (an int64/timestamp Series cannot hold
+        # the Nones directly)
+        pdf[out_col] = pd.Series(out, dtype="object", index=pdf.index)
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, out_schema)

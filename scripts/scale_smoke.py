@@ -4,7 +4,8 @@ queries at sf0.1 and at the sharded ~sf1 synth fixture
 scales linearly by construction, so ratio >> R signals a super-linear
 operator (candidate blowup, driver accumulation, partition cliff).
 
-Usage: python scripts/scale_smoke.py [runs_per_point]
+Usage: python scripts/scale_smoke.py [runs_per_point] [query ...]
+(query names override the default heavy-headline list)
 Prints one JSON line per query and a summary.
 """
 import json
@@ -34,6 +35,8 @@ QUERIES = [
     "q_minhash_near_dup",
     "q_pagerank_nations",
 ]
+if len(sys.argv) > 2:
+    QUERIES = sys.argv[2:]
 
 spark = (
     SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")

@@ -188,3 +188,104 @@ def test_skyline_single_point_and_all_dominated(spark):
     assert sorted(
         r["id"] for r in skyline_2d(df2, "price", "size", chunk_width=1.0).collect()
     ) == [1]
+
+
+# ---------------------------------------------------------------------------
+# graph.sssp
+
+
+def _dijkstra(edges, src):
+    import heapq
+
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_matches_dijkstra(spark):
+    from jibaro_spark.operators.graph import sssp
+
+    rng = random.Random(5)
+    nodes = list(range(30))
+    edges = [
+        (a, b, rng.randint(1, 9))
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.15
+    ]
+    edf = spark.createDataFrame(edges, "src int, dst int, weight int")
+    sdf = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["dist"] for r in sssp(edf, sdf).collect()}
+    assert got == _dijkstra(edges, 0)
+
+
+def test_sssp_label_correction_beats_greedy_hops(spark):
+    from jibaro_spark.operators.graph import sssp
+
+    # 0-1 (10) vs 0-2-1 (2+2): the 2-hop path must override the
+    # earlier 1-hop label — the label-correcting case BFS cannot do
+    edf = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 2), (2, 1, 2)], "src int, dst int, weight int"
+    )
+    sdf = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["dist"] for r in sssp(edf, sdf).collect()}
+    assert got == {0: 0, 1: 4, 2: 2}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    from jibaro_spark.operators.graph import sssp
+
+    edf = spark.createDataFrame([(0, 1, -1)], "src int, dst int, weight int")
+    sdf = spark.createDataFrame([(0,)], "node int")
+    with pytest.raises(ValueError):
+        sssp(edf, sdf)
+
+
+# ---------------------------------------------------------------------------
+# sequential.next_greater
+
+
+def test_next_greater_matches_quadratic_definition(spark):
+    from jibaro_spark.operators.sequential import next_greater
+
+    rng = random.Random(13)
+    rows = [(k, i, rng.randint(0, 10)) for k in ("a", "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, i int, v int")
+    got = {
+        (r["k"], r["i"]): r["next_ord"]
+        for r in next_greater(df, keys=["k"], order_col="i", value_col="v").collect()
+    }
+    for k, i, v in rows:
+        later = [j for kk, j, w in rows if kk == k and j > i and w > v]
+        want = min(later) if later else None
+        assert got[(k, i)] == want, (k, i, v)
+
+
+def test_next_greater_monotone_runs(spark):
+    from jibaro_spark.operators.sequential import next_greater
+
+    # strictly decreasing: nothing resolves; strictly increasing:
+    # every row resolves to its immediate successor
+    dec = spark.createDataFrame(
+        [("d", i, 10 - i) for i in range(5)], "k string, i int, v int"
+    )
+    inc = spark.createDataFrame(
+        [("u", i, i) for i in range(5)], "k string, i int, v int"
+    )
+    gd = {r["i"]: r["next_ord"] for r in next_greater(dec, ["k"], "i", "v").collect()}
+    gi = {r["i"]: r["next_ord"] for r in next_greater(inc, ["k"], "i", "v").collect()}
+    assert gd == {i: None for i in range(5)}
+    assert gi == {0: 1, 1: 2, 2: 3, 3: 4, 4: None}
