@@ -117,6 +117,10 @@ HEADLINE = [
     "q_sssp_nations",
     "q_days_to_higher",
     "q_quantile_normalize",
+    # round 6d additions: bloom-prefiltered semi join, in-engine
+    # Naive Bayes train+score
+    "q_bloom_semi_join",
+    "q_naive_bayes_lang",
 ]
 
 

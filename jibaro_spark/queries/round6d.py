@@ -1,0 +1,500 @@
+"""Round-6d declared queries: bloom-filter join pruning, survival
+analysis, multinomial Naive Bayes, hash-derived random projection,
+and KMV set-operation estimates.
+
+Determinism contract (same as round6b/6c): every float output is a
+single deterministic double expression over exact integer/decimal
+inputs, an ordered array fold shared bit-for-bit by both engines
+(``list_dot_product`` ≡ ``F.aggregate`` index-order sum), or a
+``round(ln(x), 10) → decimal`` accumulation; hash-derived choices
+(projection signs, KMV ranks) use md5 hex, identical in any engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.operators import similarity as sim
+from jibaro_spark.queries.registry import declare, load_tables
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloom.bloom_join).  The bloom
+# is a prefilter — the final answer is an EXACT semi/anti join, so
+# the oracle is the plain relational form.  What the driver hash
+# verifies is that the pruning path changes nothing; what the unit
+# tests verify is that it actually prunes (operators/bloom docstring
+# has the 100 TB story: filter build is a bounded bit_or collect,
+# probe is a map-only codegen predicate).
+QBLOOMSEMI_ORACLE = """
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_size >= 48)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@declare(
+    "q_bloom_semi_join",
+    oracle=QBLOOMSEMI_ORACLE,
+    description="semi join with distributed bloom prefilter on the fact side — exact result, pruned shuffle (bloom join [ext])",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.bloom import bloom_join
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    dim = t["part"].filter(F.col("p_size") >= 48)
+    kept = bloom_join(t["lineitem"], dim, "l_partkey", "p_partkey", "left_semi")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QBLOOMANTI_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 9000)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@declare(
+    "q_bloom_anti_join",
+    oracle=QBLOOMANTI_ORACLE,
+    description="anti join where bloom-negative fact rows short-circuit past the shuffle — exact result (bloom join [ext])",
+)
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.bloom import bloom_join
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    vip = t["customer"].filter(F.col("c_acctbal") >= 9000)
+    kept = bloom_join(t["orders"], vip, "o_custkey", "c_custkey", "left_anti")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator over user event lifetimes ([ext]
+# survival analysis — churn curves at 100 TB are one narrow per-user
+# aggregate + one duration-sized windowed pass; the duration table is
+# at most max-lifetime-days rows, so the window stage is trivially
+# small no matter the event volume).  A user's lifetime is
+# last-minus-first event day; users still active within 7 days of the
+# global max timestamp are right-CENSORED (they leave the at-risk set
+# without counting as a death).  S(t) = Π_{s≤t} (1 − d_s/n_s),
+# computed as exp of a decimal-accumulated Σ round(ln(·),10) so both
+# engines sum identical addends in any order.
+QKM_ORACLE = """
+WITH spans AS (
+  SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(ts) AS tmax FROM events
+), lifetimes AS (
+  SELECT date_diff('day', CAST(s.mn AS DATE), CAST(s.mx AS DATE)) AS dur,
+         CASE WHEN s.mx >= h.tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS censored
+  FROM spans s, horizon h
+), by_dur AS (
+  SELECT dur,
+         SUM(1 - censored) AS d,
+         COUNT(*) AS leaving
+  FROM lifetimes GROUP BY dur
+), at_risk AS (
+  SELECT dur, d,
+         SUM(leaving) OVER (ORDER BY dur DESC) AS n
+  FROM by_dur
+), terms AS (
+  SELECT dur, d, n,
+         CASE WHEN d < n
+              THEN CAST(ROUND(LN(1 - d / CAST(n AS DOUBLE)), 10) AS DECIMAL(18,12))
+              ELSE NULL END AS term
+  FROM at_risk WHERE d > 0
+)
+SELECT dur, d, n,
+       CASE WHEN d = n THEN 0.0
+            ELSE ROUND(EXP(CAST(SUM(term) OVER (ORDER BY dur) AS DOUBLE)), 6)
+       END AS survival
+FROM terms
+ORDER BY dur
+"""
+
+
+@declare(
+    "q_kaplan_meier",
+    oracle=QKM_ORACLE,
+    description="Kaplan-Meier survival curve over user lifetimes with right-censoring — product-limit via decimal-accumulated log sum (survival [ext])",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    horizon = events.agg(F.max("ts").alias("tmax"))
+    lifetimes = spans.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("mx"), F.to_date("mn")).alias("dur"),
+        F.when(
+            F.col("mx") >= F.col("tmax") - F.expr("INTERVAL 7 DAYS"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    by_dur = lifetimes.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    # The windowed passes below run over the duration-distinct table
+    # (≤ max-lifetime-days rows) — a deliberate single-partition stage
+    # over a cardinality-bounded input, not over the event volume.
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = by_dur.withColumn("n", F.sum("leaving").over(w_desc)).filter(
+        F.col("d") > 0
+    )
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.round(F.log(F.lit(1) - F.col("d") / F.col("n").cast("double")), 10).cast(
+            "decimal(18,12)"
+        ),
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        at_risk.withColumn("term", term)
+        .withColumn(
+            "survival",
+            F.when(F.col("d") == F.col("n"), F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("term").over(w_asc).cast("double")), 6)
+            ),
+        )
+        .select("dur", "d", "n", "survival")
+        .orderBy("dur")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier, trained AND scored
+# in-engine ([ext] — the canonical cheap quality/routing model over a
+# 100 TB corpus: training is one token-count aggregation, scoring is
+# a map-side join against a broadcast (lang × vocab)-bounded model).
+# Train on doc_id % 5 != 0, score the held-out fifth; Laplace-1
+# smoothing over the train vocab; OOV test tokens are dropped (the
+# standard multinomial NB contract).  Scores accumulate as
+# tf × round(ln(p),10)::decimal — exact, order-independent — and the
+# argmax tie-breaks on lang, so predictions are engine-invariant.
+QNB_ORACLE = """
+WITH train AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+), test AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0
+), train_tok AS (
+  SELECT t.lang, u.tok
+  FROM train t, UNNEST(regexp_split_to_array(LOWER(t.text), '[^a-z]+')) AS u(tok)
+  WHERE u.tok <> ''
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM train_tok GROUP BY lang, tok
+), totals AS (
+  SELECT lang, SUM(cnt) AS total FROM counts GROUP BY lang
+), vocab AS (
+  SELECT DISTINCT tok FROM train_tok
+), vsize AS (
+  SELECT COUNT(*) AS v FROM vocab
+), priors AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(nd AS DOUBLE) / SUM(nd) OVER ()), 10)
+              AS DECIMAL(18,12)) AS prior
+  FROM (SELECT lang, COUNT(*) AS nd FROM train GROUP BY lang)
+), test_tok AS (
+  SELECT s.doc_id, s.lang AS true_lang, u.tok, COUNT(*) AS tf
+  FROM test s, UNNEST(regexp_split_to_array(LOWER(s.text), '[^a-z]+')) AS u(tok)
+  WHERE u.tok <> '' AND u.tok IN (SELECT tok FROM vocab)
+  GROUP BY s.doc_id, s.lang, u.tok
+), scored AS (
+  SELECT tt.doc_id, tt.true_lang, tl.lang,
+         CAST(pr.prior + SUM(CAST(tt.tf *
+           CAST(ROUND(LN(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                          / (tl.total + vs.v)), 10) AS DECIMAL(18,12))
+           AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS score
+  FROM test_tok tt
+  CROSS JOIN totals tl
+  CROSS JOIN vsize vs
+  JOIN priors pr ON pr.lang = tl.lang
+  LEFT JOIN counts c ON c.lang = tl.lang AND c.tok = tt.tok
+  GROUP BY tt.doc_id, tt.true_lang, tl.lang, pr.prior
+), predicted AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scored
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n
+FROM predicted WHERE rn = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@declare(
+    "q_naive_bayes_lang",
+    oracle=QNB_ORACLE,
+    description="multinomial Naive Bayes trained and scored in-engine — confusion matrix on the held-out fifth (training [ext])",
+)
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    train_tok = train.select("lang", F.explode(toks).alias("tok"))
+    counts = train_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    vocab = train_tok.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumn(
+            "prior",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.sum("nd").over(Window.partitionBy())),
+                10,
+            ).cast("decimal(18,12)"),
+        )
+        .select("lang", "prior")
+    )
+
+    test_tok = (
+        test.select("doc_id", F.col("lang").alias("true_lang"), F.explode(toks).alias("tok"))
+        .join(vocab, "tok", "left_semi")
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Model side is (lang × vocab)-bounded — broadcast it so scoring
+    # is a map-side join over the (doc, token) stream, no fact shuffle.
+    model = F.broadcast(
+        totals.join(priors, "lang").crossJoin(vsize)
+    )
+    counts_r = counts.select(
+        F.col("lang").alias("c_lang"), F.col("tok").alias("c_tok"), "cnt"
+    )
+    joined = (
+        test_tok.crossJoin(model)
+        .join(
+            F.broadcast(counts_r),
+            (F.col("c_lang") == F.col("lang")) & (F.col("c_tok") == F.col("tok")),
+            "left",
+        )
+        .withColumn(
+            "logp",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total") + F.col("v"))
+                ),
+                10,
+            ).cast("decimal(18,12)"),
+        )
+    )
+    scored = joined.groupBy("doc_id", "true_lang", "lang", "prior").agg(
+        (
+            F.col("prior")
+            + F.sum((F.col("tf") * F.col("logp")).cast("decimal(28,12)"))
+        )
+        .cast("decimal(28,12)")
+        .alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection, matrix-free ([ext]): the
+# ±1 projection matrix is DERIVED from md5(i|j) instead of stored or
+# broadcast, so projecting 100 TB of vectors is a pure map with zero
+# driver state and the identical matrix on every engine.  Each output
+# coordinate is an ordered array fold (F.aggregate ≡ list_dot_product,
+# exact ±x addends in index order), scaled by 1/√k.
+_RP_K = 8
+
+QRP_ORACLE = f"""
+SELECT e.vec_id, g.j,
+       ROUND(list_dot_product(
+               CAST(e.embedding AS DOUBLE[]),
+               list_transform(generate_series(1, len(e.embedding)),
+                 i -> CASE WHEN substr(md5(CAST(i AS VARCHAR) || '|' ||
+                                        CAST(g.j AS VARCHAR)), 1, 1) <= '7'
+                           THEN 1.0 ELSE -1.0 END))
+             / SQRT({_RP_K}.0), 6) AS y
+FROM embeddings e
+CROSS JOIN generate_series(0, {_RP_K - 1}) AS g(j)
+ORDER BY e.vec_id, g.j
+"""
+
+
+@declare(
+    "q_random_projection",
+    oracle=QRP_ORACLE,
+    description=f"matrix-free JL random projection to {_RP_K} dims — md5-derived ±1 signs, ordered-fold dot (similarity [ext])",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    rows = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("j"),
+    )
+    signs = F.transform(
+        F.sequence(F.lit(1), F.size("v")),
+        lambda i: F.when(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit("|"), F.col("j").cast("string"))),
+                1,
+                1,
+            )
+            <= "7",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return rows.select(
+        "vec_id",
+        "j",
+        F.round(sim.dot(F.col("v"), signs) / math.sqrt(_RP_K), 6).alias("y"),
+    ).orderBy("vec_id", "j")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set-operation estimates between two source
+# slices' token vocabularies ([ext] sketches): union cardinality from
+# the kth-smallest md5 rank, Jaccard from the overlap fraction WITHIN
+# the union's bottom-k (the standard KMV coincidence estimator), and
+# the intersection as their product.  Exact truths ride along so the
+# row is self-calibrating.  At 100 TB each side is one distinct pass;
+# the sketch comparison itself is k rows.
+_KMV_K = 128
+
+QKMVOV_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(SUBSTR(d.source, 4) AS INT) AS src_num, u.tok
+  FROM documents d,
+       UNNEST(regexp_split_to_array(LOWER(d.text), '[^a-z]+')) AS u(tok)
+  WHERE u.tok <> ''
+), side_a AS (
+  SELECT DISTINCT tok FROM toks WHERE src_num < 10
+), side_b AS (
+  SELECT DISTINCT tok FROM toks WHERE src_num >= 5
+), u AS (
+  SELECT COALESCE(a.tok, b.tok) AS tok,
+         CASE WHEN a.tok IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN b.tok IS NOT NULL THEN 1 ELSE 0 END AS in_b,
+         md5(COALESCE(a.tok, b.tok)) AS h
+  FROM side_a a FULL OUTER JOIN side_b b ON a.tok = b.tok
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u
+), kth AS (
+  SELECT h AS kth_hash,
+         (list_sum(list_transform(range(1, 14),
+             i -> CAST(strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS DOUBLE)
+                  * (16.0 ^ (13 - i)))) + 0.5) / (16.0 ^ 13) AS uval
+  FROM ranked WHERE rn = {_KMV_K}
+), bottomk AS (
+  SELECT SUM(in_a * in_b) AS both_cnt FROM ranked WHERE rn <= {_KMV_K}
+)
+SELECT k.kth_hash,
+       ROUND(({_KMV_K} - 1) / k.uval, 6) AS est_union,
+       ROUND(CAST(b.both_cnt AS DOUBLE) / {_KMV_K}, 6) AS jaccard_est,
+       ROUND(CAST(b.both_cnt AS DOUBLE) / {_KMV_K} * (({_KMV_K} - 1) / k.uval), 6)
+         AS est_intersection,
+       (SELECT COUNT(*) FROM u) AS true_union,
+       (SELECT COUNT(*) FROM u WHERE in_a = 1 AND in_b = 1) AS true_intersection
+FROM kth k, bottomk b
+"""
+
+
+@declare(
+    "q_kmv_overlap",
+    oracle=QKMVOV_ORACLE,
+    description="KMV bottom-k union/Jaccard/intersection estimates between two source vocabularies, exact truths alongside (sketches [ext])",
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    base = docs.select(
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+        F.explode(toks).alias("tok"),
+    )
+    side_a = base.filter(F.col("src_num") < 10).select("tok").distinct()
+    side_b = base.filter(F.col("src_num") >= 5).select("tok").distinct()
+    u = (
+        side_a.withColumn("__a", F.lit(1))
+        .join(side_b.withColumn("__b", F.lit(1)), "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce(F.col("__a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("__b"), F.lit(0)).alias("in_b"),
+            F.md5("tok").alias("h"),
+        )
+    )
+    ranked = u.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    kth = ranked.filter(F.col("rn") == _KMV_K).select(
+        F.col("h").alias("kth_hash"),
+        (
+            (F.conv(F.substring("h", 1, 13), 16, 10).cast("double") + F.lit(0.5))
+            / F.lit(float(16**13))
+        ).alias("uval"),
+    )
+    bottomk = ranked.filter(F.col("rn") <= _KMV_K).agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both_cnt")
+    )
+    truths = u.agg(
+        F.count(F.lit(1)).alias("true_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("true_intersection"),
+    )
+    return (
+        kth.crossJoin(bottomk)
+        .crossJoin(truths)
+        .select(
+            "kth_hash",
+            F.round(F.lit(float(_KMV_K - 1)) / F.col("uval"), 6).alias("est_union"),
+            F.round(F.col("both_cnt").cast("double") / _KMV_K, 6).alias("jaccard_est"),
+            F.round(
+                F.col("both_cnt").cast("double")
+                / _KMV_K
+                * (F.lit(float(_KMV_K - 1)) / F.col("uval")),
+                6,
+            ).alias("est_intersection"),
+            "true_union",
+            "true_intersection",
+        )
+    )
