@@ -100,25 +100,33 @@ def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Kaplan-Meier survival estimator over user event lifetimes ([ext]
-# survival analysis — churn curves at 100 TB are one narrow per-user
-# aggregate + one duration-sized windowed pass; the duration table is
-# at most max-lifetime-days rows, so the window stage is trivially
-# small no matter the event volume).  A user's lifetime is
-# last-minus-first event day; users still active within 7 days of the
-# global max timestamp are right-CENSORED (they leave the at-risk set
-# without counting as a death).  S(t) = Π_{s≤t} (1 − d_s/n_s),
+# Kaplan-Meier survival estimator for time-to-first-purchase ([ext]
+# survival analysis — time-to-event curves at 100 TB are one narrow
+# per-user aggregate + one duration-bounded windowed pass; the
+# duration table is at most observation-window-hours rows, so the
+# window stage is trivially small no matter the event volume).  The
+# clock starts at a user's first event; the "death" is their first
+# purchase; users whose first purchase falls outside the 72-hour
+# observation window (or who never purchase) are administratively
+# right-CENSORED at 72 h — they leave the at-risk set without
+# counting as an event, which is exactly what KM exists to handle.
+# Durations are integer hours via µs integer division (``unix_micros``
+# ≡ ``epoch_us``, no doubles).  S(t) = Π_{s≤t} (1 − d_s/n_s),
 # computed as exp of a decimal-accumulated Σ round(ln(·),10) so both
 # engines sum identical addends in any order.
 QKM_ORACLE = """
-WITH spans AS (
-  SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM events GROUP BY user_id
-), horizon AS (
-  SELECT MAX(ts) AS tmax FROM events
+WITH first_ev AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+), first_buy AS (
+  SELECT user_id, MIN(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), raw AS (
+  SELECT (epoch_us(p.tp) - epoch_us(f.t0)) // 3600000000 AS h
+  FROM first_ev f LEFT JOIN first_buy p USING (user_id)
 ), lifetimes AS (
-  SELECT date_diff('day', CAST(s.mn AS DATE), CAST(s.mx AS DATE)) AS dur,
-         CASE WHEN s.mx >= h.tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS censored
-  FROM spans s, horizon h
+  SELECT CASE WHEN h IS NOT NULL AND h <= 72 THEN h ELSE 72 END AS dur,
+         CASE WHEN h IS NOT NULL AND h <= 72 THEN 0 ELSE 1 END AS censored
+  FROM raw
 ), by_dur AS (
   SELECT dur,
          SUM(1 - censored) AS d,
@@ -147,21 +155,21 @@ ORDER BY dur
 @declare(
     "q_kaplan_meier",
     oracle=QKM_ORACLE,
-    description="Kaplan-Meier survival curve over user lifetimes with right-censoring — product-limit via decimal-accumulated log sum (survival [ext])",
+    description="Kaplan-Meier time-to-first-purchase curve with administrative right-censoring at 72h — product-limit via decimal-accumulated log sum (survival [ext])",
 )
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
-    spans = events.groupBy("user_id").agg(
-        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    first_ev = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    first_buy = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
     )
-    horizon = events.agg(F.max("ts").alias("tmax"))
-    lifetimes = spans.crossJoin(F.broadcast(horizon)).select(
-        F.datediff(F.to_date("mx"), F.to_date("mn")).alias("dur"),
-        F.when(
-            F.col("mx") >= F.col("tmax") - F.expr("INTERVAL 7 DAYS"), F.lit(1)
-        )
-        .otherwise(F.lit(0))
-        .alias("censored"),
+    h = F.expr("(unix_micros(tp) - unix_micros(t0)) div 3600000000")
+    observed = h.isNotNull() & (h <= 72)
+    lifetimes = first_ev.join(first_buy, "user_id", "left").select(
+        F.when(observed, h).otherwise(F.lit(72)).alias("dur"),
+        F.when(observed, F.lit(0)).otherwise(F.lit(1)).alias("censored"),
     )
     by_dur = lifetimes.groupBy("dur").agg(
         F.sum(F.lit(1) - F.col("censored")).alias("d"),
@@ -395,96 +403,110 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# KMV (k-minimum-values) set-operation estimates between two source
-# slices' token vocabularies ([ext] sketches): union cardinality from
-# the kth-smallest md5 rank, Jaccard from the overlap fraction WITHIN
-# the union's bottom-k (the standard KMV coincidence estimator), and
-# the intersection as their product.  Exact truths ride along so the
-# row is self-calibrating.  At 100 TB each side is one distinct pass;
-# the sketch comparison itself is k rows.
+# KMV (k-minimum-values) set-operation estimates between customer-key
+# sets ([ext] sketches): for each order priority p, compare p's
+# distinct customer set against '5-LOW's — union cardinality from the
+# kth-smallest md5 rank, Jaccard from the overlap fraction WITHIN the
+# union's bottom-k (the standard KMV coincidence estimator), and the
+# intersection as their product.  Exact truths ride along so each row
+# is self-calibrating.  At 100 TB each side is one distinct pass and
+# the per-group sketch comparison is k rows; the per-group ranking
+# window partitions on the group key, never a global sort.
 _KMV_K = 128
 
 QKMVOV_ORACLE = f"""
-WITH toks AS (
-  SELECT CAST(SUBSTR(d.source, 4) AS INT) AS src_num, u.tok
-  FROM documents d,
-       UNNEST(regexp_split_to_array(LOWER(d.text), '[^a-z]+')) AS u(tok)
-  WHERE u.tok <> ''
-), side_a AS (
-  SELECT DISTINCT tok FROM toks WHERE src_num < 10
+WITH pk AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS key FROM orders
 ), side_b AS (
-  SELECT DISTINCT tok FROM toks WHERE src_num >= 5
-), u AS (
-  SELECT COALESCE(a.tok, b.tok) AS tok,
-         CASE WHEN a.tok IS NOT NULL THEN 1 ELSE 0 END AS in_a,
-         CASE WHEN b.tok IS NOT NULL THEN 1 ELSE 0 END AS in_b,
-         md5(COALESCE(a.tok, b.tok)) AS h
-  FROM side_a a FULL OUTER JOIN side_b b ON a.tok = b.tok
+  SELECT key FROM pk WHERE grp = '5-LOW'
+), flagged AS (
+  SELECT grp, key, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT grp, key, 1 AS in_a, 0 AS in_b FROM pk WHERE grp <> '5-LOW'
+    UNION ALL
+    SELECT g.grp, b.key, 0 AS in_a, 1 AS in_b
+    FROM (SELECT DISTINCT grp FROM pk WHERE grp <> '5-LOW') g, side_b b
+  ) GROUP BY grp, key
 ), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u
+  SELECT *, md5(CAST(key AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY md5(CAST(key AS VARCHAR))) AS rn
+  FROM flagged
 ), kth AS (
-  SELECT h AS kth_hash,
+  SELECT grp, h AS kth_hash,
          (list_sum(list_transform(range(1, 14),
              i -> CAST(strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS DOUBLE)
                   * (16.0 ^ (13 - i)))) + 0.5) / (16.0 ^ 13) AS uval
   FROM ranked WHERE rn = {_KMV_K}
 ), bottomk AS (
-  SELECT SUM(in_a * in_b) AS both_cnt FROM ranked WHERE rn <= {_KMV_K}
+  SELECT grp, SUM(in_a * in_b) AS both_cnt
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY grp
+), truths AS (
+  SELECT grp, COUNT(*) AS true_union,
+         SUM(in_a * in_b) AS true_intersection
+  FROM flagged GROUP BY grp
 )
-SELECT k.kth_hash,
+SELECT k.grp, k.kth_hash,
        ROUND(({_KMV_K} - 1) / k.uval, 6) AS est_union,
        ROUND(CAST(b.both_cnt AS DOUBLE) / {_KMV_K}, 6) AS jaccard_est,
        ROUND(CAST(b.both_cnt AS DOUBLE) / {_KMV_K} * (({_KMV_K} - 1) / k.uval), 6)
          AS est_intersection,
-       (SELECT COUNT(*) FROM u) AS true_union,
-       (SELECT COUNT(*) FROM u WHERE in_a = 1 AND in_b = 1) AS true_intersection
-FROM kth k, bottomk b
+       t.true_union, t.true_intersection
+FROM kth k
+JOIN bottomk b ON b.grp = k.grp
+JOIN truths t ON t.grp = k.grp
+ORDER BY k.grp
 """
 
 
 @declare(
     "q_kmv_overlap",
     oracle=QKMVOV_ORACLE,
-    description="KMV bottom-k union/Jaccard/intersection estimates between two source vocabularies, exact truths alongside (sketches [ext])",
+    description="per-priority KMV bottom-k union/Jaccard/intersection estimates vs the 5-LOW customer set, exact truths alongside (sketches [ext])",
 )
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    base = docs.select(
-        F.substring("source", 4, 10).cast("int").alias("src_num"),
-        F.explode(toks).alias("tok"),
-    )
-    side_a = base.filter(F.col("src_num") < 10).select("tok").distinct()
-    side_b = base.filter(F.col("src_num") >= 5).select("tok").distinct()
-    u = (
-        side_a.withColumn("__a", F.lit(1))
-        .join(side_b.withColumn("__b", F.lit(1)), "tok", "full_outer")
-        .select(
-            "tok",
-            F.coalesce(F.col("__a"), F.lit(0)).alias("in_a"),
-            F.coalesce(F.col("__b"), F.lit(0)).alias("in_b"),
-            F.md5("tok").alias("h"),
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    pk = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("key")
+    ).distinct()
+    side_a = pk.filter(F.col("grp") != "5-LOW")
+    side_b = pk.filter(F.col("grp") == "5-LOW").select("key")
+    groups = side_a.select("grp").distinct()
+    flagged = (
+        side_a.select("grp", "key", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            groups.crossJoin(side_b).select(
+                "grp", "key", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
         )
+        .groupBy("grp", "key")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    ranked = u.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    ranked = flagged.withColumn("h", F.md5(F.col("key").cast("string"))).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    )
     kth = ranked.filter(F.col("rn") == _KMV_K).select(
+        "grp",
         F.col("h").alias("kth_hash"),
         (
             (F.conv(F.substring("h", 1, 13), 16, 10).cast("double") + F.lit(0.5))
             / F.lit(float(16**13))
         ).alias("uval"),
     )
-    bottomk = ranked.filter(F.col("rn") <= _KMV_K).agg(
-        F.sum(F.col("in_a") * F.col("in_b")).alias("both_cnt")
+    bottomk = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("grp")
+        .agg(F.sum(F.col("in_a") * F.col("in_b")).alias("both_cnt"))
     )
-    truths = u.agg(
+    truths = flagged.groupBy("grp").agg(
         F.count(F.lit(1)).alias("true_union"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("true_intersection"),
     )
     return (
-        kth.crossJoin(bottomk)
-        .crossJoin(truths)
+        kth.join(bottomk, "grp")
+        .join(truths, "grp")
         .select(
+            "grp",
             "kth_hash",
             F.round(F.lit(float(_KMV_K - 1)) / F.col("uval"), 6).alias("est_union"),
             F.round(F.col("both_cnt").cast("double") / _KMV_K, 6).alias("jaccard_est"),
@@ -497,4 +519,5 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_union",
             "true_intersection",
         )
+        .orderBy("grp")
     )
