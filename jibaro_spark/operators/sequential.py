@@ -173,3 +173,74 @@ def next_greater(
         return pdf
 
     return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, out_schema)
+
+
+def holt(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt double exponential smoothing per key (level + trend).
+
+    ``l_1 = x_1``, ``b_1 = 0``; for t ≥ 2::
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    The one-step-ahead forecast is then ``l_t + b_t`` downstream.
+    Like :func:`clamped_cumsum`, the trend term makes each step a
+    non-associative function of the previous state, so no window
+    aggregate can express it; the distribution contract is identical
+    (one shuffle on the keys, Arrow-batched sequential scan per key,
+    O(1) state, parallel across keys).
+
+    Determinism: with α, β exact binary fractions (the defaults are
+    1/2 and 1/4) every step is the same IEEE-double expression in the
+    same order on any engine, so the outputs are bit-identical to a
+    SQL recursive-CTE replay — which is how the oracle checks it.
+    """
+    if not keys:
+        raise ValueError("holt requires at least one key column")
+    if not order_by:
+        raise ValueError("holt requires an explicit order_by")
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError(f"alpha must be in (0,1], beta in [0,1]; got {alpha}, {beta}")
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(level_col, T.DoubleType(), True),
+            T.StructField(trend_col, T.DoubleType(), True),
+        ]
+    )
+    order_cols = list(order_by)
+    a = float(alpha)
+    b_ = float(beta)
+    one_a = 1.0 - a
+    one_b = 1.0 - b_
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        levels = xs.copy()
+        trends = xs.copy()
+        lev, tr = 0.0, 0.0
+        for i in range(len(xs)):
+            if i == 0:
+                lev, tr = xs[0], 0.0
+            else:
+                prev = lev
+                lev = a * xs[i] + one_a * (lev + tr)
+                tr = b_ * (lev - prev) + one_b * tr
+            levels[i] = lev
+            trends[i] = tr
+        pdf[level_col] = levels
+        pdf[trend_col] = trends
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, out_schema)

@@ -521,3 +521,272 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend) of per-type daily
+# event value, via operators/sequential.holt — the two-state sibling
+# of the round-6b CUSUM recurrence (non-windowable: the trend couples
+# each step to the previous STATE, not a frame).  α=1/2, β=1/4 are
+# exact binary fractions, and the daily inputs are decimal-summed
+# doubles, so every recurrence step is the same IEEE expression on
+# both engines and the oracle's RECURSIVE-CTE replay is bit-identical.
+QHOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT etype, date_diff('day', DATE '1970-01-01', d) AS dn, x,
+         ROW_NUMBER() OVER (PARTITION BY etype ORDER BY d) AS rn
+  FROM daily
+), rec AS (
+  SELECT etype, dn, rn, x, CAST(x AS DOUBLE) AS level,
+         CAST(0.0 AS DOUBLE) AS trend FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.etype, s.dn, s.rn, s.x,
+         0.5 * s.x + 0.5 * (r.level + r.trend),
+         0.25 * ((0.5 * s.x + 0.5 * (r.level + r.trend)) - r.level)
+           + 0.75 * r.trend
+  FROM rec r JOIN seq s ON s.etype = r.etype AND s.rn = r.rn + 1
+)
+SELECT etype, CAST(dn AS BIGINT) AS dn, ROUND(x, 6) AS x,
+       ROUND(level, 6) AS level, ROUND(trend, 6) AS trend
+FROM rec ORDER BY etype, dn
+"""
+
+
+@declare(
+    "q_holt_forecast",
+    oracle=QHOLT_ORACLE,
+    description="Holt level+trend smoothing of per-type daily event value — two-state sequential recurrence via applyInPandas, recursive-CTE oracle (timeseries [ext])",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.sequential import holt
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        F.col("event_type").alias("etype"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    out = holt(daily, keys=["etype"], order_by=["dn"], value_col="x",
+               alpha=0.5, beta=0.25)
+    return out.select(
+        "etype",
+        F.col("dn").cast("long").alias("dn"),
+        F.round("x", 6).alias("x"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    ).orderBy("etype", "dn")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of monthly revenue per nation ([ext] robust
+# stats): the median of all pairwise slopes — up to 29.3% of the
+# points can be arbitrarily corrupted before the estimate breaks,
+# unlike the OLS slope (q_trend_slopes) a single bad month can drag
+# anywhere.  Pair generation is per-nation over the MONTH-aggregated
+# series (Θ(months²) per key — months, not rows, is the quadratic
+# variable, so 100 TB of orders still yields 80·79/2 pairs per
+# nation); the median is the LOWER order statistic (rank ⌈m/2⌉), not
+# an interpolated midpoint, so the selected value is an exact double
+# shared by both engines.
+QTHEILSEN_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nkey,
+         CAST(EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), slopes AS (
+  SELECT a.nkey,
+         CAST(b.r - a.r AS DOUBLE) / (b.m - a.m) AS slope
+  FROM rev a JOIN rev b ON b.nkey = a.nkey AND b.m > a.m
+), ranked AS (
+  SELECT nkey, slope,
+         ROW_NUMBER() OVER (PARTITION BY nkey ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY nkey) AS m
+  FROM slopes
+)
+SELECT n.n_name, CAST(r.m AS BIGINT) AS n_pairs,
+       ROUND(r.slope, 6) AS ts_slope
+FROM ranked r JOIN nation n ON n.n_nationkey = r.nkey
+WHERE r.rn = (r.m + 1) // 2
+ORDER BY n.n_name
+"""
+
+
+@declare(
+    "q_theil_sen",
+    oracle=QTHEILSEN_ORACLE,
+    description="Theil-Sen robust slope of monthly revenue per nation — median of pairwise slopes, lower order statistic (robust stats [ext])",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nkey"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    a = rev.select(F.col("nkey"), F.col("m").alias("m1"), F.col("r").alias("r1"))
+    b = rev.select(F.col("nkey"), F.col("m").alias("m2"), F.col("r").alias("r2"))
+    slopes = (
+        a.join(b, "nkey")
+        .filter(F.col("m2") > F.col("m1"))
+        .select(
+            "nkey",
+            (
+                (F.col("r2") - F.col("r1")).cast("double")
+                / (F.col("m2") - F.col("m1"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("nkey").orderBy("slope")
+    wc = Window.partitionBy("nkey")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(wc)
+    )
+    med = ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    return (
+        med.join(F.broadcast(nation), F.col("n_nationkey") == F.col("nkey"))
+        .select(
+            "n_name",
+            F.col("m").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("ts_slope"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test with tie correction ([ext] stats — the
+# nonparametric sibling of q_ab_welch_ttest, and the hypothesis-test
+# form of the midrank machinery q_auc_nchars_en uses for AUC): doc
+# length of 'en' vs each other language.  Rank sums come from grouped
+# value counts (never a per-row rank shuffle): for each distinct
+# value, avg-midrank · count is assembled in DOUBLED integer lanes
+# (2·cum_before + t + 1), DECIMAL(38,0)/HUGEINT so web-scale N can't
+# wrap, and the tie-corrected z is one double expression at the end.
+QMWU_ORACLE = """
+WITH langs AS (
+  SELECT DISTINCT lang AS grp FROM documents WHERE lang <> 'en'
+), s AS (
+  SELECT l.grp, d.n_chars AS v, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d
+  JOIN langs l ON d.lang IN ('en', l.grp)
+), g AS (
+  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(y) AS BIGINT) AS t1
+  FROM s GROUP BY grp, v
+), c AS (
+  SELECT grp, v, t, t1,
+         CAST(COALESCE(SUM(t) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM g
+), agg AS (
+  SELECT grp,
+         SUM(CAST(t1 AS HUGEINT) * (2 * cum_before + t + 1)) AS r1_2,
+         CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t) - SUM(t1) AS BIGINT) AS n2,
+         CAST(SUM(t) AS BIGINT) AS nn,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS tie
+  FROM c GROUP BY grp
+)
+SELECT grp, n1, n2,
+       ROUND(CAST(r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2, 6) AS u1,
+       ROUND(CAST(r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) - CAST(n1 AS HUGEINT) * n2
+                  AS DOUBLE)
+             / (2 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                         * ((nn + 1) - CAST(tie AS DOUBLE)
+                            / (CAST(nn AS DOUBLE) * (nn - 1))))), 6) AS z
+FROM agg
+ORDER BY grp
+"""
+
+
+@declare(
+    "q_mannwhitney_u",
+    oracle=QMWU_ORACLE,
+    description="Mann-Whitney U with tie-corrected z: en doc length vs each other language — grouped-midrank integer lanes, no per-row rank shuffle (stats [ext])",
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    langs = (
+        docs.filter(F.col("lang") != "en").select(F.col("lang").alias("grp")).distinct()
+    )
+    s = (
+        docs.join(
+            F.broadcast(langs),
+            (F.col("lang") == "en") | (F.col("lang") == F.col("grp")),
+        )
+        .select(
+            "grp",
+            F.col("n_chars").alias("v"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = s.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("t1"),
+    )
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    agg = c.groupBy("grp").agg(
+        F.sum(
+            F.col("t1").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_2"),
+        F.sum("t1").cast("long").alias("n1"),
+        (F.sum("t") - F.sum("t1")).cast("long").alias("n2"),
+        F.sum("t").cast("long").alias("nn"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie"),
+    )
+    u1 = (
+        F.col("r1_2") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    ).cast("double") / 2
+    z_num = (
+        F.col("r1_2")
+        - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+        - F.col("n1").cast("decimal(38,0)") * F.col("n2")
+    ).cast("double")
+    z_den = 2 * F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie").cast("double")
+            / (F.col("nn").cast("double") * (F.col("nn") - 1))
+        )
+    )
+    return agg.select(
+        "grp",
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round(z_num / z_den, 6).alias("z"),
+    ).orderBy("grp")
