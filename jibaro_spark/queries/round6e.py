@@ -1,0 +1,279 @@
+"""Round-6e declared queries: approximate query processing via
+Horvitz-Thompson hash sampling, weighted sampling without replacement
+(Efraimidis-Spirakis), gaps-and-islands streaks, and windowed
+count-distinct (a native-Spark-gap workaround).
+
+Determinism contract as round6b-6d: md5-derived uniforms (identical
+hex in any engine), decimal accumulation for every sum, ln rounded to
+10 decimals before use, explicit tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.queries.registry import declare, load_tables
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation from a deterministic hash sample ([ext]
+# approximate query processing): a 1/16 sample selected by the first
+# md5 nibble of the row key — at 100 TB the sample is a map-only
+# filter (no shuffle, no stored sample table, any engine reproduces
+# the same sample), and each group estimate is sum(x)/p with p=1/16.
+# Exact totals ride along so every row exposes its own relative
+# error; the sums are decimal-exact so the only float is the final
+# error ratio.
+QHT_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+         CASE WHEN substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+              THEN 1 ELSE 0 END AS picked
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(SUM(picked) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN picked = 1 THEN x END) * 16 AS DECIMAL(28,2))
+         AS est_revenue,
+       CAST(SUM(x) AS DECIMAL(28,2)) AS exact_revenue,
+       ROUND(CAST(SUM(CASE WHEN picked = 1 THEN x END) * 16 - SUM(x) AS DOUBLE)
+             / CAST(SUM(x) AS DOUBLE), 6) AS rel_err
+FROM s
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "q_sampled_sum_ht",
+    oracle=QHT_ORACLE,
+    description="Horvitz-Thompson revenue estimate from a deterministic 1/16 md5 hash sample, exact totals + relative error alongside (AQP [ext])",
+)
+def q_sampled_sum_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    s = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("x"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            == "0",
+            1,
+        )
+        .otherwise(0)
+        .alias("picked"),
+    )
+    est = F.sum(F.when(F.col("picked") == 1, F.col("x"))) * 16
+    exact = F.sum("x")
+    return (
+        s.groupBy("l_returnflag")
+        .agg(
+            F.sum("picked").cast("long").alias("n_sampled"),
+            est.cast("decimal(28,2)").alias("est_revenue"),
+            exact.cast("decimal(28,2)").alias("exact_revenue"),
+            F.round(
+                (est - exact).cast("double") / exact.cast("double"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+# exponential keys ([ext]): item i survives with probability
+# proportional to weight w_i by ranking on ln(u_i)/w_i (equivalent to
+# u^(1/w)) and keeping the top-k per group.  One map to compute keys,
+# one per-group top-k window — no rejection loop, no driver RNG; the
+# md5-derived u makes the "random" draw engine-reproducible, which is
+# what lets the oracle replay it exactly (ln rounded to 10 before the
+# division, the repo's standard cross-engine ln contract).
+_WS_K = 5
+
+QWS_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS w,
+         ROUND(LN((list_sum(list_transform(range(1, 14),
+             i -> CAST(strpos('0123456789abcdef',
+                        substring(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1
+                        AS DOUBLE) * (16.0 ^ (13 - i)))) + 0.5) / (16.0 ^ 13)), 10)
+           AS lnu
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, o_orderkey, w,
+         lnu / w AS es_key,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lnu / w DESC, o_orderkey) AS rn
+  FROM keyed
+)
+SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+       ROUND(es_key * 1000000, 6) AS es_key_ppm
+FROM ranked WHERE rn <= {_WS_K}
+ORDER BY o_orderpriority, rn
+"""
+
+
+@declare(
+    "q_weighted_sample",
+    oracle=QWS_ORACLE,
+    description=f"top-{_WS_K} weighted sample without replacement per priority — Efraimidis-Spirakis ln(u)/w keys from md5 uniforms (sampling [ext])",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**13)
+    )
+    keyed = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("w"),
+        F.round(F.log(u), 10).alias("lnu"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        (F.col("lnu") / F.col("w")).desc(), F.col("o_orderkey")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K)
+        .select(
+            "o_orderpriority",
+            F.col("rn").cast("long"),
+            "o_orderkey",
+            F.round(F.col("lnu") / F.col("w") * 1000000, 6).alias("es_key_ppm"),
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user — the classic
+# gaps-and-islands pattern ([ext]): distinct active days, island id =
+# day − row_number() (constant within a consecutive run), one count
+# per island, argmax per user with earliest-start tie-break.  Two
+# key-partitioned windows over per-user-day rows; at 100 TB the
+# distinct (user, day) reduction happens first, so the window input
+# is bounded by users × days, not event volume.
+QSTREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+  FROM events
+), islands AS (
+  SELECT user_id, dn,
+         dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS isl
+  FROM days
+), runs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak,
+         CAST(MIN(dn) AS BIGINT) AS streak_start
+  FROM islands GROUP BY user_id, isl
+), best AS (
+  SELECT user_id, streak, streak_start,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak DESC, streak_start) AS rn
+  FROM runs
+)
+SELECT user_id, streak, streak_start FROM best WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@declare(
+    "q_longest_streak",
+    oracle=QSTREAK_ORACLE,
+    description="longest consecutive-day activity streak per user — gaps-and-islands via day − row_number island ids (sequence [ext])",
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    days = events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+    ).distinct()
+    wi = Window.partitionBy("user_id").orderBy("dn")
+    islands = days.withColumn("isl", F.col("dn") - F.row_number().over(wi))
+    runs = islands.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("streak"),
+        F.min("dn").cast("long").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak").desc(), F.col("streak_start")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak", "streak_start")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct count over a trailing time window — a native-Spark GAP
+# ([ext]): Spark windows reject COUNT(DISTINCT), so the engine
+# composes size(array_distinct(collect_list)) over a RANGE frame —
+# correct because the trailing 7-day frame bounds the collected list
+# (≤ days × types), so state per row is small by construction.  The
+# oracle uses DuckDB's native windowed COUNT(DISTINCT), making this a
+# cross-engine check of the workaround's semantics.  Input is first
+# reduced to distinct (user, day, type) triples, so the window input
+# is user-day-bounded, not event-volume-bounded.
+QWCD_ORACLE = """
+WITH triples AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         event_type
+  FROM events
+), counted AS (
+  SELECT user_id, dn,
+         COUNT(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY dn
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_types_7d
+  FROM triples
+)
+SELECT DISTINCT user_id, CAST(dn AS BIGINT) AS dn,
+       CAST(n_types_7d AS BIGINT) AS n_types_7d
+FROM counted
+ORDER BY user_id, dn
+"""
+
+
+@declare(
+    "q_window_count_distinct",
+    oracle=QWCD_ORACLE,
+    description="distinct event types per user over a trailing 7-day RANGE frame — size∘array_distinct∘collect_list workaround for Spark's missing windowed COUNT(DISTINCT) (window [ext])",
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    triples = events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+        "event_type",
+    ).distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("dn")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        triples.withColumn(
+            "n_types_7d",
+            F.size(F.array_distinct(F.collect_list("event_type").over(w))).cast(
+                "long"
+            ),
+        )
+        .select("user_id", F.col("dn").cast("long"), "n_types_7d")
+        .distinct()
+        .orderBy("user_id", "dn")
+    )
