@@ -639,13 +639,18 @@ def edit_distance_join(
     else:
         on = ["__blk"] if block_on is not None else []
         joined = l.join(r, on) if on else l.crossJoin(r)
-    d = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    # Thresholded levenshtein (Spark 3.5+): banded DP that early-exits
+    # once the distance provably exceeds max_dist — O(k·n) per pair
+    # instead of O(n·m), which is where candidate-heavy workloads
+    # (near-identical strings) spend their verify time.  Returns -1
+    # above the threshold, exact distance within it.
+    d = F.levenshtein(F.col("__ls"), F.col("__rs"), max_dist)
     out = (
         joined.filter(
             F.abs(F.length("__ls") - F.length("__rs")) <= max_dist
         )
         .withColumn("dist", d)
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
     keep = [left_id, right_id, "dist"] + (
         ["__blk"] if block_on is not None else []

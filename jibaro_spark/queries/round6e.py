@@ -277,3 +277,131 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id", "dn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement score per user ([ext] — the
+# standard recency-weighted activity metric: one map to stamp each
+# event with exp(−λ·age_days), one key-partitioned sum).  Each decay
+# term is rounded to 10 decimals and multiplied by the decimal-
+# rounded value, so the per-user sum is an order-independent decimal
+# total both engines reproduce bit-for-bit; λ = 0.05/day.
+QDECAY_ORACLE = """
+WITH horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+), terms AS (
+  SELECT e.user_id,
+         CAST(CAST(ROUND(e.value, 6) AS DECIMAL(19,6))
+              * CAST(ROUND(EXP(-0.05 * date_diff('day', CAST(e.ts AS DATE),
+                                                 h.dmax)), 10)
+                     AS DECIMAL(11,10))
+              AS DECIMAL(28,16)) AS t
+  FROM events e, horizon h
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(t) AS DECIMAL(30,16)) AS decay_score
+FROM terms
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@declare(
+    "q_decay_score",
+    oracle=QDECAY_ORACLE,
+    description="exponential time-decay engagement score per user (λ=0.05/day) — recency weighting as one map + keyed sum, decimal-exact (scoring [ext])",
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    horizon = events.agg(F.max(F.to_date("ts")).alias("dmax"))
+    terms = events.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        (
+            F.round("value", 6).cast("decimal(19,6)")
+            * F.round(
+                F.exp(-0.05 * F.datediff(F.col("dmax"), F.to_date("ts"))), 10
+            ).cast("decimal(11,10)")
+        )
+        .cast("decimal(28,16)")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("t").cast("decimal(30,16)").alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles of customer spend ([ext] concentration
+# analysis, the curve behind q_source_gini's scalar): customers
+# ranked into spend deciles (ntile with a pinned custkey tie-break),
+# each decile's revenue share and the cumulative share.  The decile
+# assignment is rank-arithmetic (no SinglePartition NTILE — same
+# ceil-division contract as q_quantile_normalize); shares are exact
+# decimal ratios cast to double at the end.
+QLORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT s,
+         ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM spend
+), deciled AS (
+  SELECT s, ((rn * 10 - 1) // n) + 1 AS decile FROM ranked
+), agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(s) AS DECIMAL(28,2)) AS revenue
+  FROM deciled GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue,
+       ROUND(CAST(SUM(revenue) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS cum_share
+FROM agg
+ORDER BY decile
+"""
+
+
+@declare(
+    "q_lorenz_deciles",
+    oracle=QLORENZ_ORACLE,
+    description="Lorenz curve: spend-decile revenue shares with cumulative concentration — rank-arithmetic deciling, no SinglePartition NTILE (stats [ext])",
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("s")
+    )
+    wr = Window.orderBy("s", "o_custkey")
+    wn = Window.partitionBy()
+    ranked = spend.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    deciled = ranked.withColumn(
+        "decile", ((F.col("rn") * 10 - 1) / F.col("n")).cast("long") + 1
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("s").cast("decimal(28,2)").alias("revenue"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy()
+    return agg.select(
+        F.col("decile").cast("long"),
+        "n_customers",
+        "revenue",
+        F.round(
+            F.sum("revenue").over(wcum).cast("double")
+            / F.sum("revenue").over(wtot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("decile")
