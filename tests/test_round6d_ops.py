@@ -87,3 +87,26 @@ def test_string_keys_and_bad_args(spark):
         bloom_build(df, "k", num_bits=100)
     with pytest.raises(ValueError, match="left_semi or left_anti"):
         bloom_join(df, df, "k", "k", "inner")
+
+
+from hypothesis import given, settings, strategies as st
+
+FEW = settings(max_examples=5, deadline=None, derandomize=True)
+
+
+@FEW
+@given(
+    keys=st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                  min_size=1, max_size=200, unique=True),
+    num_bits=st.sampled_from([256, 1024, 1 << 14]),
+    num_hashes=st.integers(min_value=1, max_value=8),
+)
+def test_property_no_false_negatives(spark, keys, num_bits, num_hashes):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    words = bloom_build(df, "k", num_bits=num_bits, num_hashes=num_hashes)
+    survivors = df.filter(
+        bloom_might_contain(
+            F.col("k"), words, num_bits=num_bits, num_hashes=num_hashes
+        )
+    ).count()
+    assert survivors == len(keys)
