@@ -72,6 +72,11 @@ def bloom_build(
     """
     if num_bits % 64 != 0 or num_bits <= 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    if num_hashes < 1:
+        # 0 would silently build an empty filter whose probes are all
+        # negative — a false-negative generator, the one failure mode
+        # the operator's exactness contract cannot tolerate.
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     key = F.col(key_col)
     pos_rows = keys.select(
         F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("__pos")
@@ -105,6 +110,8 @@ def bloom_might_contain(
     whole-stage codegen, usable directly in ``.filter`` or a join
     condition.  No false negatives; false-positive rate is the
     standard ``(1 - e^{-kn/m})^k``."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     # Explicit array<bigint>: a small/empty filter would otherwise
     # infer array<int> and getbit would range-check pos against 32.
     arr = F.lit(words).cast("array<bigint>")
@@ -138,10 +145,18 @@ def bloom_join(
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     words = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
     probe = bloom_might_contain(
         F.col(fact_key), words, num_bits=num_bits, num_hashes=num_hashes
     )
+    # distinct() before the semi/anti join: the join result is
+    # insensitive to right-side duplicates, but the map-side partial
+    # dedup shrinks the join shuffle when dim keys repeat, and the
+    # aggregate's hash partitioning on the key is REUSED by the join
+    # (EnsureRequirements adds no second exchange) — so this costs no
+    # extra shuffle and never moves more than the distinct key set.
     dim_keys = dim.select(dim_key).distinct()
     on = fact[fact_key] == dim_keys[dim_key]
     if how == "left_semi":

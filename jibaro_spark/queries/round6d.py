@@ -299,7 +299,7 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     test_tok = (
         test.select("doc_id", F.col("lang").alias("true_lang"), F.explode(toks).alias("tok"))
-        .join(vocab, "tok", "left_semi")
+        .join(F.broadcast(vocab), "tok", "left_semi")
         .groupBy("doc_id", "true_lang", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -482,7 +482,19 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "key")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    ranked = flagged.withColumn("h", F.md5(F.col("key").cast("string"))).withColumn(
+    # Two-phase bottom-k: ranking every union member per grp would
+    # sort the whole key set in #groups tasks.  Keep the k smallest
+    # hashes per (grp, 64-way salt) first — survivors ≤ 64·k per grp
+    # — then rank survivors per grp; the global bottom-k is inside
+    # every salt's local bottom-k union, so the sketch is identical.
+    hashed = flagged.withColumn("h", F.md5(F.col("key").cast("string")))
+    w_local = Window.partitionBy("grp", "__salt").orderBy("h")
+    pruned = (
+        hashed.withColumn("__salt", F.pmod(F.xxhash64("key"), F.lit(64)))
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= _KMV_K)
+    )
+    ranked = pruned.withColumn(
         "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
     )
     kth = ranked.filter(F.col("rn") == _KMV_K).select(
@@ -660,9 +672,8 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.count(F.lit(1)).over(wc)
     )
     med = ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
-    nation = load_tables(spark, sf_dir, "nation")["nation"]
     return (
-        med.join(F.broadcast(nation), F.col("n_nationkey") == F.col("nkey"))
+        med.join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("nkey"))
         .select(
             "n_name",
             F.col("m").cast("long").alias("n_pairs"),

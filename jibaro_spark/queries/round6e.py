@@ -143,11 +143,24 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("w"),
         F.round(F.log(u), 10).alias("lnu"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        (F.col("lnu") / F.col("w")).desc(), F.col("o_orderkey")
+    # Two-phase top-k: with only ~5 group values, a single per-group
+    # rank window would sort the whole orders table in 5 tasks.  Prune
+    # per (group, 64-way salt) first — survivors are ≤ 64·k per group
+    # — then rank the survivor set per group.  Identical result (the
+    # global top-k is inside every salt's local top-k union).
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(64)).alias("__salt")
+    es_desc = (F.col("lnu") / F.col("w")).desc()
+    w_local = Window.partitionBy("o_orderpriority", "__salt").orderBy(
+        es_desc, F.col("o_orderkey")
     )
+    survivors = (
+        keyed.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= _WS_K)
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(es_desc, F.col("o_orderkey"))
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _WS_K)
         .select(
             "o_orderpriority",
@@ -375,18 +388,21 @@ ORDER BY decile
     description="Lorenz curve: spend-decile revenue shares with cumulative concentration — rank-arithmetic deciling, no SinglePartition NTILE (stats [ext])",
 )
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import global_row_number
+
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("s")
     )
-    wr = Window.orderBy("s", "o_custkey")
-    wn = Window.partitionBy()
-    ranked = spend.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    deciled = ranked.withColumn(
+    # Rank the CUSTOMER-sized spend table distributed (range shuffle +
+    # partition-id windows) — a bare Window.orderBy here would funnel
+    # every customer into one task; the only single-partition stage
+    # left below is the 10-row decile rollup window.
+    ranked = global_row_number(spend, ["s", "o_custkey"], out_col="rn")
+    n = spend.agg(F.count(F.lit(1)).alias("n"))
+    deciled = ranked.crossJoin(F.broadcast(n)).withColumn(
         "decile", ((F.col("rn") * 10 - 1) / F.col("n")).cast("long") + 1
     )
     agg = deciled.groupBy("decile").agg(

@@ -97,3 +97,28 @@ def test_naive_bayes_model_join_is_broadcast(spark):
     plan = _executed_plan(q_naive_bayes_lang(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lorenz_rank_is_range_partitioned(spark):
+    """The customer-spend ranking must take the global_row_number shape
+    (range repartition + partition-id windows); the only remaining
+    single-partition stage is the 10-row decile rollup window."""
+    from jibaro_spark.queries.round6e import q_lorenz_deciles
+
+    plan = _executed_plan(q_lorenz_deciles(spark, SF))
+    # the range exchange itself is hidden behind global_row_number's
+    # localCheckpoint; the visible signature of the distributed rank
+    # is its partition-id-keyed row_number window
+    assert "__gpid" in plan, plan
+    assert "row_number" in plan, plan
+
+
+def test_kmv_overlap_rank_is_salt_pruned(spark):
+    """The per-group rank must be preceded by the (grp, salt) local
+    bottom-k prune — the plan carries both window passes and never a
+    partitionless window."""
+    from jibaro_spark.queries.round6d import q_kmv_overlap
+
+    plan = _executed_plan(q_kmv_overlap(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") >= 2, plan
