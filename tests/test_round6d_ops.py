@@ -110,3 +110,38 @@ def test_property_no_false_negatives(spark, keys, num_bits, num_hashes):
         )
     ).count()
     assert survivors == len(keys)
+
+
+def test_bloom_probe_composes_with_structured_streaming(spark, tmp_path):
+    """The probe predicate is a plain codegen Column, so it drops into
+    a readStream filter unchanged — the stream-static prefilter shape
+    (static dim builds the filter once; every micro-batch prunes
+    map-only, no stream-static join state)."""
+    src = str(tmp_path / "li_stream")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    li.repartition(2).write.mode("overwrite").parquet(src)
+
+    part = spark.read.parquet(f"{SF}/part.parquet").filter(F.col("p_size") >= 45)
+    words = bloom_build(part, "p_partkey")
+
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .filter(bloom_might_contain(F.col("l_partkey"), words))
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql(
+        "SELECT count(*) AS n FROM bloom_stream"
+    ).collect()[0]["n"]
+    batch = li.filter(bloom_might_contain(F.col("l_partkey"), words)).count()
+    assert streamed == batch
+    assert batch < li.count()  # it pruned
