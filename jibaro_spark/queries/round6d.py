@@ -1,6 +1,7 @@
 """Round-6d declared queries: bloom-filter join pruning, survival
 analysis, multinomial Naive Bayes, hash-derived random projection,
-and KMV set-operation estimates.
+KMV set-operation estimates, Holt double exponential smoothing,
+Theil-Sen robust slope, and the Mann-Whitney U test.
 
 Determinism contract (same as round6b/6c): every float output is a
 single deterministic double expression over exact integer/decimal

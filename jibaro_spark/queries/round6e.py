@@ -1,7 +1,8 @@
 """Round-6e declared queries: approximate query processing via
 Horvitz-Thompson hash sampling, weighted sampling without replacement
-(Efraimidis-Spirakis), gaps-and-islands streaks, and windowed
-count-distinct (a native-Spark-gap workaround).
+(Efraimidis-Spirakis), gaps-and-islands streaks, windowed
+count-distinct (a native-Spark-gap workaround), exponential
+time-decay scoring, and Lorenz concentration deciles.
 
 Determinism contract as round6b-6d: md5-derived uniforms (identical
 hex in any engine), decimal accumulation for every sum, ln rounded to
@@ -421,3 +422,187 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis one-way rank ANOVA across ALL languages ([ext] — the
+# k-group generalization of q_mannwhitney_u, sharing its grouped-
+# midrank machinery: rows collapse to per-(lang, value) counts, the
+# midrank pass runs over DISTINCT values, and the doubled-integer
+# lanes (2·cum_before + t + 1) stay in DECIMAL(38,0)/HUGEINT).  The
+# tie-corrected statistic H/C is one double expression over exact
+# integer sufficient statistics; each output row carries its group's
+# mean rank plus the shared global statistic.
+QKW_ORACLE = """
+WITH g AS (
+  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM documents GROUP BY lang, n_chars
+), vt AS (
+  SELECT v, CAST(SUM(t) AS BIGINT) AS tv FROM g GROUP BY v
+), c AS (
+  SELECT v, tv,
+         CAST(COALESCE(SUM(tv) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM vt
+), per_group AS (
+  SELECT g.lang,
+         CAST(SUM(g.t) AS BIGINT) AS n_g,
+         SUM(CAST(g.t AS HUGEINT) * (2 * c.cum_before + c.tv + 1)) AS r2_g
+  FROM g JOIN c ON c.v = g.v
+  GROUP BY g.lang
+), tot AS (
+  SELECT CAST(SUM(tv) AS BIGINT) AS nn,
+         SUM(CAST(tv AS HUGEINT) * tv * tv - tv) AS tie
+  FROM vt
+), h AS (
+  SELECT (12.0 / (CAST(t.nn AS DOUBLE) * (t.nn + 1)))
+           * SUM((CAST(p.r2_g AS DOUBLE) / 2) * (CAST(p.r2_g AS DOUBLE) / 2)
+                 / p.n_g)
+           - 3.0 * (t.nn + 1) AS h_raw,
+         1.0 - CAST(t.tie AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * t.nn * t.nn - t.nn) AS c_tie
+  FROM per_group p, tot t
+  GROUP BY t.nn, t.tie
+)
+SELECT p.lang, p.n_g,
+       ROUND(CAST(p.r2_g AS DOUBLE) / 2 / p.n_g, 6) AS mean_rank,
+       ROUND(h.h_raw / h.c_tie, 6) AS h_stat
+FROM per_group p, h
+ORDER BY p.lang
+"""
+
+
+@declare(
+    "q_kruskal_wallis",
+    oracle=QKW_ORACLE,
+    description="Kruskal-Wallis tie-corrected H across all languages on doc length — grouped-midrank integer lanes, one double expression (stats [ext])",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    vt = g.groupBy("v").agg(F.sum("t").cast("long").alias("tv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = vt.withColumn(
+        "cum_before", F.coalesce(F.sum("tv").over(w), F.lit(0)).cast("long")
+    )
+    per_group = (
+        g.join(c, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("t").cast("long").alias("n_g"),
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * (2 * F.col("cum_before") + F.col("tv") + 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("r2_g"),
+        )
+    )
+    tot = vt.agg(
+        F.sum("tv").cast("long").alias("nn"),
+        F.sum(
+            F.col("tv").cast("decimal(38,0)") * F.col("tv") * F.col("tv")
+            - F.col("tv")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie"),
+    )
+    withtot = per_group.crossJoin(F.broadcast(tot))
+    h = withtot.groupBy("nn", "tie").agg(
+        (
+            (12.0 / (F.col("nn").cast("double") * (F.col("nn") + 1)))
+            * F.sum(
+                (F.col("r2_g").cast("double") / 2)
+                * (F.col("r2_g").cast("double") / 2)
+                / F.col("n_g")
+            )
+            - 3.0 * (F.col("nn") + 1)
+        ).alias("h_raw"),
+        F.first(
+            1.0
+            - F.col("tie").cast("double")
+            / (F.col("nn").cast("double") * F.col("nn") * F.col("nn") - F.col("nn"))
+        ).alias("c_tie"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(h))
+        .select(
+            "lang",
+            "n_g",
+            F.round(F.col("r2_g").cast("double") / 2 / F.col("n_g"), 6).alias(
+                "mean_rank"
+            ),
+            F.round(F.col("h_raw") / F.col("c_tie"), 6).alias("h_stat"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality indices per event type ([ext] seasonal
+# decomposition's additive-lite form): index = dow mean / overall
+# mean, both assembled as exact-decimal sums divided as doubles.  The
+# weekday is epoch-day mod 7 — a pure integer convention identical in
+# any engine, sidestepping the Sunday-first/Monday-first disagreement
+# between engines' dayofweek functions.  One grouped pass over
+# events; the index table is (#types × 7)-bounded.
+QSEASON_ORACLE = """
+WITH base AS (
+  SELECT event_type AS etype,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+         CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS x
+  FROM events
+), per_dow AS (
+  SELECT etype, dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,6)) AS s
+  FROM base GROUP BY etype, dow
+), per_type AS (
+  SELECT etype, CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS DECIMAL(28,6)) AS s_tot
+  FROM per_dow GROUP BY etype
+)
+SELECT d.etype, CAST(d.dow AS BIGINT) AS dow, d.n,
+       ROUND((CAST(d.s AS DOUBLE) / d.n)
+             / (CAST(t.s_tot AS DOUBLE) / t.n_tot), 6) AS seasonal_index
+FROM per_dow d JOIN per_type t ON t.etype = d.etype
+ORDER BY d.etype, dow
+"""
+
+
+@declare(
+    "q_seasonality_dow",
+    oracle=QSEASON_ORACLE,
+    description="day-of-week seasonal indices per event type — epoch-day mod-7 weekday, decimal-exact mean ratios (timeseries [ext])",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    base = events.select(
+        F.col("event_type").alias("etype"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).alias("dow"),
+        F.round("value", 6).cast("decimal(18,6)").alias("x"),
+    )
+    per_dow = base.groupBy("etype", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(28,6)").alias("s"),
+    )
+    per_type = per_dow.groupBy("etype").agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("decimal(28,6)").alias("s_tot"),
+    )
+    return (
+        per_dow.join(F.broadcast(per_type), "etype")
+        .select(
+            "etype",
+            F.col("dow").cast("long"),
+            "n",
+            F.round(
+                (F.col("s").cast("double") / F.col("n"))
+                / (F.col("s_tot").cast("double") / F.col("n_tot")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("etype", "dow")
+    )
