@@ -1,0 +1,672 @@
+"""Round-7 declared queries: operational data-quality and statistics
+families that round ≤6 had not covered — referential-integrity
+auditing (stale-dimension orphan counts), table-reconciliation
+partition checksums, Pareto concentration cutoffs, weighted medians,
+Wilson score intervals, A/B sample-ratio-mismatch screening,
+inter-order gap analysis, Markov transition entropy, and the
+two-sample Kolmogorov-Smirnov test.
+
+Determinism contract (same as round6b-6e): every money sum is decimal,
+every ranking carries an explicit tie-break, md5 is the only hash
+(identical hex in both engines), and double-typed outputs are either a
+single per-row expression (no sum-order sensitivity) or a sum of
+per-term decimals rounded BEFORE accumulation, then rounded to 6
+decimals for display.
+
+Scale notes (100 TB): every query here is a scan + shuffle-on-group
+plan; none materializes more than (groups × distinct-values-per-group)
+intermediate rows, no driver collect, dimension key-sets are
+broadcast-able.  Reference scope: the reference engine delegates all
+relational semantics to Spark (SURVEY §0); these are [ext] families
+mandated by the LLM-pipeline/ops brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jibaro_spark.queries.registry import declare, load_tables
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit ([ext] data quality).  The fixture is
+# FK-consistent, so the audit runs against a SIMULATED stale dimension
+# snapshot — parent keys divisible by 97 are treated as missing (a
+# deterministic stand-in for "the dim table lagged a day behind the
+# facts").  One row per FK edge: child rows scanned, orphans, ppm.
+# At 100 TB each edge is a left-anti join of the fact against a
+# distinct parent key-set — broadcast when the dim fits, shuffle
+# anti-join otherwise; Catalyst picks per AQE stats.  No collect.
+QFK_ORACLE = """
+WITH
+o_keys AS (SELECT DISTINCT o_orderkey  AS k FROM orders   WHERE o_orderkey  % 97 <> 0),
+p_keys AS (SELECT DISTINCT p_partkey   AS k FROM part     WHERE p_partkey   % 97 <> 0),
+s_keys AS (SELECT DISTINCT s_suppkey   AS k FROM supplier WHERE s_suppkey   % 97 <> 0),
+c_keys AS (SELECT DISTINCT c_custkey   AS k FROM customer WHERE c_custkey   % 97 <> 0),
+n_keys AS (SELECT DISTINCT n_nationkey AS k FROM nation   WHERE n_nationkey % 97 <> 0),
+edges AS (
+  SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_child,
+         SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_orphan
+  FROM lineitem LEFT JOIN o_keys ON l_orderkey = k
+  UNION ALL
+  SELECT 'lineitem->part', COUNT(*),
+         SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem LEFT JOIN p_keys ON l_partkey = k
+  UNION ALL
+  SELECT 'lineitem->supplier', COUNT(*),
+         SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem LEFT JOIN s_keys ON l_suppkey = k
+  UNION ALL
+  SELECT 'orders->customer', COUNT(*),
+         SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+  FROM orders LEFT JOIN c_keys ON o_custkey = k
+  UNION ALL
+  SELECT 'customer->nation', COUNT(*),
+         SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+  FROM customer LEFT JOIN n_keys ON c_nationkey = k
+)
+SELECT fk_edge,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan AS BIGINT) AS n_orphan,
+       ROUND(CAST(n_orphan AS DOUBLE) * 1000000 / CAST(n_child AS DOUBLE), 1)
+         AS orphan_ppm
+FROM edges
+ORDER BY fk_edge
+"""
+
+
+@declare(
+    "q_fk_orphan_audit",
+    oracle=QFK_ORACLE,
+    description="Referential-integrity audit vs a simulated stale dimension snapshot (keys %97 missing): orphan count + ppm per FK edge (DQ [ext])",
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation"
+    )
+
+    def edge(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str,
+             name: str) -> DataFrame:
+        keys = (
+            parent.where(F.col(parent_key) % 97 != 0)
+            .select(F.col(parent_key).alias("__k"))
+            .distinct()
+        )
+        joined = child.join(
+            F.broadcast(keys.withColumn("__hit", F.lit(1))),
+            child[child_key] == F.col("__k"),
+            "left",
+        )
+        return joined.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_orphan"),
+        )
+
+    edges = [
+        edge(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey", "lineitem->orders"),
+        edge(t["lineitem"], "l_partkey", t["part"], "p_partkey", "lineitem->part"),
+        edge(t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey", "lineitem->supplier"),
+        edge(t["orders"], "o_custkey", t["customer"], "c_custkey", "orders->customer"),
+        edge(t["customer"], "c_nationkey", t["nation"], "n_nationkey", "customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.select(
+        "fk_edge",
+        F.col("n_child").cast("bigint").alias("n_child"),
+        F.col("n_orphan").cast("bigint").alias("n_orphan"),
+        F.round(
+            F.col("n_orphan").cast("double") * 1000000 / F.col("n_child").cast("double"),
+            1,
+        ).alias("orphan_ppm"),
+    ).orderBy("fk_edge")
+
+
+# ---------------------------------------------------------------------------
+# Table-reconciliation partition checksums ([ext] ops).  Replica
+# divergence detection without moving data: bucket rows by key, sum a
+# per-row 48-bit md5-derived fingerprint per bucket — two replicas
+# compare 64 (bucket, n_rows, checksum) triples instead of 100 TB of
+# rows, and a mismatched bucket localizes the diff to 1/64 of the
+# table.  The fingerprint uses only integer-typed columns so the
+# string rendering is engine-independent; the sum is DECIMAL(38,0) so
+# it never wraps (2^48 × 10^12 rows < 10^27).  Map-side partial
+# aggregation makes this one scan + a 64-row shuffle.
+QCHK_ORACLE = """
+SELECT l_orderkey % 64 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(('0x' || substr(
+              md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                  CAST(l_linenumber AS VARCHAR) || '|' ||
+                  CAST(l_partkey AS VARCHAR) || '|' ||
+                  CAST(l_suppkey AS VARCHAR)), 1, 12)) AS BIGINT)
+            AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@declare(
+    "q_partition_checksums",
+    oracle=QCHK_ORACLE,
+    description="Per-bucket md5 row-fingerprint checksums for cross-replica table reconciliation — 64 rows summarize the whole table (ops [ext])",
+)
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_partkey").cast("string"),
+                    F.col("l_suppkey").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(28,0)")
+    return (
+        li.groupBy((F.col("l_orderkey") % 64).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(fp).cast("decimal(38,0)").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration cutoff ([ext] analytics).  Per nation: how many
+# top customers cover >= 80% of the nation's order revenue.  Revenue
+# is decimal-exact; the 80% threshold compares 5*cum >= 4*total in
+# decimal so no float boundary ambiguity; ranking tie-break is
+# c_custkey.  Plan: one orders scan -> per-customer agg (shuffle on
+# custkey), broadcast customer->nation, then a per-nation window over
+# customer-sized (not order-sized) data.
+QPARETO_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), w AS (
+  SELECT c_nationkey, o_custkey, r,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY r DESC, o_custkey) AS rn,
+         CAST(SUM(r) OVER (PARTITION BY c_nationkey ORDER BY r DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS cum,
+         CAST(SUM(r) OVER (PARTITION BY c_nationkey) AS DECIMAL(28,2)) AS tot,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+  FROM rev
+), cut AS (
+  SELECT c_nationkey, n_cust, tot, MIN(rn) AS n_top80
+  FROM w WHERE cum * 5 >= tot * 4
+  GROUP BY 1, 2, 3
+)
+SELECT n.n_name,
+       CAST(c.n_cust AS BIGINT) AS n_customers,
+       CAST(c.n_top80 AS BIGINT) AS n_top80,
+       ROUND(CAST(c.n_top80 AS DOUBLE) / CAST(c.n_cust AS DOUBLE), 6) AS top80_frac
+FROM cut c JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
+@declare(
+    "q_pareto_cutoff",
+    oracle=QPARETO_ORACLE,
+    description="Per-nation Pareto cutoff: minimum number of top customers covering 80% of revenue, decimal-exact threshold (analytics [ext])",
+)
+def q_pareto_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("r")
+        )
+    )
+    order_w = Window.partitionBy("c_nationkey").orderBy(F.desc("r"), F.asc("o_custkey"))
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nat_w = Window.partitionBy("c_nationkey")
+    w = rev.select(
+        "c_nationkey",
+        F.row_number().over(order_w).alias("rn"),
+        F.sum("r").over(cum_w).cast("decimal(28,2)").alias("cum"),
+        F.sum("r").over(nat_w).cast("decimal(28,2)").alias("tot"),
+        F.count(F.lit(1)).over(nat_w).alias("n_cust"),
+    )
+    cut = (
+        w.where(F.col("cum") * 5 >= F.col("tot") * 4)
+        .groupBy("c_nationkey", "n_cust", "tot")
+        .agg(F.min("rn").alias("n_top80"))
+    )
+    return (
+        cut.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n_cust").cast("bigint").alias("n_customers"),
+            F.col("n_top80").cast("bigint").alias("n_top80"),
+            F.round(
+                F.col("n_top80").cast("double") / F.col("n_cust").cast("double"), 6
+            ).alias("top80_frac"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median ([ext] stats).  Quantity-weighted median of extended
+# price per return flag: the smallest price whose cumulative weight
+# reaches half the total — entirely in decimal (2*cum >= tot), ties
+# merged by grouping on price first so the ECDF is well-defined.
+# Plan: group (flag, price) with map-side combine, then a window over
+# the distinct-price-sized table.
+QWMED_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS w
+  FROM lineitem
+  GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, price,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS DECIMAL(28,2)) AS tot
+  FROM d
+)
+SELECT l_returnflag,
+       CAST(MIN(price) AS DECIMAL(18,2)) AS weighted_median,
+       CAST(MAX(tot) AS DECIMAL(28,2)) AS total_weight
+FROM c WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "q_weighted_median",
+    oracle=QWMED_ORACLE,
+    description="Quantity-weighted median extended price per return flag via decimal cumulative-weight threshold (stats [ext])",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("w")
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag_w = Window.partitionBy("l_returnflag")
+    c = d.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(cum_w).cast("decimal(28,2)").alias("cum"),
+        F.sum("w").over(flag_w).cast("decimal(28,2)").alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("decimal(18,2)").alias("weighted_median"),
+            F.max("tot").cast("decimal(28,2)").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval ([ext] stats).  Per order priority: the share
+# of orders above 150k with a 95% Wilson CI — the interval that stays
+# inside [0,1] at small n, the standard for conversion-rate
+# dashboards.  k and n are exact bigints; the CI is one per-row double
+# expression (identical literal structure in both engines, no
+# accumulation-order sensitivity), rounded to 6.
+QWILSON_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n, k,
+       ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+       ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + 1.9208 / CAST(n AS DOUBLE)
+              - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                            + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+       ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + 1.9208 / CAST(n AS DOUBLE)
+              + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                            + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM s
+ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "q_wilson_ci",
+    oracle=QWILSON_ORACLE,
+    description="Wilson 95% score interval for the high-value-order rate per priority — the small-n-safe proportion CI (stats [ext])",
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    half = 1.96 * F.sqrt(p * (1 - p) / nd + 0.9604 / (nd * nd))
+    denom = 1 + 3.8416 / nd
+    center = p + 1.9208 / nd
+    return s.select(
+        "o_orderpriority",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch screen ([ext] experimentation).  Orders are
+# hash-split 50/50 into arms A/B by the first md5 nibble of the order
+# key (the deterministic assignment any engine reproduces); per
+# priority the z-score of the observed split flags broken
+# randomization (|z| > 3).  One scan, 5-row output, no shuffle beyond
+# the group-by.
+QSRM_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n_a, n_b,
+       ROUND(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)), 6) AS z,
+       CASE WHEN abs(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE))) > 3
+            THEN 1 ELSE 0 END AS srm_flag
+FROM s
+ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "q_srm_check",
+    oracle=QSRM_ORACLE,
+    description="A/B hash-split sample-ratio-mismatch z-screen per priority: md5-nibble arm assignment, |z|>3 flag (experimentation [ext])",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    arm_a = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    s = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm_a, 0).otherwise(1)).cast("bigint").alias("n_b"),
+    )
+    z = (F.col("n_a") - F.col("n_b")).cast("double") / F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return s.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 3, 1).otherwise(0).alias("srm_flag"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap analysis ([ext] analytics).  Per customer the gaps
+# in days between consecutive orders (lag window, orderkey
+# tie-break), aggregated per nation: mean/max gap and gap count.
+# Integer day arithmetic end-to-end; the mean is a single exact
+# bigint-sum / count division rounded at display.  Plan: one orders
+# scan, window on custkey, broadcast customer->nation, nation-sized
+# output.
+QGAP_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+), gn AS (
+  SELECT c.c_nationkey, g.gap FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.gap IS NOT NULL
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gn.gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_gap_days,
+       CAST(MAX(gn.gap) AS BIGINT) AS max_gap_days
+FROM gn JOIN nation n ON gn.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@declare(
+    "q_order_gap_stats",
+    oracle=QGAP_ORACLE,
+    description="Inter-order gap-in-days stats per nation from a lag window over each customer's order history (analytics [ext])",
+)
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = t["orders"].select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    gn = g.join(
+        F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        gn.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition entropy ([ext] sequence analytics).  The
+# complement of q_markov_transitions: per SOURCE event type, the
+# Shannon entropy of the next-event distribution — how predictable
+# each state is.  Float-determinism: each -p*ln(p) term is rounded to
+# 10 decimals and accumulated as DECIMAL(18,10), so the sum is exact
+# and engine-order-independent; display rounds to 6.  Plan: lag
+# window per user, then two transition-table-sized aggregations.
+QTRANSENT_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS dst,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+), tr AS (
+  SELECT src, dst, COUNT(*) AS nij FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, SUM(nij) AS ni, COUNT(*) AS n_dst FROM tr GROUP BY 1
+)
+SELECT tr.src AS event_type,
+       CAST(MAX(tot.ni) AS BIGINT) AS n_transitions,
+       CAST(MAX(tot.n_dst) AS BIGINT) AS n_next_types,
+       ROUND(CAST(SUM(CAST(ROUND(
+           -(CAST(tr.nij AS DOUBLE) / CAST(tot.ni AS DOUBLE))
+           * ln(CAST(tr.nij AS DOUBLE) / CAST(tot.ni AS DOUBLE)), 10)
+         AS DECIMAL(18,10))) AS DOUBLE), 6) AS entropy_nats
+FROM tr JOIN tot ON tr.src = tot.src
+GROUP BY tr.src
+ORDER BY tr.src
+"""
+
+
+@declare(
+    "q_transition_entropy",
+    oracle=QTRANSENT_ORACLE,
+    description="Shannon entropy of each event type's next-event distribution (decimal-accumulated terms, order-independent) (sequence [ext])",
+)
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    tr = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("nij"))
+    tot = tr.groupBy("src").agg(
+        F.sum("nij").alias("ni"), F.count(F.lit(1)).alias("n_dst")
+    )
+    p = F.col("nij").cast("double") / F.col("ni").cast("double")
+    term = F.round(-p * F.log(p), 10).cast("decimal(18,10)")
+    return (
+        tr.join(tot, "src")
+        .groupBy(F.col("src").alias("event_type"))
+        .agg(
+            F.max("ni").cast("bigint").alias("n_transitions"),
+            F.max("n_dst").cast("bigint").alias("n_next_types"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov ([ext] stats).  D statistic between
+# the order-value distributions of every pair of order priorities.
+# The ECDF difference is computed in INTEGER arithmetic —
+# D = max|cumA*nB - cumB*nA| / (nA*nB) — so the max is exact and only
+# the final division is floating point.  Plan: counts per
+# (priority, price) first (map-side combine), a 10-way pair fan-out of
+# that distinct-value-sized table, one window per pair.  Completes the
+# round6 rank-test family (Welch t, Mann-Whitney U, Kruskal-Wallis).
+QKS_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS pr, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.pr AS pa, b.pr AS pb
+  FROM (SELECT DISTINCT pr FROM d) a JOIN (SELECT DISTINCT pr FROM d) b
+  ON a.pr < b.pr
+), pooled AS (
+  SELECT p.pa, p.pb, d.v,
+         SUM(CASE WHEN d.pr = p.pa THEN d.cnt ELSE 0 END) AS da,
+         SUM(CASE WHEN d.pr = p.pb THEN d.cnt ELSE 0 END) AS db
+  FROM pairs p JOIN d ON d.pr IN (p.pa, p.pb)
+  GROUP BY 1, 2, 3
+), c AS (
+  SELECT pa, pb,
+         SUM(da) OVER (PARTITION BY pa, pb ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(db) OVER (PARTITION BY pa, pb ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(da) OVER (PARTITION BY pa, pb) AS na,
+         SUM(db) OVER (PARTITION BY pa, pb) AS nb
+  FROM pooled
+)
+SELECT pa, pb,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+             / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) AS ks_d
+FROM c
+GROUP BY pa, pb
+ORDER BY pa, pb
+"""
+
+
+@declare(
+    "q_ks_test",
+    oracle=QKS_ORACLE,
+    description="Two-sample Kolmogorov-Smirnov D for every order-priority pair, integer-exact ECDF gap maximization (stats [ext])",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    prs = d.select("pr").distinct()
+    pairs = (
+        prs.alias("a")
+        .join(prs.alias("b"), F.col("a.pr") < F.col("b.pr"))
+        .select(F.col("a.pr").alias("pa"), F.col("b.pr").alias("pb"))
+    )
+    pooled = (
+        F.broadcast(pairs)
+        .join(d, (d["pr"] == F.col("pa")) | (d["pr"] == F.col("pb")))
+        .groupBy("pa", "pb", "v")
+        .agg(
+            F.sum(F.when(F.col("pr") == F.col("pa"), F.col("cnt")).otherwise(0)).alias("da"),
+            F.sum(F.when(F.col("pr") == F.col("pb"), F.col("cnt")).otherwise(0)).alias("db"),
+        )
+    )
+    cum = (
+        Window.partitionBy("pa", "pb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = Window.partitionBy("pa", "pb")
+    c = pooled.select(
+        "pa",
+        "pb",
+        F.sum("da").over(cum).alias("ca"),
+        F.sum("db").over(cum).alias("cb"),
+        F.sum("da").over(pw).alias("na"),
+        F.sum("db").over(pw).alias("nb"),
+    )
+    return (
+        c.groupBy("pa", "pb")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).cast(
+                    "double"
+                )
+                / (F.max("na").cast("double") * F.max("nb").cast("double")),
+                6,
+            ).alias("ks_d"),
+        )
+        .orderBy("pa", "pb")
+    )
