@@ -305,15 +305,17 @@ def q_dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.textops import tokens
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    base = docs.select(
+    # Tokenize into a column FIRST so the window lambda slices a bound
+    # array reference — inlining split(...) inside the lambda re-splits
+    # the whole text once per window position (O(doc_len²) per doc).
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    base = toked.select(
         "doc_id",
         F.when(
-            F.size(tokens(F.col("text"))) >= 8,
+            F.size("tk") >= 8,
             F.expr(
-                "transform(sequence(1, size(split(regexp_replace(trim(lower(text)),"
-                " '\\\\s+', ' '), ' ')) - 7),"
-                " i -> concat_ws(' ', slice(split(regexp_replace(trim(lower(text)),"
-                " '\\\\s+', ' '), ' '), i, 8)))"
+                "transform(sequence(1, size(tk) - 7),"
+                " i -> concat_ws(' ', slice(tk, i, 8)))"
             ),
         )
         .otherwise(F.array().cast("array<string>"))
