@@ -445,6 +445,25 @@ def minhash_signature_md5(
     return F.transform(F.array(F.array_distinct(shingles(col, shingle_n))), over)[0]
 
 
+def minhash_slots_md5(
+    col: Column, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """The md5 verifiable-mode signature as an ``array<string>`` of the
+    per-slot minima (un-collapsed sibling of
+    :func:`minhash_signature_md5` — same slot function, so the two
+    modes agree slot-for-slot).  Feeds the fully-oracled banded-LSH
+    pair pipeline, where bands hash slices of this array."""
+
+    def slot_min(sh: Column, i: int) -> Column:
+        prefix = F.lit(f"{i}|")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    def over(sh: Column) -> Column:
+        return F.array(*[slot_min(sh, i) for i in range(num_hashes)])
+
+    return F.transform(F.array(F.array_distinct(shingles(col, shingle_n))), over)[0]
+
+
 def simhash_md5_bits(col: Column, shingle_n: int = 2, bits: int = 64) -> Column:
     """Cross-engine-verifiable SimHash: bit ``p`` of each shingle comes
     from nibble ``p//4`` of ``md5(shingle)`` hex; per-position ±1 votes

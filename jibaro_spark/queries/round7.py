@@ -29,6 +29,9 @@ from pyspark.sql.window import Window
 
 from jibaro_spark.queries.registry import declare, load_tables
 
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
 # ---------------------------------------------------------------------------
 # Referential-integrity audit ([ext] data quality).  The fixture is
 # FK-consistent, so the audit runs against a SIMULATED stale dimension
@@ -669,4 +672,113 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
         .orderBy("pa", "pb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded MinHash-LSH near-duplicate PAIRS, fully oracle-checked ([ext]
+# dedup).  The production pipeline (q_minhash_near_dup, xxhash64) gets
+# a rows-only driver check; THIS twin runs the identical pipeline —
+# signature → 4 bands × 4 slots → band-hash self-join → slot-match
+# verify — in md5 verifiable mode, so DuckDB replays candidate
+# generation AND verification and the driver hash-checks the whole
+# near-dup join, not just its row count.  Verification threshold is
+# integer (≥ 8 of 16 slots agree ⇔ est Jaccard ≥ 0.5); the band join
+# carries only (id, band_idx, band_hash) and signatures join back to
+# the deduplicated candidates, mirroring the production operator's
+# shuffle discipline (operators/dedup.py:167).
+QMHPAIRS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
+            i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
+  FROM documents
+), s AS (
+  SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
+  FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i
+  GROUP BY doc_id, i.range
+), sig AS (
+  SELECT doc_id, list(m ORDER BY slot) AS slots FROM s GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b.range AS band_idx,
+         md5(array_to_string(list_slice(slots, CAST(b.range*4+1 AS BIGINT),
+                                        CAST(b.range*4+4 AS BIGINT)), ',')) AS band_hash
+  FROM sig, range(0, 4) AS b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id_a
+  JOIN s sb ON sb.doc_id = c.id_b AND sb.slot = sa.slot
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(CAST(matches AS DOUBLE) / 16, 6) AS est_jaccard
+FROM verified
+WHERE matches >= 8
+ORDER BY id_a, id_b
+"""
+
+
+@declare(
+    "q_minhash_band_pairs",
+    oracle=QMHPAIRS_ORACLE,
+    description="Banded MinHash-LSH near-dup pairs in md5 verifiable mode — candidate generation AND slot-match verify fully oracle-checked (J5 [ext])",
+)
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import minhash_slots_md5
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = docs.select(
+        F.col("doc_id").alias("__id"),
+        minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("__slots", b * 4 + 1, 4))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band_idx", "bb.band_hash")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    withsigs = (
+        cand.join(sig.select(F.col("__id").alias("id_a"), F.col("__slots").alias("sa")), "id_a")
+        .join(sig.select(F.col("__id").alias("id_b"), F.col("__slots").alias("sb")), "id_b")
+    )
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        withsigs.withColumn("matches", matches)
+        .where(F.col("matches") >= 8)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("matches").cast("double") / 16, 6).alias("est_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
     )
