@@ -782,3 +782,350 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal best match ([ext] entity resolution).  "Best substitute"
+# assignment over parts: within a type, each part's best match is its
+# nearest neighbor by retail price; pairs where the choice is MUTUAL
+# are emitted.  In 1-D sorted order the nearest neighbor is one of the
+# two ADJACENT rows, so candidate generation is a lead/lag window —
+# O(n) per type, never the within-group quadratic join naive substring
+# matching would do.  Ties break by (diff, neighbor key) so the
+# argmin is total; reciprocity check is one self-join on the directed
+# best-edge table.
+QRBM_ORACLE = """
+WITH w AS (
+  SELECT p_partkey, p_type, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+         LAG(p_partkey)  OVER o AS prev_k, LAG(CAST(p_retailprice AS DECIMAL(18,2)))  OVER o AS prev_p,
+         LEAD(p_partkey) OVER o AS next_k, LEAD(CAST(p_retailprice AS DECIMAL(18,2))) OVER o AS next_p
+  FROM part
+  WINDOW o AS (PARTITION BY p_type ORDER BY CAST(p_retailprice AS DECIMAL(18,2)), p_partkey)
+), best AS (
+  SELECT p_partkey, p_type,
+         CASE
+           WHEN prev_k IS NULL AND next_k IS NULL THEN NULL
+           WHEN prev_k IS NULL THEN next_k
+           WHEN next_k IS NULL THEN prev_k
+           WHEN abs(price - prev_p) < abs(next_p - price) THEN prev_k
+           WHEN abs(next_p - price) < abs(price - prev_p) THEN next_k
+           ELSE least(prev_k, next_k)
+         END AS best_k,
+         CASE
+           WHEN prev_k IS NULL AND next_k IS NULL THEN NULL
+           WHEN prev_k IS NULL THEN abs(next_p - price)
+           WHEN next_k IS NULL THEN abs(price - prev_p)
+           ELSE least(abs(price - prev_p), abs(next_p - price))
+         END AS diff
+  FROM w
+)
+SELECT a.p_type,
+       a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(a.diff AS DECIMAL(18,2)) AS price_diff
+FROM best a JOIN best b
+  ON a.best_k = b.p_partkey AND b.best_k = a.p_partkey
+ AND a.p_partkey < b.p_partkey
+ORDER BY a.p_type, part_a
+"""
+
+
+@declare(
+    "q_recip_best_match",
+    oracle=QRBM_ORACLE,
+    description="Reciprocal nearest-price substitute pairs per part type via adjacency windows — mutual-best entity matching without quadratic joins (ER [ext])",
+)
+def q_recip_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    o = Window.partitionBy("p_type").orderBy(price.asc(), F.col("p_partkey").asc())
+    w = part.select(
+        "p_partkey",
+        "p_type",
+        price.alias("price"),
+        F.lag("p_partkey").over(o).alias("prev_k"),
+        F.lag(price).over(o).alias("prev_p"),
+        F.lead("p_partkey").over(o).alias("next_k"),
+        F.lead(price).over(o).alias("next_p"),
+    )
+    dprev = F.abs(F.col("price") - F.col("prev_p"))
+    dnext = F.abs(F.col("next_p") - F.col("price"))
+    best = w.select(
+        "p_partkey",
+        "p_type",
+        F.when(F.col("prev_k").isNull() & F.col("next_k").isNull(), F.lit(None))
+        .when(F.col("prev_k").isNull(), F.col("next_k"))
+        .when(F.col("next_k").isNull(), F.col("prev_k"))
+        .when(dprev < dnext, F.col("prev_k"))
+        .when(dnext < dprev, F.col("next_k"))
+        .otherwise(F.least("prev_k", "next_k"))
+        .alias("best_k"),
+        F.when(F.col("prev_k").isNull() & F.col("next_k").isNull(), F.lit(None))
+        .when(F.col("prev_k").isNull(), dnext)
+        .when(F.col("next_k").isNull(), dprev)
+        .otherwise(F.least(dprev, dnext))
+        .alias("diff"),
+    )
+    a, b = best.alias("a"), best.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.best_k") == F.col("b.p_partkey"))
+            & (F.col("b.best_k") == F.col("a.p_partkey"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.diff").cast("decimal(18,2)").alias("price_diff"),
+        )
+        .orderBy("p_type", "part_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the KS pair family ([ext] stats).  The
+# 10 priority-pair KS tests are a multiple-testing family; BH at
+# α=0.05 finds the largest k with p(k) ≤ k·α/m and flags ranks ≤ k.
+# p-values use the two-term asymptotic KS tail 2·exp(−2D²·nanb/(na+nb))
+# computed from the SAME integer-exact D numerator as q_ks_test, then
+# ROUNDED TO 10 DECIMALS before any comparison — the rounded decimal
+# is what both engines rank and threshold, so IEEE exp ulps cannot
+# flip a flag.  The BH scan is a 10-row window; everything upstream is
+# the distinct-value KS shape.
+QBH_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS pr, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.pr AS pa, b.pr AS pb
+  FROM (SELECT DISTINCT pr FROM d) a JOIN (SELECT DISTINCT pr FROM d) b
+  ON a.pr < b.pr
+), pooled AS (
+  SELECT p.pa, p.pb, d.v,
+         SUM(CASE WHEN d.pr = p.pa THEN d.cnt ELSE 0 END) AS da,
+         SUM(CASE WHEN d.pr = p.pb THEN d.cnt ELSE 0 END) AS db
+  FROM pairs p JOIN d ON d.pr IN (p.pa, p.pb)
+  GROUP BY 1, 2, 3
+), c AS (
+  SELECT pa, pb,
+         SUM(da) OVER (PARTITION BY pa, pb ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(db) OVER (PARTITION BY pa, pb ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(da) OVER (PARTITION BY pa, pb) AS na,
+         SUM(db) OVER (PARTITION BY pa, pb) AS nb
+  FROM pooled
+), ks AS (
+  SELECT pa, pb, MAX(na) AS na, MAX(nb) AS nb,
+         MAX(abs(ca * nb - cb * na)) AS num
+  FROM c GROUP BY pa, pb
+), pv AS (
+  SELECT pa, pb,
+         CAST(ROUND(least(1.0,
+           2 * exp(-2.0 * (CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                        * (CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                        * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+         ), 10) AS DECIMAL(12,10)) AS p
+  FROM ks
+), ranked AS (
+  SELECT pa, pb, p,
+         ROW_NUMBER() OVER (ORDER BY p, pa, pb) AS rk,
+         COUNT(*) OVER () AS m
+  FROM pv
+), cut AS (
+  SELECT COALESCE(MAX(CASE WHEN p * m * 20 <= rk THEN rk END), 0) AS k FROM ranked
+)
+SELECT r.pa, r.pb,
+       CAST(r.p AS DECIMAL(12,10)) AS p_value,
+       CAST(r.rk AS BIGINT) AS p_rank,
+       CASE WHEN r.rk <= cut.k THEN 1 ELSE 0 END AS significant
+FROM ranked r CROSS JOIN cut
+ORDER BY r.pa, r.pb
+"""
+
+
+@declare(
+    "q_bh_fdr",
+    oracle=QBH_ORACLE,
+    description="Benjamini-Hochberg FDR correction over the 10 KS priority-pair p-values — decimal-rounded p before rank/threshold, α=0.05 (stats [ext])",
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    prs = d.select("pr").distinct()
+    pairs = (
+        prs.alias("a")
+        .join(prs.alias("b"), F.col("a.pr") < F.col("b.pr"))
+        .select(F.col("a.pr").alias("pa"), F.col("b.pr").alias("pb"))
+    )
+    pooled = (
+        F.broadcast(pairs)
+        .join(d, (d["pr"] == F.col("pa")) | (d["pr"] == F.col("pb")))
+        .groupBy("pa", "pb", "v")
+        .agg(
+            F.sum(F.when(F.col("pr") == F.col("pa"), F.col("cnt")).otherwise(0)).alias("da"),
+            F.sum(F.when(F.col("pr") == F.col("pb"), F.col("cnt")).otherwise(0)).alias("db"),
+        )
+    )
+    cum = (
+        Window.partitionBy("pa", "pb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = Window.partitionBy("pa", "pb")
+    c = pooled.select(
+        "pa", "pb",
+        F.sum("da").over(cum).alias("ca"),
+        F.sum("db").over(cum).alias("cb"),
+        F.sum("da").over(pw).alias("na"),
+        F.sum("db").over(pw).alias("nb"),
+    )
+    ks = c.groupBy("pa", "pb").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias("num"),
+    )
+    dd_ = F.col("num").cast("double") / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    neff = F.col("na").cast("double") * F.col("nb").cast("double") / (
+        F.col("na").cast("double") + F.col("nb").cast("double")
+    )
+    pv = ks.select(
+        "pa", "pb",
+        F.round(F.least(F.lit(1.0), 2 * F.exp(-2.0 * dd_ * dd_ * neff)), 10)
+        .cast("decimal(12,10)")
+        .alias("p"),
+    )
+    rw = Window.orderBy("p", "pa", "pb")
+    ranked = pv.select(
+        "pa", "pb", "p",
+        F.row_number().over(rw).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") * F.col("m") * 20 <= F.col("rk"), F.col("rk"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "pa", "pb",
+            F.col("p").cast("decimal(12,10)").alias("p_value"),
+            F.col("rk").cast("bigint").alias("p_rank"),
+            F.when(F.col("rk") <= F.col("k"), 1).otherwise(0).alias("significant"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction ([ext] experimentation).  Users hash-split
+# into arms; each user's pre-period activity (before the Jan-16
+# cutoff) is the covariate, post-period activity the metric.
+# θ = cov(x,y)/var(x) from exact integer sufficient statistics (values
+# in cents, DECIMAL(38,0) sums), cast to double only inside the single
+# θ/mean expressions and rounded to 10 before reuse.  The adjusted
+# mean  ȳ_arm − θ·(x̄_arm − x̄)  is the industry-standard experiment
+# variance cut.  Plan: one events scan → per-user agg → one global +
+# one per-arm 2-row agg; nothing wider than the user table shuffles.
+QCUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS DECIMAL(18,0)) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS DECIMAL(18,0)) AS y,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx, CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy, CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx
+  FROM u
+), th AS (
+  SELECT n, sx,
+         ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 10) AS theta,
+         ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 10) AS gx
+  FROM g
+)
+SELECT a.arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(a.y) AS DOUBLE) / COUNT(*) / 100, 6) AS mean_post,
+       ROUND(th.theta, 6) AS theta,
+       ROUND((CAST(SUM(a.y) AS DOUBLE) / COUNT(*)
+              - th.theta * (CAST(SUM(a.x) AS DOUBLE) / COUNT(*) - th.gx)) / 100, 6) AS cuped_mean_post
+FROM u a CROSS JOIN th
+GROUP BY a.arm, th.theta, th.gx
+ORDER BY a.arm
+"""
+
+
+@declare(
+    "q_cuped_adjust",
+    oracle=QCUPED_ORACLE,
+    description="CUPED variance-reduced arm means: pre-period covariate θ from exact integer sufficient stats, md5 arm split (experimentation [ext])",
+)
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("decimal(18,0)")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("decimal(18,0)")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(*"01234567"),
+            "A",
+        ).otherwise("B"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    th = g.select(
+        F.round(
+            (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            10,
+        ).alias("theta"),
+        F.round(F.col("sx").cast("double") / nd, 10).alias("gx"),
+    )
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm", "theta", "gx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("y").cast("double").alias("sy_arm"),
+            F.sum("x").cast("double").alias("sx_arm"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("sy_arm") / F.col("n_users") / 100, 6).alias("mean_post"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(
+                (
+                    F.col("sy_arm") / F.col("n_users")
+                    - F.col("theta") * (F.col("sx_arm") / F.col("n_users") - F.col("gx"))
+                )
+                / 100,
+                6,
+            ).alias("cuped_mean_post"),
+        )
+        .orderBy("arm")
+    )
