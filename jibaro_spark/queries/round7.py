@@ -1129,3 +1129,175 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality statistics ([ext] entity-resolution evaluation).
+# Before running any similarity join, a blocking scheme is judged by
+# (a) reduction ratio — candidate pairs vs the full cross product —
+# and (b) block-size skew — the largest block dominates the join's
+# straggler task.  Both are pure aggregates over block sizes:
+# Σ s·(s−1)/2 in DECIMAL (no overflow at 10^12 rows), never
+# materializing a single pair.  Two schemes compared — nation-only vs
+# (nation, segment) — one row per scheme, the comparison an ER
+# engineer actually makes before picking a key.
+QBLK_ORACLE = """
+WITH b2 AS (
+  SELECT 'nation+segment' AS scheme, COUNT(*) AS s
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), b1 AS (
+  SELECT 'nation' AS scheme, COUNT(*) AS s
+  FROM customer GROUP BY c_nationkey
+), b AS (
+  SELECT * FROM b1 UNION ALL SELECT * FROM b2
+), tot AS (
+  SELECT scheme,
+         CAST(SUM(s) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * (s - 1) / 2) AS DECIMAL(38,0)) AS cand,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(MAX(s) AS BIGINT) AS max_block
+  FROM b GROUP BY scheme
+)
+SELECT scheme, n_blocks, max_block,
+       CAST(cand AS DECIMAL(38,0)) AS candidate_pairs,
+       CAST(n * (n - 1) / 2 AS DECIMAL(38,0)) AS all_pairs,
+       ROUND(1 - CAST(cand AS DOUBLE) / CAST(n * (n - 1) / 2 AS DOUBLE), 6) AS reduction_ratio,
+       ROUND(CAST(max_block AS DOUBLE) * n_blocks / CAST(n AS DOUBLE), 6) AS skew_factor
+FROM tot
+ORDER BY scheme
+"""
+
+
+@declare(
+    "q_blocking_stats",
+    oracle=QBLK_ORACLE,
+    description="Blocking-scheme quality for ER joins: reduction ratio and block skew from pure size aggregates, no pair materialization (ER [ext])",
+)
+def q_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    b2 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("s")
+    ).select(F.lit("nation+segment").alias("scheme"), "s")
+    b1 = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("s")).select(
+        F.lit("nation").alias("scheme"), "s"
+    )
+    b = b1.unionByName(b2)
+    sd = F.col("s").cast("decimal(38,0)")
+    tot = b.groupBy("scheme").agg(
+        F.sum("s").cast("decimal(38,0)").alias("n"),
+        F.sum(sd * (F.col("s") - 1) / 2).cast("decimal(38,0)").alias("cand"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.max("s").cast("bigint").alias("max_block"),
+    )
+    allp = (F.col("n") * (F.col("n") - 1) / 2).cast("decimal(38,0)")
+    return tot.select(
+        "scheme",
+        "n_blocks",
+        "max_block",
+        F.col("cand").cast("decimal(38,0)").alias("candidate_pairs"),
+        allp.alias("all_pairs"),
+        F.round(1 - F.col("cand").cast("double") / allp.cast("double"), 6).alias(
+            "reduction_ratio"
+        ),
+        F.round(
+            F.col("max_block").cast("double") * F.col("n_blocks") / F.col("n").cast("double"),
+            6,
+        ).alias("skew_factor"),
+    ).orderBy("scheme")
+
+# ---------------------------------------------------------------------------
+# Rank churn ([ext] analytics).  Which parts enter/leave/stay in the
+# monthly revenue top-20 — the period-over-period leaderboard diff.
+# Ranks come from per-month windows over the part-month aggregate
+# (part-sized, never lineitem-sized); churn is a full-outer join of
+# each month's top set against the PREVIOUS month's (shifted by
+# add-months), restricted to months that exist in the data so the
+# first month emits nothing and the last month's phantom successor is
+# dropped.  Tie-break on partkey keeps ranks total; revenue decimal.
+QCHURN_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey, CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS mon,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+  FROM lineitem GROUP BY 1, 2
+), rk AS (
+  SELECT l_partkey, mon, rev,
+         ROW_NUMBER() OVER (PARTITION BY mon ORDER BY rev DESC, l_partkey) AS r
+  FROM pm
+), top AS (
+  SELECT l_partkey, mon, r FROM rk WHERE r <= 20
+), shifted AS (
+  SELECT l_partkey, CAST(mon + INTERVAL 1 MONTH AS DATE) AS mon2, r FROM top
+), months AS (
+  SELECT DISTINCT mon FROM pm
+), churn AS (
+  SELECT COALESCE(b.mon, a.mon2) AS mon,
+         COALESCE(b.l_partkey, a.l_partkey) AS l_partkey,
+         CASE WHEN a.l_partkey IS NULL THEN 'entered'
+              WHEN b.l_partkey IS NULL THEN 'dropped'
+              ELSE 'stayed' END AS movement,
+         a.r AS prev_rank, b.r AS new_rank
+  FROM shifted a FULL JOIN top b
+    ON a.l_partkey = b.l_partkey AND a.mon2 = b.mon
+)
+SELECT c.mon, c.l_partkey, c.movement,
+       CAST(c.prev_rank AS BIGINT) AS prev_rank,
+       CAST(c.new_rank AS BIGINT) AS new_rank
+FROM churn c JOIN months m ON c.mon = m.mon
+WHERE c.mon > (SELECT MIN(mon) FROM months)
+ORDER BY c.mon, c.movement, c.l_partkey
+"""
+
+
+@declare(
+    "q_rank_churn",
+    oracle=QCHURN_ORACLE,
+    description="Monthly top-20 revenue leaderboard churn (entered/dropped/stayed) via shifted full-outer join of part-sized rank tables (analytics [ext])",
+)
+def q_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    pm = li.groupBy(
+        "l_partkey",
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("mon"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+    rw = Window.partitionBy("mon").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    top = (
+        pm.withColumn("r", F.row_number().over(rw))
+        .where(F.col("r") <= 20)
+        .select("l_partkey", "mon", "r")
+    )
+    shifted = top.select(
+        F.col("l_partkey").alias("a_key"),
+        F.add_months("mon", 1).alias("mon2"),
+        F.col("r").alias("prev_rank"),
+    )
+    months = pm.select("mon").distinct()
+    first_mon = months.agg(F.min("mon").alias("first_mon"))
+    churn = shifted.join(
+        top.select(
+            F.col("l_partkey").alias("b_key"),
+            F.col("mon").alias("b_mon"),
+            F.col("r").alias("new_rank"),
+        ),
+        (F.col("a_key") == F.col("b_key")) & (F.col("mon2") == F.col("b_mon")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b_mon"), F.col("mon2")).alias("mon"),
+        F.coalesce(F.col("b_key"), F.col("a_key")).alias("l_partkey"),
+        F.when(F.col("a_key").isNull(), "entered")
+        .when(F.col("b_key").isNull(), "dropped")
+        .otherwise("stayed")
+        .alias("movement"),
+        F.col("prev_rank").cast("bigint").alias("prev_rank"),
+        F.col("new_rank").cast("bigint").alias("new_rank"),
+    )
+    return (
+        churn.join(months, "mon")
+        .crossJoin(F.broadcast(first_mon))
+        .where(F.col("mon") > F.col("first_mon"))
+        .select("mon", "l_partkey", "movement", "prev_rank", "new_rank")
+        .orderBy("mon", "movement", "l_partkey")
+    )
