@@ -1301,3 +1301,142 @@ def q_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("mon", "l_partkey", "movement", "prev_rank", "new_rank")
         .orderBy("mon", "movement", "l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd), 3 unrolled iterations, fully oracle-checked ([ext]
+# in-engine ML).  q_kmeans_assign covers one assignment step; THIS
+# query trains: deterministic seeding (the 4 customers with the
+# smallest md5(custkey), a seed any engine reproduces), then
+# 3 × (assign → recompute) with the argmin done on EXACT decimal
+# squared distances (points and centroids are decimals, so d² is
+# exact and the tie-break on centroid id makes the argmin total);
+# centroid updates divide exact decimal sums in double and round to 6
+# decimals, re-entering the exact domain before the next iteration.
+# Scale shape per iteration: one broadcast of k centroids + one
+# map-side argmin + one k-row agg — Lloyd's canonical distributed
+# form.  Output: final cluster sizes + centroids.
+def _kmeans_oracle() -> str:
+    head = """
+WITH pts AS (
+  SELECT o_custkey AS pid,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS x,
+         CAST(COUNT(*) AS DECIMAL(18,0)) AS y
+  FROM orders GROUP BY 1
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(pid AS VARCHAR)), pid) - 1 AS INT) AS cid,
+         CAST(x AS DECIMAL(28,6)) AS cx, CAST(y AS DECIMAL(28,6)) AS cy
+  FROM pts ORDER BY md5(CAST(pid AS VARCHAR)), pid LIMIT 4
+), c0 AS (SELECT * FROM seeds)"""
+    body = ""
+    for i in range(3):
+        body += f""",
+a{i} AS (
+  SELECT pid, x, y, cid,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY
+           (CAST(x AS DECIMAL(28,6)) - cx) * (CAST(x AS DECIMAL(28,6)) - cx)
+           + (CAST(y AS DECIMAL(28,6)) - cy) * (CAST(y AS DECIMAL(28,6)) - cy), cid) AS rn
+  FROM pts CROSS JOIN c{i}
+),
+m{i} AS (SELECT pid, x, y, cid FROM a{i} WHERE rn = 1),
+c{i + 1} AS (
+  SELECT cid,
+         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(28,6)) AS cx,
+         CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(28,6)) AS cy
+  FROM m{i} GROUP BY cid
+)"""
+    tail = """
+SELECT m.cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(c.cx) AS DECIMAL(28,6)) AS centroid_x,
+       CAST(MAX(c.cy) AS DECIMAL(28,6)) AS centroid_y
+FROM m2 m JOIN c3 c ON m.cid = c.cid
+GROUP BY m.cid
+ORDER BY cluster
+"""
+    return head + body + tail
+
+
+QKMEANS_ORACLE = _kmeans_oracle()
+
+
+@declare(
+    "q_kmeans_lloyd",
+    oracle=QKMEANS_ORACLE,
+    description="3-iteration Lloyd k-means on (spend, order-count) with md5-deterministic seeding and exact-decimal argmin — training loop fully oracle-checked (ML [ext])",
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    pts = o.groupBy(F.col("o_custkey").alias("pid")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("x"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("y"),
+    )
+    # Distributed top-k seed draw: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition bottom-k + k-row merge) —
+    # never a SinglePartition window over the point table.  The 4-row
+    # cid window after the limit is trivially small.
+    seed4 = (
+        pts.select(
+            F.md5(F.col("pid").cast("string")).alias("__h"),
+            "pid",
+            F.col("x").cast("decimal(28,6)").alias("cx"),
+            F.col("y").cast("decimal(28,6)").alias("cy"),
+        )
+        .orderBy("__h", "pid")
+        .limit(4)
+    )
+    seed_w = Window.orderBy("__h", "pid")
+    seeds = seed4.select(
+        (F.row_number().over(seed_w) - 1).cast("int").alias("cid"), "cx", "cy"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        xd = F.col("x").cast("decimal(28,6)")
+        yd = F.col("y").cast("decimal(28,6)")
+        d2 = (xd - F.col("cx")) * (xd - F.col("cx")) + (yd - F.col("cy")) * (
+            yd - F.col("cy")
+        )
+        w = Window.partitionBy("pid").orderBy(d2.asc(), F.col("cid").asc())
+        return (
+            points.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("pid", "x", "y", "cid")
+        )
+
+    def update(members: DataFrame) -> DataFrame:
+        return members.groupBy("cid").agg(
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(28,6)")
+            .alias("cx"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(28,6)")
+            .alias("cy"),
+        )
+
+    cents = seeds
+    members = None
+    for _ in range(3):
+        members = assign(pts, cents)
+        cents = update(members)
+    return (
+        members.groupBy(F.col("cid").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .join(
+            cents.select(
+                F.col("cid").alias("cluster"),
+                F.col("cx").alias("centroid_x"),
+                F.col("cy").alias("centroid_y"),
+            ),
+            "cluster",
+        )
+        .select(
+            "cluster",
+            "n_points",
+            F.col("centroid_x").cast("decimal(28,6)").alias("centroid_x"),
+            F.col("centroid_y").cast("decimal(28,6)").alias("centroid_y"),
+        )
+        .orderBy("cluster")
+    )
