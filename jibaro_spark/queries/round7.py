@@ -1440,3 +1440,167 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit ([ext] privacy).  Before releasing a table keyed
+# by quasi-identifiers, count the re-identifiable rows: for each k in
+# a ladder, how many QI groups are smaller than k and what fraction of
+# rows they hold.  One group-size aggregate feeds every k (the ladder
+# is a broadcast literal), so the audit is one shuffle regardless of
+# how many thresholds are screened.  QI here: (nation, segment).
+QKANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS s FROM customer GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n FROM g
+), ladder AS (
+  SELECT unnest([2, 5, 10, 25]) AS k
+)
+SELECT l.k,
+       CAST(SUM(CASE WHEN g.s < l.k THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(SUM(CASE WHEN g.s < l.k THEN g.s ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN g.s < l.k THEN g.s ELSE 0 END) AS DOUBLE)
+             / CAST(MAX(tot.n) AS DOUBLE), 6) AS risk_frac
+FROM ladder l CROSS JOIN g CROSS JOIN tot
+GROUP BY l.k
+ORDER BY l.k
+"""
+
+
+@declare(
+    "q_k_anonymity",
+    oracle=QKANON_ORACLE,
+    description="k-anonymity release audit over (nation, segment) quasi-identifiers: violating groups + rows at risk per k ladder (privacy [ext])",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("s"))
+    tot = g.agg(F.sum("s").cast("bigint").alias("n"))
+    ladder = spark.range(0).sparkSession.createDataFrame(
+        [(2,), (5,), (10,), (25,)], "k int"
+    )
+    return (
+        F.broadcast(ladder)
+        .crossJoin(g)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("s") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_groups"),
+            F.sum(F.when(F.col("s") < F.col("k"), F.col("s")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.round(
+                F.sum(
+                    F.when(F.col("s") < F.col("k"), F.col("s")).otherwise(0)
+                ).cast("double")
+                / F.max("n").cast("double"),
+                6,
+            ).alias("risk_frac"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences ([ext] experimentation).  The 2×2
+# (arm × pre/post) mean table plus the DiD interaction — the estimator
+# behind every staggered-rollout readout.  Cell means come from exact
+# integer cent sums (one user-level pass is unnecessary here: DiD is a
+# cell-mean contrast, so the event-level grouped sums suffice); the
+# four means are computed once in a 4-row aggregate, pivoted into one
+# row per arm with the shared interaction column.  Determinism: cents
+# are exact bigints, each mean is a single double division rounded 6,
+# the DiD is a single expression over the four rounded means.
+QDID_ORACLE = """
+WITH cell AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END AS period,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DECIMAL(38,0)) AS cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT arm,
+         ROUND(CAST(MAX(CASE WHEN period='pre'  THEN cents END) AS DOUBLE)
+               / MAX(CASE WHEN period='pre'  THEN n END) / 100, 6) AS mean_pre,
+         ROUND(CAST(MAX(CASE WHEN period='post' THEN cents END) AS DOUBLE)
+               / MAX(CASE WHEN period='post' THEN n END) / 100, 6) AS mean_post,
+         CAST(SUM(n) AS BIGINT) AS n_events
+  FROM cell GROUP BY arm
+), did AS (
+  SELECT ROUND(
+           (MAX(CASE WHEN arm='B' THEN mean_post END) - MAX(CASE WHEN arm='B' THEN mean_pre END))
+         - (MAX(CASE WHEN arm='A' THEN mean_post END) - MAX(CASE WHEN arm='A' THEN mean_pre END)), 6) AS dd
+  FROM m
+)
+SELECT m.arm, m.n_events, m.mean_pre, m.mean_post,
+       ROUND(m.mean_post - m.mean_pre, 6) AS delta,
+       did.dd AS did_estimate
+FROM m CROSS JOIN did
+ORDER BY m.arm
+"""
+
+
+@declare(
+    "q_diff_in_diff",
+    oracle=QDID_ORACLE,
+    description="Difference-in-differences 2×2 readout: md5 arm split × pre/post cutoff, exact-cent cell means, shared interaction estimate (experimentation [ext])",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(*"01234567"),
+        "A",
+    ).otherwise("B")
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "pre"
+    ).otherwise("post")
+    cell = ev.groupBy(arm.alias("arm"), period.alias("period")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = cell.groupBy("arm").agg(
+        F.round(
+            F.max(F.when(F.col("period") == "pre", F.col("cents"))).cast("double")
+            / F.max(F.when(F.col("period") == "pre", F.col("n")))
+            / 100,
+            6,
+        ).alias("mean_pre"),
+        F.round(
+            F.max(F.when(F.col("period") == "post", F.col("cents"))).cast("double")
+            / F.max(F.when(F.col("period") == "post", F.col("n")))
+            / 100,
+            6,
+        ).alias("mean_post"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    did = m.agg(
+        F.round(
+            (
+                F.max(F.when(F.col("arm") == "B", F.col("mean_post")))
+                - F.max(F.when(F.col("arm") == "B", F.col("mean_pre")))
+            )
+            - (
+                F.max(F.when(F.col("arm") == "A", F.col("mean_post")))
+                - F.max(F.when(F.col("arm") == "A", F.col("mean_pre")))
+            ),
+            6,
+        ).alias("did_estimate")
+    )
+    return (
+        m.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "n_events",
+            "mean_pre",
+            "mean_post",
+            F.round(F.col("mean_post") - F.col("mean_pre"), 6).alias("delta"),
+            "did_estimate",
+        )
+        .orderBy("arm")
+    )
