@@ -750,3 +750,75 @@ def ntile_exact(
         F.lit(r) + F.expr(f"(__rn - 1 - {threshold}) div {max(q, 1)}")
     )
     return rn.withColumn(out_col, (bucket + 1).cast("long")).drop("__rn")
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "__cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group running sum of ``value_col`` under
+    ``order_cols`` WITHOUT a per-group single-task scan ([ext] scale
+    primitive; the grouped-sum sibling of :func:`global_row_number`).
+
+    ``Window.partitionBy(group).orderBy(...)`` puts each group's
+    ENTIRE history in one task — fine for many small groups, a
+    straggler when a group is corpus-sized (a hot key's event stream,
+    a 3-value status column over 10^11 rows).  This computes the same
+    number chunked:
+
+    1. range-repartition + local sort on ``group_cols + order_cols``
+       (groups may straddle chunk boundaries — step 3 repairs that);
+    2. local running sums per ``(chunk, group)`` — parallel windows,
+       each bounded by chunk size;
+    3. per-(group, chunk) totals (one map-combined aggregate), turned
+       into per-(group, chunk) STARTING OFFSETS by a window over the
+       ≤ #chunks rows each group owns — parallel across groups, never
+       a driver collect (unlike :func:`global_row_number`'s bounded
+       #partitions-row map, the offset table here is group-keyed and
+       stays distributed);
+    4. join offsets back on ``(group, chunk)`` and add.
+
+    Two keyed shuffles instead of one single-task scan.  The caller
+    MUST make ``order_cols`` total within each group (include a unique
+    id): ties would make both this and the plain window
+    nondeterministic.  ``value_col`` should be integer/decimal typed
+    if a bit-exact cross-engine result is required — chunked double
+    addition has a different rounding order than a sequential scan.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(n_parts, *gcols, *ocols)
+        .sortWithinPartitions(*gcols, *ocols)
+        .withColumn("__gpid", F.spark_partition_id())
+    )
+    local_w = (
+        Window.partitionBy("__gpid", *gcols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = s.withColumn("__lc", F.sum(value_col).over(local_w))
+    chunk_tot = local.groupBy("__gpid", *gcols).agg(
+        F.sum(value_col).alias("__ct")
+    )
+    off_w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast(dict(chunk_tot.dtypes)["__ct"])
+    offsets = chunk_tot.select(
+        "__gpid",
+        *gcols,
+        F.coalesce(F.sum("__ct").over(off_w), zero).alias("__off"),
+    )
+    joined = local.join(offsets, ["__gpid", *group_cols])
+    return (
+        joined.withColumn(out_col, F.col("__off") + F.col("__lc"))
+        .drop("__gpid", "__lc", "__off")
+    )

@@ -1604,3 +1604,66 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunked grouped running sum ([ext] scale primitive demo).  Running
+# revenue per return flag — 3 corpus-sized groups, the shape where
+# Window.partitionBy(flag) puts a third of the table in ONE task.
+# The Spark side runs operators.relational.grouped_prefix_sum (range
+# chunks → local sums → per-(group, chunk) offsets → join), which is
+# value-identical to the sequential window because the lane is
+# decimal; the oracle IS the plain window.  Output is deterministically
+# thinned (orderkey % 97) AFTER the cumulative so the driver compares
+# a bounded row set while every input row still flowed through the
+# primitive.
+QCHUNKSUM_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY l_returnflag
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(28,2)) AS running_revenue
+  FROM lineitem
+)
+SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+       running_revenue
+FROM c WHERE l_orderkey % 97 = 0
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
+@declare(
+    "q_chunked_running_revenue",
+    oracle=QCHUNKSUM_ORACLE,
+    description="Per-flag running revenue via the chunked grouped_prefix_sum primitive (no one-task-per-group window), decimal-exact vs the plain-window oracle (scale primitive [ext])",
+)
+def q_chunked_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import grouped_prefix_sum
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    base = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    cum = grouped_prefix_sum(
+        base,
+        ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "v",
+        out_col="running_revenue",
+    )
+    return (
+        cum.where(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.col("running_revenue").cast("decimal(28,2)").alias("running_revenue"),
+        )
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
