@@ -1667,3 +1667,103 @@ def q_chunked_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded SimHash near-duplicate PAIRS, fully oracle-checked ([ext]
+# dedup) — the SimHash sibling of q_minhash_band_pairs, closing out
+# the near-dup family's verifiable modes.  64-bit md5-vote
+# fingerprints (identical to q_simhash_signature) split into 4×16-bit
+# blocks; docs sharing ANY block are candidates (catches every pair
+# within Hamming distance 3 by pigeonhole); the verify counts
+# differing bits — all integer, so the driver hash checks candidate
+# generation and the Hamming filter end to end.
+QSHPAIRS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-1,1)-1),
+            i -> array_to_string(list_slice({_TOKS}, i+1, i+2), ' '))) AS sh
+  FROM documents
+), b AS (
+  SELECT doc_id, p.range AS pos,
+         SUM(CASE WHEN (CAST(('0x' || substr(md5(u.g), CAST(p.range//4 AS BIGINT)+1, 1)) AS INTEGER)
+                        >> CAST(3 - p.range%4 AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM t, unnest(t.sh) AS u(g), range(0, 64) AS p
+  GROUP BY doc_id, p.range
+), sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS bits
+  FROM b GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, bits, k.range AS band_idx,
+         substr(bits, CAST(k.range*16+1 AS BIGINT), 16) AS band
+  FROM sig, range(0, 4) AS k
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.bits AS ba, b.doc_id AS id_b, b.bits AS bb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(64 - list_sum(list_transform(generate_series(1, 64),
+              i -> CASE WHEN substr(ba, i, 1) = substr(bb, i, 1) THEN 1 ELSE 0 END))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE 64 - list_sum(list_transform(generate_series(1, 64),
+        i -> CASE WHEN substr(ba, i, 1) = substr(bb, i, 1) THEN 1 ELSE 0 END)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@declare(
+    "q_simhash_band_pairs",
+    oracle=QSHPAIRS_ORACLE,
+    description="Banded SimHash near-dup pairs in md5 verifiable mode — 16-bit-block candidates + integer Hamming verify fully oracle-checked (J5 [ext])",
+)
+def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import simhash_md5_bits
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = docs.select(
+        F.col("doc_id").alias("__id"),
+        simhash_md5_bits(F.col("text")).alias("bits"),
+    )
+    banded = sig.select(
+        "__id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda k: F.struct(
+                    k.alias("band_idx"),
+                    F.substring("bits", k * 16 + 1, 16).alias("band"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "bits", "bb.band_idx", "bb.band")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("a.bits").alias("ba"),
+            F.col("b.__id").alias("id_b"),
+            F.col("b.bits").alias("bb"),
+        )
+        .distinct()
+    )
+    hamming = F.lit(64) - F.expr(
+        "aggregate(sequence(1, 64), 0,"
+        " (acc, i) -> acc + IF(substring(ba, i, 1) = substring(bb, i, 1), 1, 0))"
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
