@@ -1,10 +1,16 @@
-"""Round-7 declared queries: operational data-quality and statistics
-families that round ≤6 had not covered — referential-integrity
-auditing (stale-dimension orphan counts), table-reconciliation
-partition checksums, Pareto concentration cutoffs, weighted medians,
-Wilson score intervals, A/B sample-ratio-mismatch screening,
-inter-order gap analysis, Markov transition entropy, and the
-two-sample Kolmogorov-Smirnov test.
+"""Round-7 declared queries: operational data-quality, privacy,
+experimentation, ER, and ML families that round ≤6 had not covered —
+referential-integrity auditing (stale-dimension orphan counts),
+table-reconciliation partition checksums, Pareto concentration
+cutoffs, weighted medians, Wilson score intervals, A/B
+sample-ratio-mismatch screening, inter-order gap analysis, Markov
+transition entropy, the two-sample Kolmogorov-Smirnov test with
+Benjamini-Hochberg FDR control, CUPED variance reduction,
+difference-in-differences, reciprocal best-match and
+blocking-quality ER, monthly leaderboard rank churn, the k-anonymity
+release audit, 3-iteration Lloyd k-means, the chunked
+grouped-prefix-sum demo, and the fully-oracled banded MinHash/SimHash
+near-dup pair twins.
 
 Determinism contract (same as round6b-6e): every money sum is decimal,
 every ranking carries an explicit tie-break, md5 is the only hash
