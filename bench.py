@@ -121,6 +121,11 @@ HEADLINE = [
     # Naive Bayes train+score
     "q_bloom_semi_join",
     "q_naive_bayes_lang",
+    # round 7 additions: multi-edge broadcast anti audit, single-agg
+    # reconciliation checksum, pair-fanout KS windows
+    "q_fk_orphan_audit",
+    "q_partition_checksums",
+    "q_ks_test",
 ]
 
 
