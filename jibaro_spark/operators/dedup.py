@@ -613,6 +613,12 @@ def edit_distance_join(
             .groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__df"))
         )
+        # freq feeds BOTH sides' signature joins.  The differing side
+        # aliases defeat ReuseExchange, so the union+agg runs twice —
+        # measured CHEAPER than materializing it: a localCheckpoint
+        # strips the agg's statistics, the gram joins fall back to
+        # sort-merge (8.4 s → 10.8 s at sf0.1), while the recomputed
+        # agg stays an AQE-sized broadcast on both sides.
 
         def prefixed(side: DataFrame, id_col: str) -> DataFrame:
             carry = [c for c in side.columns if c not in (id_col, "__g")]
