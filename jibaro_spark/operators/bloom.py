@@ -112,6 +112,19 @@ def bloom_might_contain(
     standard ``(1 - e^{-kn/m})^k``."""
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    if len(words) != num_bits // 64:
+        # A filter built at a different num_bits would make element_at
+        # return NULL for out-of-range words → NULL probe predicate →
+        # silently dropped rows: a false-negative generator, the one
+        # failure mode this operator's contract forbids.  Mirror
+        # bloom_build's guards and fail loudly instead.
+        raise ValueError(
+            f"bloom_might_contain: got {len(words)} words but num_bits="
+            f"{num_bits} implies {num_bits // 64} — the filter was built "
+            "with a different num_bits"
+        )
     # Explicit array<bigint>: a small/empty filter would otherwise
     # infer array<int> and getbit would range-check pos against 32.
     arr = F.lit(words).cast("array<bigint>")

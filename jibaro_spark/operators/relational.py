@@ -792,10 +792,17 @@ def grouped_prefix_sum(
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Pin the range exchange (same discipline as _global_row_number_
+    # with_total): the `local` branch and the `chunk_tot`/offsets
+    # branch BOTH derive from `s` — without the checkpoint a
+    # non-reused exchange or a stage retry could re-sample range
+    # boundaries and assign DIFFERENT __gpid values per branch, making
+    # the (group, chunk) offset join silently wrong.
     s = (
         df.repartitionByRange(n_parts, *gcols, *ocols)
         .sortWithinPartitions(*gcols, *ocols)
         .withColumn("__gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local_w = (
         Window.partitionBy("__gpid", *gcols)

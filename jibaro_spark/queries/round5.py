@@ -529,7 +529,8 @@ WITH surviving AS (
 )
 SELECT o_custkey,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS total_spend
+       CAST(CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE)
+         AS total_spend
 FROM t2
 GROUP BY o_custkey
 ORDER BY o_custkey
@@ -577,8 +578,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = incremental_agg_apply(
         base_agg, changes, keys=["o_custkey"], measure_cols=["total_spend"]
     )
+    # Accumulate in DECIMAL, publish as DOUBLE: the output boundary must
+    # carry only engine-neutral types (VARCHAR/BIGINT/DOUBLE) — the
+    # driver's DuckDB lane materializes DECIMAL differently than Spark
+    # ('123.4500' vs '123.45'), which is exactly the r5/r6 red-row class.
     return out.select(
-        "o_custkey", "n", F.col("total_spend").cast("decimal(28,4)").alias("total_spend")
+        "o_custkey",
+        "n",
+        F.col("total_spend").cast("decimal(28,4)").cast("double").alias("total_spend"),
     ).orderBy("o_custkey")
 
 

@@ -32,8 +32,9 @@ from jibaro_spark.queries.registry import declare, load_tables
 # probe is a map-only codegen predicate).
 QBLOOMSEMI_ORACLE = """
 SELECT l.l_returnflag,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_qty
 FROM lineitem l
 WHERE EXISTS (SELECT 1 FROM part p
               WHERE p.p_partkey = l.l_partkey AND p.p_size >= 48)
@@ -57,8 +58,10 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # decimal-exact accumulation, engine-neutral DOUBLE boundary
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_qty"),
         )
         .orderBy("l_returnflag")
@@ -67,8 +70,9 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QBLOOMANTI_ORACLE = """
 SELECT o.o_orderpriority,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_price
 FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM customer c
                   WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 9000)
@@ -94,6 +98,7 @@ def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_price"),
         )
         .orderBy("o_orderpriority")
@@ -144,7 +149,7 @@ WITH first_ev AS (
               ELSE NULL END AS term
   FROM at_risk WHERE d > 0
 )
-SELECT dur, d, n,
+SELECT dur, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n,
        CASE WHEN d = n THEN 0.0
             ELSE ROUND(EXP(CAST(SUM(term) OVER (ORDER BY dur) AS DOUBLE)), 6)
        END AS survival
@@ -202,7 +207,13 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.exp(F.sum("term").over(w_asc).cast("double")), 6)
             ),
         )
-        .select("dur", "d", "n", "survival")
+        .select(
+            "dur",
+            # DuckDB widens SUM/windowed-SUM to HUGEINT; publish BIGINT
+            F.col("d").cast("long").alias("d"),
+            F.col("n").cast("long").alias("n"),
+            "survival",
+        )
         .orderBy("dur")
     )
 
@@ -452,7 +463,8 @@ SELECT k.grp, k.kth_hash,
        ROUND(CAST(b.both_cnt AS DOUBLE) / {_KMV_K}, 6) AS jaccard_est,
        ROUND(CAST(b.both_cnt AS DOUBLE) / {_KMV_K} * (({_KMV_K} - 1) / k.uval), 6)
          AS est_intersection,
-       t.true_union, t.true_intersection
+       CAST(t.true_union AS BIGINT) AS true_union,
+       CAST(t.true_intersection AS BIGINT) AS true_intersection
 FROM kth k
 JOIN bottomk b ON b.grp = k.grp
 JOIN truths t ON t.grp = k.grp
@@ -529,8 +541,8 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.lit(float(_KMV_K - 1)) / F.col("uval")),
                 6,
             ).alias("est_intersection"),
-            "true_union",
-            "true_intersection",
+            F.col("true_union").cast("long").alias("true_union"),
+            F.col("true_intersection").cast("long").alias("true_intersection"),
         )
         .orderBy("grp")
     )

@@ -37,9 +37,9 @@ WITH s AS (
 )
 SELECT l_returnflag,
        CAST(SUM(picked) AS BIGINT) AS n_sampled,
-       CAST(SUM(CASE WHEN picked = 1 THEN x END) * 16 AS DECIMAL(28,2))
-         AS est_revenue,
-       CAST(SUM(x) AS DECIMAL(28,2)) AS exact_revenue,
+       CAST(CAST(SUM(CASE WHEN picked = 1 THEN x END) * 16 AS DECIMAL(28,2))
+            AS DOUBLE) AS est_revenue,
+       CAST(CAST(SUM(x) AS DECIMAL(28,2)) AS DOUBLE) AS exact_revenue,
        ROUND(CAST(SUM(CASE WHEN picked = 1 THEN x END) * 16 - SUM(x) AS DOUBLE)
              / CAST(SUM(x) AS DOUBLE), 6) AS rel_err
 FROM s
@@ -82,8 +82,8 @@ def q_sampled_sum_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("l_returnflag")
         .agg(
             F.sum("picked").cast("long").alias("n_sampled"),
-            est.cast("decimal(28,2)").alias("est_revenue"),
-            exact.cast("decimal(28,2)").alias("exact_revenue"),
+            est.cast("decimal(28,2)").cast("double").alias("est_revenue"),
+            exact.cast("decimal(28,2)").cast("double").alias("exact_revenue"),
             F.round(
                 (est - exact).cast("double") / exact.cast("double"), 6
             ).alias("rel_err"),
@@ -314,7 +314,7 @@ WITH horizon AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(t) AS DECIMAL(30,16)) AS decay_score
+       CAST(ROUND(CAST(SUM(t) AS DECIMAL(30,16)), 6) AS DOUBLE) AS decay_score
 FROM terms
 GROUP BY user_id
 ORDER BY user_id
@@ -344,7 +344,12 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("t").cast("decimal(30,16)").alias("decay_score"),
+            # exact decimal accumulation; round in the decimal domain
+            # (both engines hold the identical exact sum) THEN cast to
+            # the engine-neutral DOUBLE boundary
+            F.round(F.sum("t").cast("decimal(30,16)"), 6)
+            .cast("double")
+            .alias("decay_score"),
         )
         .orderBy("user_id")
     )
@@ -375,7 +380,8 @@ WITH spend AS (
          CAST(SUM(s) AS DECIMAL(28,2)) AS revenue
   FROM deciled GROUP BY decile
 )
-SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue,
+SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+       CAST(revenue AS DOUBLE) AS revenue,
        ROUND(CAST(SUM(revenue) OVER (ORDER BY decile) AS DOUBLE)
              / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS cum_share
 FROM agg
@@ -415,7 +421,7 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("decile").cast("long"),
         "n_customers",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
         F.round(
             F.sum("revenue").over(wcum).cast("double")
             / F.sum("revenue").over(wtot).cast("double"),

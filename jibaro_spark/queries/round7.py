@@ -96,17 +96,21 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def edge(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str,
-             name: str) -> DataFrame:
+             name: str, broadcast_dim: bool = False) -> DataFrame:
+        # Hint broadcast ONLY for genuinely dimension-sized parents
+        # (nation/supplier — bounded key sets); orders/part/customer
+        # key-sets are fact-scale, and a forced broadcast of those
+        # would OOM a 1000-executor cluster.  AQE picks broadcast vs
+        # shuffle from runtime stats for the unhinted edges.
         keys = (
             parent.where(F.col(parent_key) % 97 != 0)
             .select(F.col(parent_key).alias("__k"))
             .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-        joined = child.join(
-            F.broadcast(keys.withColumn("__hit", F.lit(1))),
-            child[child_key] == F.col("__k"),
-            "left",
-        )
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        joined = child.join(keys, child[child_key] == F.col("__k"), "left")
         return joined.agg(
             F.lit(name).alias("fk_edge"),
             F.count(F.lit(1)).alias("n_child"),
@@ -116,9 +120,11 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = [
         edge(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey", "lineitem->orders"),
         edge(t["lineitem"], "l_partkey", t["part"], "p_partkey", "lineitem->part"),
-        edge(t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey", "lineitem->supplier"),
+        edge(t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey",
+             "lineitem->supplier", broadcast_dim=True),
         edge(t["orders"], "o_custkey", t["customer"], "c_custkey", "orders->customer"),
-        edge(t["customer"], "c_nationkey", t["nation"], "n_nationkey", "customer->nation"),
+        edge(t["customer"], "c_nationkey", t["nation"], "n_nationkey",
+             "customer->nation", broadcast_dim=True),
     ]
     out = edges[0]
     for e in edges[1:]:
@@ -141,18 +147,25 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare 64 (bucket, n_rows, checksum) triples instead of 100 TB of
 # rows, and a mismatched bucket localizes the diff to 1/64 of the
 # table.  The fingerprint uses only integer-typed columns so the
-# string rendering is engine-independent; the sum is DECIMAL(38,0) so
-# it never wraps (2^48 × 10^12 rows < 10^27).  Map-side partial
-# aggregation makes this one scan + a 64-row shuffle.
-QCHK_ORACLE = """
+# string rendering is engine-independent; the sum ACCUMULATES as
+# DECIMAL(38,0) so it never wraps (2^48 × 10^12 rows < 10^27), and the
+# PUBLISHED checksum is that exact sum reduced mod 2^61−1 (Mersenne) —
+# a standard modular fingerprint that fits BIGINT, keeping the output
+# boundary engine-neutral (DECIMAL(38,0) at the boundary was the r6
+# red-row class).  Map-side partial aggregation makes this one scan +
+# a 64-row shuffle.
+_CHK_MOD = 2305843009213693951  # 2^61 - 1
+
+QCHK_ORACLE = f"""
 SELECT l_orderkey % 64 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(CAST(('0x' || substr(
+       CAST(CAST(CAST(SUM(CAST(CAST(('0x' || substr(
               md5(CAST(l_orderkey AS VARCHAR) || '|' ||
                   CAST(l_linenumber AS VARCHAR) || '|' ||
                   CAST(l_partkey AS VARCHAR) || '|' ||
                   CAST(l_suppkey AS VARCHAR)), 1, 12)) AS BIGINT)
-            AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum
+            AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS HUGEINT)
+            % {_CHK_MOD} AS BIGINT) AS checksum
 FROM lineitem
 GROUP BY 1
 ORDER BY 1
@@ -187,7 +200,10 @@ def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy((F.col("l_orderkey") % 64).alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(fp).cast("decimal(38,0)").alias("checksum"),
+            # exact decimal accumulation, modular BIGINT boundary
+            (F.sum(fp).cast("decimal(38,0)") % F.lit(_CHK_MOD))
+            .cast("long")
+            .alias("checksum"),
         )
         .orderBy("bucket")
     )
@@ -298,8 +314,8 @@ WITH d AS (
   FROM d
 )
 SELECT l_returnflag,
-       CAST(MIN(price) AS DECIMAL(18,2)) AS weighted_median,
-       CAST(MAX(tot) AS DECIMAL(28,2)) AS total_weight
+       CAST(CAST(MIN(price) AS DECIMAL(18,2)) AS DOUBLE) AS weighted_median,
+       CAST(CAST(MAX(tot) AS DECIMAL(28,2)) AS DOUBLE) AS total_weight
 FROM c WHERE cum * 2 >= tot
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -336,8 +352,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.where(F.col("cum") * 2 >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
-            F.min("price").cast("decimal(18,2)").alias("weighted_median"),
-            F.max("tot").cast("decimal(28,2)").alias("total_weight"),
+            # selection in decimal, engine-neutral DOUBLE at the boundary
+            F.min("price").cast("decimal(18,2)").cast("double").alias(
+                "weighted_median"
+            ),
+            F.max("tot").cast("decimal(28,2)").cast("double").alias("total_weight"),
         )
         .orderBy("l_returnflag")
     )
@@ -827,7 +846,7 @@ WITH w AS (
 )
 SELECT a.p_type,
        a.p_partkey AS part_a, b.p_partkey AS part_b,
-       CAST(a.diff AS DECIMAL(18,2)) AS price_diff
+       CAST(CAST(a.diff AS DECIMAL(18,2)) AS DOUBLE) AS price_diff
 FROM best a JOIN best b
   ON a.best_k = b.p_partkey AND b.best_k = a.p_partkey
  AND a.p_partkey < b.p_partkey
@@ -883,7 +902,7 @@ def q_recip_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_type").alias("p_type"),
             F.col("a.p_partkey").alias("part_a"),
             F.col("b.p_partkey").alias("part_b"),
-            F.col("a.diff").cast("decimal(18,2)").alias("price_diff"),
+            F.col("a.diff").cast("decimal(18,2)").cast("double").alias("price_diff"),
         )
         .orderBy("p_type", "part_a")
     )
@@ -944,7 +963,7 @@ WITH d AS (
   SELECT COALESCE(MAX(CASE WHEN p * m * 20 <= rk THEN rk END), 0) AS k FROM ranked
 )
 SELECT r.pa, r.pb,
-       CAST(r.p AS DECIMAL(12,10)) AS p_value,
+       CAST(CAST(r.p AS DECIMAL(12,10)) AS DOUBLE) AS p_value,
        CAST(r.rk AS BIGINT) AS p_rank,
        CASE WHEN r.rk <= cut.k THEN 1 ELSE 0 END AS significant
 FROM ranked r CROSS JOIN cut
@@ -1022,7 +1041,7 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(cut))
         .select(
             "pa", "pb",
-            F.col("p").cast("decimal(12,10)").alias("p_value"),
+            F.col("p").cast("decimal(12,10)").cast("double").alias("p_value"),
             F.col("rk").cast("bigint").alias("p_rank"),
             F.when(F.col("rk") <= F.col("k"), 1).otherwise(0).alias("significant"),
         )
@@ -1165,8 +1184,8 @@ WITH b2 AS (
   FROM b GROUP BY scheme
 )
 SELECT scheme, n_blocks, max_block,
-       CAST(cand AS DECIMAL(38,0)) AS candidate_pairs,
-       CAST(n * (n - 1) / 2 AS DECIMAL(38,0)) AS all_pairs,
+       CAST(CAST(cand AS DECIMAL(38,0)) AS DOUBLE) AS candidate_pairs,
+       CAST(CAST(n * (n - 1) / 2 AS DECIMAL(38,0)) AS DOUBLE) AS all_pairs,
        ROUND(1 - CAST(cand AS DOUBLE) / CAST(n * (n - 1) / 2 AS DOUBLE), 6) AS reduction_ratio,
        ROUND(CAST(max_block AS DOUBLE) * n_blocks / CAST(n AS DOUBLE), 6) AS skew_factor
 FROM tot
@@ -1200,8 +1219,10 @@ def q_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scheme",
         "n_blocks",
         "max_block",
-        F.col("cand").cast("decimal(38,0)").alias("candidate_pairs"),
-        allp.alias("all_pairs"),
+        # pair counts can exceed BIGINT at 10^12 rows — the exact
+        # decimal is cast to the same nearest DOUBLE by both engines
+        F.col("cand").cast("decimal(38,0)").cast("double").alias("candidate_pairs"),
+        allp.cast("double").alias("all_pairs"),
         F.round(1 - F.col("cand").cast("double") / allp.cast("double"), 6).alias(
             "reduction_ratio"
         ),
@@ -1354,8 +1375,8 @@ c{i + 1} AS (
     tail = """
 SELECT m.cid AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_points,
-       CAST(MAX(c.cx) AS DECIMAL(28,6)) AS centroid_x,
-       CAST(MAX(c.cy) AS DECIMAL(28,6)) AS centroid_y
+       CAST(CAST(MAX(c.cx) AS DECIMAL(28,6)) AS DOUBLE) AS centroid_x,
+       CAST(CAST(MAX(c.cy) AS DECIMAL(28,6)) AS DOUBLE) AS centroid_y
 FROM m2 m JOIN c3 c ON m.cid = c.cid
 GROUP BY m.cid
 ORDER BY cluster
@@ -1441,8 +1462,13 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cluster",
             "n_points",
-            F.col("centroid_x").cast("decimal(28,6)").alias("centroid_x"),
-            F.col("centroid_y").cast("decimal(28,6)").alias("centroid_y"),
+            # 6-decimal-rounded centroids, engine-neutral DOUBLE boundary
+            F.col("centroid_x").cast("decimal(28,6)").cast("double").alias(
+                "centroid_x"
+            ),
+            F.col("centroid_y").cast("decimal(28,6)").cast("double").alias(
+                "centroid_y"
+            ),
         )
         .orderBy("cluster")
     )
@@ -1634,7 +1660,7 @@ WITH c AS (
   FROM lineitem
 )
 SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
-       running_revenue
+       CAST(running_revenue AS DOUBLE) AS running_revenue
 FROM c WHERE l_orderkey % 97 = 0
 ORDER BY l_returnflag, l_orderkey, l_linenumber
 """
@@ -1669,7 +1695,10 @@ def q_chunked_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_orderkey",
             F.col("l_linenumber").cast("int").alias("l_linenumber"),
-            F.col("running_revenue").cast("decimal(28,2)").alias("running_revenue"),
+            F.col("running_revenue")
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("running_revenue"),
         )
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )

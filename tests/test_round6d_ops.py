@@ -87,6 +87,13 @@ def test_string_keys_and_bad_args(spark):
         bloom_build(df, "k", num_bits=100)
     with pytest.raises(ValueError, match="left_semi or left_anti"):
         bloom_join(df, df, "k", "k", "inner")
+    # a probe against a filter built at a DIFFERENT num_bits must fail
+    # loudly (out-of-range element_at → NULL predicate → silent row
+    # drops, i.e. false negatives) instead of silently dropping rows
+    with pytest.raises(ValueError, match="different num_bits"):
+        bloom_might_contain(F.col("k"), words, num_bits=2048)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_might_contain(F.col("k"), words, num_bits=100)
 
 
 from hypothesis import given, settings, strategies as st

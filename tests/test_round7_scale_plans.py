@@ -20,14 +20,16 @@ def _executed_plan(df) -> str:
 
 
 def test_fk_audit_broadcasts_dim_keysets(spark):
-    """Every FK edge is child ⟕ parent-keys with the key-set broadcast
-    (dimension-sized side); no cartesian product, no shuffle of the
-    fact side beyond the final 1-row-per-edge aggregation."""
+    """The two genuinely dimension-sized parents (supplier, nation) are
+    hinted broadcast; the fact-scale parents (orders, part, customer)
+    carry NO hint — AQE picks broadcast vs shuffle from runtime stats,
+    so a forced driver-side broadcast of an orders-sized key-set can
+    never OOM at scale.  No cartesian product anywhere."""
     plan = _executed_plan(REGISTRY["q_fk_orphan_audit"].fn(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
-    # 5 edges -> 5 broadcast joins (one per child⟕keys probe)
-    assert plan.count("BroadcastHashJoin") >= 5, plan
+    # the 2 hinted dim edges must broadcast; AQE may broadcast more at
+    # this tiny SF, which is fine — the assertion is a floor, not a pin
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_partition_checksums_is_one_agg_no_join(spark):
