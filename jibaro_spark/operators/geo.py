@@ -160,3 +160,97 @@ def geo_radius_join(
         .filter(F.col(dist_col) <= F.lit(float(radius_km)))
         .drop("__cx", "__cy")
     )
+
+
+def geo_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_coords: "tuple[str, str]" = ("lat", "lon"),
+    right_coords: "tuple[str, str]" = ("lat", "lon"),
+    start_radius_km: float = 250.0,
+    max_radius_km: float = 20040.0,
+    max_abs_lat: float = 60.0,
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """Nearest ``right`` point per ``left`` point via progressive
+    radius refinement — the NN-only escape from the radius join's
+    density² term (the documented-but-unimplemented scale path from
+    the round-6b BASELINE note).
+
+    ``geo_radius_join(r)`` pays for EVERY pair within ``r``: its
+    output (and the work after the cell equi-join) grows with
+    density² · r².  When only the single nearest neighbor is wanted,
+    that is waste — so this escalates coarse-to-fine instead:
+
+    1. round k blocks the still-unresolved left points against
+       ``right`` at radius ``r_k = start · 2^k`` (3×3 lossless cells);
+    2. each left point takes its candidate argmin (dist, right_id);
+       the argmin is the TRUE global nearest iff its distance
+       ≤ ``r_k`` — the neighborhood provably contains every point
+       within ``r_k``, so nothing closer can be hiding outside it;
+    3. points whose best candidate is farther than ``r_k`` (or who
+       found none) escalate to ``2·r_k`` — but dense regions resolve
+       in the cheap early rounds, so the expensive large-radius
+       rounds run over ONLY the isolated points.  Density² applies
+       where density is low; per-round join volume is
+       |unresolved_k| · (local density at r_k), and |unresolved_k|
+       shrinks geometrically wherever data is clustered.
+
+    O(log2(max/start)) rounds, each one keyed equi-join + one
+    map-combined argmin aggregate — no windows over pair volume, no
+    cross join ever.  Per-round results are pinned with
+    ``localCheckpoint`` (same frontier discipline as the BFS operator)
+    so the unresolved anti-join does not recompute a deepening chain.
+    Left points with no right point within ``max_radius_km`` are
+    dropped (the default covers the half-circumference ⇒ total).
+
+    Returns ``(left_id, right_id, dist_col)`` — one row per resolved
+    left point; ties at equal distance break on the smaller
+    ``right_id``.
+    """
+    if start_radius_km <= 0 or max_radius_km < start_radius_km:
+        raise ValueError(
+            "need 0 < start_radius_km <= max_radius_km "
+            f"(got {start_radius_km}, {max_radius_km})"
+        )
+    llat, llon = left_coords
+    rlat, rlon = right_coords
+    unresolved = left.select(left_id, llat, llon)
+    resolved: DataFrame | None = None
+    r = float(start_radius_km)
+    while True:
+        r = min(r, float(max_radius_km))
+        cand = geo_radius_join(
+            unresolved,
+            right.select(right_id, rlat, rlon),
+            radius_km=r,
+            left_coords=left_coords,
+            right_coords=right_coords,
+            max_abs_lat=max_abs_lat,
+            dist_col="__d",
+        )
+        # argmin by (dist, right_id): struct min is lexicographic, so
+        # the right_id tie-break is total; one map-combined aggregate,
+        # never a window over the candidate volume
+        best = cand.groupBy(left_id).agg(
+            F.min(F.struct(F.col("__d"), F.col(right_id))).alias("__b")
+        )
+        # the argmin is the PROVEN global nearest only within the
+        # round's covered radius (see step 2 above)
+        won = best.filter(F.col("__b.__d") <= F.lit(r)).select(
+            left_id,
+            F.col(f"__b.{right_id}").alias(right_id),
+            F.col("__b.__d").alias(dist_col),
+        )
+        won = won.localCheckpoint(eager=True)
+        resolved = won if resolved is None else resolved.unionByName(won)
+        if r >= max_radius_km:
+            return resolved
+        unresolved = unresolved.join(
+            won.select(left_id), on=left_id, how="left_anti"
+        ).localCheckpoint(eager=True)
+        if unresolved.isEmpty():
+            return resolved
+        r *= 2.0

@@ -1,0 +1,101 @@
+"""geo_nearest_join (progressive radius refinement) semantics:
+parity vs the brute-force cross-join argmin, escalation behavior for
+isolated points, the max-radius drop contract, and argument guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jibaro_spark.operators.geo import geo_nearest_join, haversine_km
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_nn(left, right):
+    """Reference answer: cross join + per-left argmin (dist, s_id)."""
+    d = haversine_km(F.col("clat"), F.col("clon"), F.col("slat"), F.col("slon"))
+    pairs = left.crossJoin(right).withColumn("__d", d)
+    best = pairs.groupBy("c_id").agg(
+        F.min(F.struct(F.col("__d"), F.col("s_id"))).alias("b")
+    )
+    return {
+        r["c_id"]: (r["b"]["s_id"], round(r["b"]["__d"], 6))
+        for r in best.collect()
+    }
+
+
+def _fixture(spark):
+    left = spark.range(1, 301).select(
+        F.col("id").alias("c_id"),
+        (((F.col("id") * 37) % 12000) / 100.0 - 60.0).alias("clat"),
+        (((F.col("id") * 91) % 36000) / 100.0 - 180.0).alias("clon"),
+    )
+    right = spark.range(1, 41).select(
+        F.col("id").alias("s_id"),
+        (((F.col("id") * 67) % 12000) / 100.0 - 60.0).alias("slat"),
+        (((F.col("id") * 149) % 36000) / 100.0 - 180.0).alias("slon"),
+    )
+    return left, right
+
+
+def test_nearest_matches_brute_force(spark):
+    """Every left point's (neighbor, distance) equals the cross-join
+    argmin — across several escalation rounds (start radius small
+    enough that many points need to escalate)."""
+    left, right = _fixture(spark)
+    got_rows = geo_nearest_join(
+        left, right, "c_id", "s_id",
+        left_coords=("clat", "clon"), right_coords=("slat", "slon"),
+        start_radius_km=200.0,
+    ).collect()
+    got = {r["c_id"]: (r["s_id"], round(r["dist_km"], 6)) for r in got_rows}
+    assert got == _brute_nn(left, right)
+    assert len(got) == 300  # default max radius covers the sphere
+
+
+def test_single_round_when_start_radius_huge(spark):
+    """A start radius covering the sphere degenerates to one round and
+    still matches brute force."""
+    left, right = _fixture(spark)
+    got_rows = geo_nearest_join(
+        left, right, "c_id", "s_id",
+        left_coords=("clat", "clon"), right_coords=("slat", "slon"),
+        start_radius_km=20040.0, max_radius_km=20040.0,
+    ).collect()
+    got = {r["c_id"]: (r["s_id"], round(r["dist_km"], 6)) for r in got_rows}
+    assert got == _brute_nn(left, right)
+
+
+def test_max_radius_drops_isolated_points(spark):
+    """Left points with no right point within max_radius_km are
+    dropped, and every emitted distance respects the bound."""
+    left, right = _fixture(spark)
+    rows = geo_nearest_join(
+        left, right, "c_id", "s_id",
+        left_coords=("clat", "clon"), right_coords=("slat", "slon"),
+        start_radius_km=100.0, max_radius_km=400.0,
+    ).collect()
+    brute = _brute_nn(left, right)
+    within = {k: v for k, v in brute.items() if v[1] <= 400.0}
+    got = {r["c_id"]: (r["s_id"], round(r["dist_km"], 6)) for r in rows}
+    assert got == within
+    assert 0 < len(got) < 300  # the bound actually bites on this fixture
+
+
+def test_bad_radii_rejected(spark):
+    left, right = _fixture(spark)
+    with pytest.raises(ValueError, match="start_radius_km"):
+        geo_nearest_join(
+            left, right, "c_id", "s_id",
+            left_coords=("clat", "clon"), right_coords=("slat", "slon"),
+            start_radius_km=0.0,
+        )
+    with pytest.raises(ValueError, match="start_radius_km"):
+        geo_nearest_join(
+            left, right, "c_id", "s_id",
+            left_coords=("clat", "clon"), right_coords=("slat", "slon"),
+            start_radius_km=500.0, max_radius_km=100.0,
+        )
