@@ -1,6 +1,8 @@
-"""geo_nearest_join (progressive radius refinement) semantics:
-parity vs the brute-force cross-join argmin, escalation behavior for
-isolated points, the max-radius drop contract, and argument guards.
+"""Round-9 family tests: geo_nearest_join (progressive radius
+refinement) semantics — parity vs the brute-force cross-join argmin,
+escalation behavior for isolated points, the max-radius drop contract,
+argument guards — plus plan-shape assertions for the retrieval-eval,
+propensity-matching, and Neyman-allocation queries.
 """
 
 from __future__ import annotations
@@ -10,8 +12,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from jibaro_spark.operators.geo import geo_nearest_join, haversine_km
+from jibaro_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def _brute_nn(left, right):
@@ -99,3 +107,29 @@ def test_bad_radii_rejected(spark):
             left_coords=("clat", "clon"), right_coords=("slat", "slon"),
             start_radius_km=500.0, max_radius_km=100.0,
         )
+
+
+def test_propensity_match_windows_are_nation_keyed(spark):
+    """Candidate generation is adjacency windows PARTITIONED BY nation
+    — never a treated × control pair join, never a single-partition
+    window over the customer table (the only global stages are the
+    per-nation rollup rows)."""
+    plan = _executed_plan(REGISTRY["q_propensity_match"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_retrieval_ndcg_broadcasts_query_side(spark):
+    """The query side (5 vectors) broadcasts against the corpus scan;
+    metric math runs on queries × k rows only."""
+    plan = _executed_plan(REGISTRY["q_retrieval_ndcg"].fn(spark, SF))
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Largest-remainder rounding yields integer allocations summing
+    to exactly the n=1000 budget."""
+    rows = REGISTRY["q_neyman_allocation"].fn(spark, SF).collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    assert all(r["alloc"] >= 0 for r in rows)
