@@ -414,3 +414,108 @@ def incremental_agg_apply(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def incremental_minmax_apply(
+    agg: DataFrame,
+    changes: DataFrame,
+    new_fact: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str = "n",
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+    op_col: str = "op",
+    before_col: str = "before_v",
+    after_col: str = "after_v",
+    scale: int = 4,
+) -> DataFrame:
+    """Incrementally maintain a grouped MIN/MAX/COUNT aggregate from a
+    CDC change batch — the NON-self-maintainable sibling of
+    :func:`incremental_agg_apply` ([ext] IVM).
+
+    SUM/COUNT are distributive: a delta suffices.  MIN/MAX are not —
+    deleting (or updating away) the value that IS the current extremum
+    leaves the new extremum unknown without looking at the key's
+    remaining rows.  The standard fix is the dirty-key repair:
+
+    1. keys whose delete/update-before value ties the stored extremum
+       (``before <= min`` or ``before >= max``) are DIRTY, as are keys
+       whose count hits 0 or that are new — a change-batch-bounded set;
+    2. clean keys self-maintain: new_min = min(stored, inserted),
+       count from the delta — no fact access at all;
+    3. dirty keys alone are recomputed by a keyed semi-join scan of
+       ``new_fact`` (the post-change fact table).  At 100 TB the
+       dirty set is |Δ|-bounded, so the rescan reads one join's worth
+       of the fact table's matching keys (partition/file pruning
+       applies when the fact is clustered by key), never the full
+       table per refresh.
+
+    Contract: ``agg`` has ``keys + [count_col, min_col, max_col]``
+    (values as ``decimal(28,scale)``); ``changes`` has ``op_col``
+    ('c'|'u'|'d') + keys + ``before_col``/``after_col``.  The
+    maintained invariant — ``apply(full_agg(T), Δ, T′) ==
+    full_agg(T′)`` — is pinned by the oracle query and unit tests.
+    """
+    dec = f"decimal(28,{scale})"
+    ins = changes.filter(F.col(op_col) != "d").select(
+        *keys,
+        F.col(after_col).cast(dec).alias("__v"),
+        F.when(F.col(op_col) == "u", 0).otherwise(1).cast("long").alias("__dn"),
+    )
+    rem = changes.filter(F.col(op_col).isin("u", "d")).select(
+        *keys,
+        F.col(before_col).cast(dec).alias("__rv"),
+        F.when(F.col(op_col) == "u", 0).otherwise(-1).cast("long").alias("__dn"),
+    )
+    delta = (
+        ins.select(*keys, "__v", F.lit(None).cast(dec).alias("__rv"), "__dn")
+        .unionByName(
+            rem.select(*keys, F.lit(None).cast(dec).alias("__v"), "__rv", "__dn")
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum("__dn").cast("long").alias("__dn"),
+            F.min("__v").alias("__ins_min"),
+            F.max("__v").alias("__ins_max"),
+            F.min("__rv").alias("__rem_min"),
+            F.max("__rv").alias("__rem_max"),
+        )
+    )
+    a = agg.select(
+        *keys,
+        F.col(count_col).cast("long").alias(count_col),
+        F.col(min_col).cast(dec).alias(min_col),
+        F.col(max_col).cast(dec).alias(max_col),
+    )
+    merged = a.join(delta, keys, "full_outer").withColumn(
+        "__n2",
+        F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0)),
+    )
+    # dirty: a removal touches the stored extremum, or the key is new
+    # to the aggregate (no stored row), or everything was deleted
+    dirty_cond = (
+        F.col(count_col).isNull()
+        | (F.col("__rem_min").isNotNull() & (F.col("__rem_min") <= F.col(min_col)))
+        | (F.col("__rem_max").isNotNull() & (F.col("__rem_max") >= F.col(max_col)))
+    )
+    clean = merged.filter(F.col("__dn").isNull() | ~dirty_cond).filter(
+        F.col("__n2") > 0
+    )
+    clean_out = clean.select(
+        *keys,
+        F.col("__n2").alias(count_col),
+        F.least(F.col(min_col), F.col("__ins_min")).cast(dec).alias(min_col),
+        F.greatest(F.col(max_col), F.col("__ins_max")).cast(dec).alias(max_col),
+    )
+    dirty_keys = merged.filter(F.col("__dn").isNotNull() & dirty_cond).select(*keys)
+    rescanned = (
+        new_fact.join(dirty_keys, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(count_col),
+            F.min(F.col(value_col).cast(dec)).alias(min_col),
+            F.max(F.col(value_col).cast(dec)).alias(max_col),
+        )
+    )
+    return clean_out.unionByName(rescanned)

@@ -473,3 +473,104 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# Incremental MIN/MAX maintenance under CDC ([ext] IVM — the
+# non-self-maintainable case q_incremental_agg's SUM/COUNT form cannot
+# cover: deleting the extremum forces a per-key repair).  Same
+# deterministic Δ recipe as q_incremental_agg (delete %13, reprice
+# %5 +50.25, insert clone %9 +7.5); the oracle IS the maintained
+# invariant — recompute MIN/MAX/COUNT from scratch over the changed
+# table.  The operator self-maintains clean keys from the delta alone
+# and rescans ONLY the dirty keys (removal touched the stored
+# extremum, new key, emptied key) via a keyed semi-join of the
+# post-change fact — change-batch-bounded at any scale.
+QMINMAX_ORACLE = """
+WITH surviving AS (
+  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+), repriced AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(o_totalprice AS DECIMAL(28,4)) + CAST(50.25 AS DECIMAL(28,4))
+              ELSE CAST(o_totalprice AS DECIMAL(28,4)) END AS price
+  FROM surviving
+), inserted AS (
+  SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(28,4)) + CAST(7.5 AS DECIMAL(28,4)) AS price
+  FROM surviving WHERE o_orderkey % 9 = 0
+), t2 AS (
+  SELECT * FROM repriced UNION ALL SELECT * FROM inserted
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(MIN(price) AS DECIMAL(28,4)) AS DOUBLE) AS min_price,
+       CAST(CAST(MAX(price) AS DECIMAL(28,4)) AS DOUBLE) AS max_price
+FROM t2
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@declare(
+    "q_incremental_minmax",
+    oracle=QMINMAX_ORACLE,
+    description="incrementally maintained MIN/MAX/COUNT rollup from a CDC delta with dirty-key-bounded rescan — the non-self-maintainable IVM case; oracle recomputes from scratch (CDC [ext])",
+)
+def q_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.cdc import incremental_minmax_apply
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    dec_price = F.col("o_totalprice").cast("decimal(28,4)")
+    base_agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(dec_price).alias("min_v"),
+        F.max(dec_price).alias("max_v"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.lit("d").alias("op"),
+        "o_custkey",
+        dec_price.alias("before_v"),
+        F.lit(None).cast("decimal(28,4)").alias("after_v"),
+    )
+    surviving = orders.filter(F.col("o_orderkey") % 13 != 0)
+    updates = surviving.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("u").alias("op"),
+        "o_custkey",
+        dec_price.alias("before_v"),
+        (dec_price + F.lit("50.25").cast("decimal(28,4)")).alias("after_v"),
+    )
+    inserts = surviving.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.lit("c").alias("op"),
+        "o_custkey",
+        F.lit(None).cast("decimal(28,4)").alias("before_v"),
+        (dec_price + F.lit("7.5").cast("decimal(28,4)")).alias("after_v"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    # the post-change fact table the dirty-key rescan reads
+    repriced = surviving.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            dec_price + F.lit("50.25").cast("decimal(28,4)"),
+        )
+        .otherwise(dec_price)
+        .alias("price"),
+    )
+    inserted = (
+        surviving.filter(F.col("o_orderkey") % 9 == 0)
+        .select(
+            "o_custkey",
+            (dec_price + F.lit("7.5").cast("decimal(28,4)")).alias("price"),
+        )
+    )
+    new_fact = repriced.unionByName(inserted)
+    out = incremental_minmax_apply(
+        base_agg, changes, new_fact, keys=["o_custkey"], value_col="price"
+    )
+    return out.select(
+        "o_custkey",
+        "n",
+        F.col("min_v").cast("decimal(28,4)").cast("double").alias("min_price"),
+        F.col("max_v").cast("decimal(28,4)").cast("double").alias("max_price"),
+    ).orderBy("o_custkey")

@@ -133,3 +133,93 @@ def test_neyman_allocation_sums_to_budget(spark):
     rows = REGISTRY["q_neyman_allocation"].fn(spark, SF).collect()
     assert sum(r["alloc"] for r in rows) == 1000
     assert all(r["alloc"] >= 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# incremental_minmax_apply: the non-self-maintainable IVM case — each
+# scenario targets one branch of the clean/dirty split.
+
+
+def _minmax_fixture(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0), (2, 5.0), (3, 7.0)],
+        "k int, v double",
+    )
+    agg = fact.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.col("v").cast("decimal(28,4)")).alias("min_v"),
+        F.max(F.col("v").cast("decimal(28,4)")).alias("max_v"),
+    )
+    return fact, agg
+
+
+def _apply(spark, fact, agg, change_rows):
+    from jibaro_spark.operators.cdc import incremental_minmax_apply
+
+    changes = spark.createDataFrame(
+        change_rows, "op string, k int, before_v double, after_v double"
+    )
+    # build the post-change fact the way a CDC consumer would
+    dels = {(r[1], r[2]) for r in change_rows if r[0] in ("d", "u")}
+    adds = [(r[1], r[3]) for r in change_rows if r[0] in ("c", "u")]
+    old = [(r["k"], float(r["v"])) for r in fact.collect()]
+    new = list(old)
+    for key, val in dels:
+        new.remove((key, val))
+    new += adds
+    new_fact = spark.createDataFrame(new, "k int, v double")
+    out = incremental_minmax_apply(
+        agg, changes, new_fact, keys=["k"], value_col="v"
+    )
+    got = {
+        r["k"]: (r["n"], float(r["min_v"]), float(r["max_v"]))
+        for r in out.collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["min_v"]), float(r["max_v"]))
+        for r in new_fact.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.col("v").cast("decimal(28,4)")).alias("min_v"),
+            F.max(F.col("v").cast("decimal(28,4)")).alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_minmax_delete_of_extremum_repairs(spark):
+    fact, agg = _minmax_fixture(spark)
+    _apply(spark, fact, agg, [("d", 1, 10.0, None)])  # deletes the min
+
+
+def test_minmax_delete_of_interior_value_self_maintains(spark):
+    fact, agg = _minmax_fixture(spark)
+    _apply(spark, fact, agg, [("d", 1, 20.0, None)])
+
+
+def test_minmax_delete_one_of_tied_extrema(spark):
+    fact, agg = _minmax_fixture(spark)
+    _apply(spark, fact, agg, [("d", 2, 5.0, None)])  # twin 5.0 remains
+
+
+def test_minmax_update_moves_extremum(spark):
+    fact, agg = _minmax_fixture(spark)
+    _apply(spark, fact, agg, [("u", 1, 30.0, 2.0)])  # max becomes new min
+
+
+def test_minmax_new_key_and_emptied_key(spark):
+    fact, agg = _minmax_fixture(spark)
+    _apply(
+        spark,
+        fact,
+        agg,
+        [("c", 9, None, 42.0), ("d", 3, 7.0, None)],  # key 3 vanishes
+    )
+
+
+def test_minmax_insert_only_self_maintains(spark):
+    fact, agg = _minmax_fixture(spark)
+    _apply(spark, fact, agg, [("c", 1, None, 1.0), ("c", 1, None, 99.0)])
