@@ -695,3 +695,85 @@ def edit_distance_join(
         if block_on is not None
         else res
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT join: pairs with
+    ``|A∩B| / |A| >= threshold`` — the asymmetric near-dup measure
+    that catches a small document embedded inside a larger one
+    (quotes, boilerplate wrapping, excerpting), which symmetric
+    Jaccard structurally misses (a 50-shingle doc inside a
+    5000-shingle doc has J ≈ 0.01 but containment 1.0).
+
+    Candidate generation is the asymmetric prefix scheme: the PROBE
+    side A indexes only its first ``|A| − ceil(τ·|A|) + 1`` shingles
+    in rare-first global order (any qualifying pair shares at least
+    ``ceil(τ·|A|)`` shingles, so A's prefix must contain a shared
+    one), while the INDEX side B posts ALL its shingles — containment
+    puts no lower bound on B's shared fraction, so B cannot be
+    prefix-pruned.  Exact containment on the full shingle sets then
+    verifies every candidate.  Pairs are DIRECTED (id_a contained in
+    id_b); both directions can qualify independently.
+
+    Scale: the A-side prefix keeps hot shingles out of the probe
+    (rare-first order); the B-side inverted index is the inherent
+    cost of containment semantics — its hot-shingle blocks are
+    ordinary join skew (AQE skew-split), and the verify joins run on
+    deduplicated candidates only.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    posting = sh.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
+    )
+    freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("__id").orderBy("df", "shingle")
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    probe = (
+        posting.join(freq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select("__id", "shingle")
+    )
+    cand = (
+        probe.alias("a")
+        .join(
+            posting.select("__id", "shingle").alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    with_sets = (
+        cand.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        with_sets.withColumn(
+            "containment",
+            F.round(inter.cast("double") / F.size("sh_a").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.size("sh_a").cast("long").alias("n_grams_a"),
+            "containment",
+        )
+    )

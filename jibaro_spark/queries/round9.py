@@ -574,3 +574,59 @@ def q_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_v").cast("decimal(28,4)").cast("double").alias("min_price"),
         F.col("max_v").cast("decimal(28,4)").cast("double").alias("max_price"),
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Directed n-gram CONTAINMENT pairs ([ext] dedup — the asymmetric
+# measure: |A∩B|/|A| catches a small doc embedded in a large one,
+# which symmetric Jaccard structurally misses).  The Spark side is
+# operators/dedup.ngram_containment_pairs (probe-side prefix filter,
+# full inverted index on the contained-in side, exact verify); the
+# oracle is the brute-force exploded-gram join.  Shingle SQL mirrors
+# queries/llm.py's proven _TOKS macro (identical normalization and
+# slice clamping to operators/dedup.shingles).  Both sides threshold
+# the ROUNDED containment, so the boundary comparison is identical.
+_NORM9 = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS9 = f"string_split({_NORM9}, ' ')"
+
+QCONTAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS9} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_grams_a, containment FROM (
+  SELECT c.id_a, c.id_b, CAST(sa.n AS BIGINT) AS n_grams_a,
+         ROUND(CAST(c.inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment
+  FROM cand c JOIN sz sa ON sa.doc_id = c.id_a
+)
+WHERE containment >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@declare(
+    "q_containment_pairs",
+    oracle=QCONTAIN_ORACLE,
+    description="directed n-gram containment pairs (|A∩B|/|A| ≥ 0.5) via asymmetric prefix filtering — catches small-doc-inside-big-doc duplication Jaccard misses (dedup [ext])",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")

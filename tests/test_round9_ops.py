@@ -223,3 +223,64 @@ def test_minmax_new_key_and_emptied_key(spark):
 def test_minmax_insert_only_self_maintains(spark):
     fact, agg = _minmax_fixture(spark)
     _apply(spark, fact, agg, [("c", 1, None, 1.0), ("c", 1, None, 99.0)])
+
+
+# --------------------------------------------------------------------------
+# ngram_containment_pairs: asymmetric semantics + completeness.
+
+
+def test_containment_is_directional(spark):
+    """A short doc embedded verbatim in a long doc qualifies a→b with
+    containment 1.0; the reverse direction does not reach τ; Jaccard
+    at the same τ would find nothing."""
+    from jibaro_spark.operators.dedup import ngram_containment_pairs
+
+    small = "the quick brown fox jumps over the lazy dog"
+    big = (
+        "intro text before the quote begins now "
+        + small
+        + " and then a very long tail "
+        + " ".join(f"filler{i}" for i in range(60))
+    )
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    rows = ngram_containment_pairs(df, "doc_id", "text", 3, 0.8).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_matches_brute_force(spark):
+    """Prefix-filtered candidates lose no qualifying directed pair vs
+    the brute-force all-pairs answer on fixture documents."""
+    from jibaro_spark.operators.dedup import ngram_containment_pairs, shingles
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("i"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("s"),
+    )
+    brute = (
+        sh.alias("a")
+        .crossJoin(sh.select(F.col("i").alias("j"), F.col("s").alias("t")).alias("b"))
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.size(F.array_intersect("s", "t")).cast("double")
+                / F.size("s").cast("double"),
+                6,
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.5)
+        .collect()
+    )
+    want = {(r["i"], r["j"]): r["c"] for r in brute}
+    assert got == want and len(got) > 0
