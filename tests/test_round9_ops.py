@@ -284,3 +284,84 @@ def test_containment_matches_brute_force(spark):
     )
     want = {(r["i"], r["j"]): r["c"] for r in brute}
     assert got == want and len(got) > 0
+
+
+from hypothesis import given, settings, strategies as st
+
+FEW = settings(max_examples=5, deadline=None, derandomize=True)
+
+
+@FEW
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    ops=st.data(),
+)
+def test_minmax_incremental_law(spark, fact, ops):
+    """Law: incremental_minmax_apply(full_agg(T), Δ, T′) == full_agg(T′)
+    for random facts and random delete/update/insert batches."""
+    from jibaro_spark.operators.cdc import incremental_minmax_apply
+
+    n = len(fact)
+    del_idx = ops.draw(st.sets(st.integers(0, n - 1), max_size=n))
+    upd_idx = ops.draw(
+        st.sets(
+            st.sampled_from(sorted(set(range(n)) - del_idx))
+            if len(del_idx) < n
+            else st.nothing(),
+            max_size=n,
+        )
+    )
+    inserts = ops.draw(
+        st.lists(st.tuples(st.integers(1, 6), st.integers(-50, 50)), max_size=5)
+    )
+    changes, new = [], []
+    for i, (k, v) in enumerate(fact):
+        if i in del_idx:
+            changes.append(("d", k, float(v), None))
+        elif i in upd_idx:
+            nv = float(v + 1000)
+            changes.append(("u", k, float(v), nv))
+            new.append((k, nv))
+        else:
+            new.append((k, float(v)))
+    for k, v in inserts:
+        changes.append(("c", k, None, float(v)))
+        new.append((k, float(v)))
+    if not changes:
+        changes = [("c", 1, None, 0.0)]
+        new.append((1, 0.0))
+
+    fact_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in fact], "k int, v double"
+    )
+    agg = fact_df.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.col("v").cast("decimal(28,4)")).alias("min_v"),
+        F.max(F.col("v").cast("decimal(28,4)")).alias("max_v"),
+    )
+    new_df = spark.createDataFrame(new, "k int, v double")
+    changes_df = spark.createDataFrame(
+        changes, "op string, k int, before_v double, after_v double"
+    )
+    out = incremental_minmax_apply(
+        agg, changes_df, new_df, keys=["k"], value_col="v"
+    )
+    got = {
+        r["k"]: (r["n"], float(r["min_v"]), float(r["max_v"]))
+        for r in out.collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["min_v"]), float(r["max_v"]))
+        for r in new_df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.col("v").cast("decimal(28,4)")).alias("min_v"),
+            F.max(F.col("v").cast("decimal(28,4)")).alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
