@@ -630,3 +630,278 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect ([ext] experimentation
+# design — the question asked BEFORE the test runs, completing the
+# family around q_srm_check / q_ab_welch_ttest / q_cuped_adjust).  Per
+# priority: md5-nibble 50/50 arms (the q_srm_check split), pooled sd
+# from exact DECIMAL(38,4) moments, and the two-sided α=0.05 /
+# 80%-power MDE = (z_{α/2}+z_β)·sd·√(1/n_a+1/n_b) with the z literals
+# written identically in both engines.  One grouped scan; the MDE is
+# a single double expression over exact integer/decimal inputs.
+QMDE_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT o_orderpriority, n_a, n - n_a AS n_b,
+         SQRT((sq - sm * sm / n) / (n - 1)) AS sd,
+         sm / n AS mean
+  FROM s
+)
+SELECT o_orderpriority, n_a, n_b,
+       ROUND(sd, 6) AS sd_price,
+       ROUND((1.959964 + 0.841621) * sd
+             * SQRT(1.0 / n_a + 1.0 / n_b), 6) AS mde_abs,
+       ROUND((1.959964 + 0.841621) * sd
+             * SQRT(1.0 / n_a + 1.0 / n_b) / mean, 6) AS mde_rel
+FROM m
+ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "q_ab_power_mde",
+    oracle=QMDE_ORACLE,
+    description="pre-test A/B power analysis: minimum detectable effect per priority at α=0.05 / 80% power from exact decimal moments and the md5 arm split (experimentation [ext])",
+)
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    in_a = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(dec).cast("double").alias("sm"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt((F.col("sq") - F.col("sm") * F.col("sm") / nd) / (nd - 1))
+    mean = F.col("sm") / nd
+    n_b = (F.col("n") - F.col("n_a")).cast("long")
+    half = (
+        F.lit(1.959964 + 0.841621)
+        * sd
+        * F.sqrt(1.0 / F.col("n_a") + 1.0 / n_b.cast("double"))
+    )
+    return s.select(
+        "o_orderpriority",
+        "n_a",
+        n_b.alias("n_b"),
+        F.round(sd, 6).alias("sd_price"),
+        F.round(half, 6).alias("mde_abs"),
+        F.round(half / mean, 6).alias("mde_rel"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope per source ([ext] corpus statistics — the
+# canonical sanity check that a text source is natural-language-like:
+# ln(freq) vs ln(rank) over the top-50 terms should fall near slope
+# −1; synthetic or templated sources flatten or step).  Token counts
+# are exact; top-50 per source is a SALTED two-phase top-k (local
+# top-50 per (source, 64-way token-hash salt), then rank the ≤ 64·50
+# survivors — the global top-50 is provably inside the salted union,
+# and no task ever sorts a full per-source vocabulary).  The OLS
+# slope runs on 50 rows per source with round(ln·,10)→decimal sums.
+QZIPF_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(regexp_replace(trim(lower(text)),
+                                     '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+), freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+), ranked AS (
+  SELECT source, tok, f,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
+  FROM freq
+), top AS (
+  SELECT source,
+         CAST(ROUND(LN(r), 10) AS DECIMAL(18,10)) AS x,
+         CAST(ROUND(LN(f), 10) AS DECIMAL(18,10)) AS y
+  FROM ranked WHERE r <= 50
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE) AS sxy
+  FROM top GROUP BY source
+)
+SELECT source, n AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+ORDER BY source
+"""
+
+
+@declare(
+    "q_zipf_slope",
+    oracle=QZIPF_ORACLE,
+    description="Zipf rank-frequency log-log OLS slope of the top-50 terms per source — salted two-phase top-k, decimal ln sums (corpus stats [ext])",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = docs.select(
+        "source", F.explode(F.split(norm, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    # salted two-phase top-k: the global top-50 per source is inside
+    # the union of per-salt local top-50s, so no task sorts a full
+    # per-source vocabulary (same discipline as the ES-sampling and
+    # KMV bottom-k rewrites)
+    w_local = Window.partitionBy("source", "__salt").orderBy(
+        F.desc("f"), F.asc("tok")
+    )
+    pruned = (
+        freq.withColumn("__salt", F.pmod(F.xxhash64("tok"), F.lit(64)))
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= 50)
+    )
+    w_global = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))
+    top = (
+        pruned.withColumn("r", F.row_number().over(w_global))
+        .filter(F.col("r") <= 50)
+        .select(
+            "source",
+            F.round(F.log("r"), 10).cast("decimal(18,10)").alias("x"),
+            F.round(F.log("f"), 10).cast("decimal(18,10)").alias("y"),
+        )
+    )
+    s = top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,20)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,20)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Winsorized and trimmed means ([ext] robust stats — the clamp-vs-drop
+# pair next to the MAD screen): per return flag, the 10th/90th
+# percentile thresholds come from the distinct-price ECDF (counts
+# collapse first, type-1 quantile by integer rank comparison — the KS
+# machinery's shape), values clamp (winsorize) or drop (trim) against
+# the exact decimal thresholds, and both means are decimal-sum /
+# count in double.  No windows over line items — only over distinct
+# prices per flag.
+QWINSOR_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), e AS (
+  SELECT flag, v, c,
+         SUM(c) OVER (PARTITION BY flag ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY flag) AS n
+  FROM d
+), th AS (
+  SELECT flag,
+         MIN(CASE WHEN cum * 10 >= n THEN v END) AS lo,
+         MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS hi,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM e GROUP BY flag
+), agg AS (
+  SELECT d.flag, t.lo, t.hi, t.n,
+         SUM(d.c * CASE WHEN d.v < t.lo THEN t.lo
+                        WHEN d.v > t.hi THEN t.hi
+                        ELSE d.v END) AS wsum,
+         SUM(CASE WHEN d.v >= t.lo AND d.v <= t.hi THEN d.c ELSE 0 END) AS tn,
+         SUM(CASE WHEN d.v >= t.lo AND d.v <= t.hi THEN d.c * d.v END) AS tsum
+  FROM d JOIN th t ON t.flag = d.flag
+  GROUP BY 1, 2, 3, 4
+)
+SELECT flag,
+       CAST(lo AS DOUBLE) AS p10,
+       CAST(hi AS DOUBLE) AS p90,
+       ROUND(CAST(wsum AS DOUBLE) / n, 6) AS winsorized_mean,
+       ROUND(CAST(tsum AS DOUBLE) / tn, 6) AS trimmed_mean,
+       CAST(tn AS BIGINT) AS n_kept
+FROM agg
+ORDER BY flag
+"""
+
+
+@declare(
+    "q_winsorized_stats",
+    oracle=QWINSOR_ORACLE,
+    description="winsorized (clamp) and trimmed (drop) means per return flag with type-1 decile thresholds from the distinct-price ECDF — counts-first, decimal-exact (robust stats [ext])",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum_w = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag_w = Window.partitionBy("flag")
+    e = d.select(
+        "flag",
+        "v",
+        "c",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(flag_w).alias("n"),
+    )
+    th = e.groupBy("flag").agg(
+        F.min(F.when(F.col("cum") * 10 >= F.col("n"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("v"))).alias("hi"),
+        F.max("n").cast("long").alias("n"),
+    )
+    joined = d.join(th, "flag")
+    wv = (
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    kept = (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    agg = joined.groupBy("flag", "lo", "hi", "n").agg(
+        F.sum(F.col("c") * wv).alias("wsum"),
+        F.sum(F.when(kept, F.col("c")).otherwise(0)).alias("tn"),
+        F.sum(F.when(kept, F.col("c") * F.col("v"))).alias("tsum"),
+    )
+    return agg.select(
+        "flag",
+        F.col("lo").cast("double").alias("p10"),
+        F.col("hi").cast("double").alias("p90"),
+        F.round(F.col("wsum").cast("double") / F.col("n"), 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.col("tsum").cast("double") / F.col("tn"), 6).alias(
+            "trimmed_mean"
+        ),
+        F.col("tn").cast("long").alias("n_kept"),
+    ).orderBy("flag")
