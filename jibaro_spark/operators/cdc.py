@@ -456,6 +456,12 @@ def incremental_minmax_apply(
     ('c'|'u'|'d') + keys + ``before_col``/``after_col``.  The
     maintained invariant — ``apply(full_agg(T), Δ, T′) ==
     full_agg(T′)`` — is pinned by the oracle query and unit tests.
+
+    Reference scope: the reference engine's CDC path maintains
+    row-level current state only (`/root/reference/jibaro/cdc.py`
+    MERGE semantics); aggregate-view maintenance is an [ext] operator
+    from the large-scale pipeline brief, like
+    :func:`incremental_agg_apply` above.
     """
     dec = f"decimal(28,{scale})"
     ins = changes.filter(F.col(op_col) != "d").select(

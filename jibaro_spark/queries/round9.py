@@ -36,13 +36,9 @@ from jibaro_spark.queries.registry import declare, load_tables
 # isolated points, so the large radii are probed by few rows.  The
 # oracle is the brute-force cross-join argmin — exactly what the
 # operator exists to avoid at scale — with the haversine written as
-# the identical expression tree.
-_HAV_SQL = (
-    "12742.0 * ASIN(SQRT("
-    "SIN(RADIANS(slat - clat) / 2) * SIN(RADIANS(slat - clat) / 2)"
-    " + COS(RADIANS(clat)) * COS(RADIANS(slat))"
-    " * SIN(RADIANS(slon - clon) / 2) * SIN(RADIANS(slon - clon) / 2)))"
-)
+# the identical expression tree (single-sourced from round6b so the
+# cross-engine parity contract has one auditable copy).
+from jibaro_spark.queries.round6b import _HAVERSINE_SQL as _HAV_SQL  # noqa: E402
 
 QGEO_NN_ORACLE = f"""
 WITH c AS (
@@ -582,12 +578,12 @@ def q_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which symmetric Jaccard structurally misses).  The Spark side is
 # operators/dedup.ngram_containment_pairs (probe-side prefix filter,
 # full inverted index on the contained-in side, exact verify); the
-# oracle is the brute-force exploded-gram join.  Shingle SQL mirrors
+# oracle is the brute-force exploded-gram join.  Shingle SQL reuses
 # queries/llm.py's proven _TOKS macro (identical normalization and
-# slice clamping to operators/dedup.shingles).  Both sides threshold
-# the ROUNDED containment, so the boundary comparison is identical.
-_NORM9 = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-_TOKS9 = f"string_split({_NORM9}, ' ')"
+# slice clamping to operators/dedup.shingles) so the normalization
+# regex has a single auditable copy.  Both sides threshold the
+# ROUNDED containment, so the boundary comparison is identical.
+from jibaro_spark.queries.llm import _TOKS as _TOKS9  # noqa: E402
 
 QCONTAIN_ORACLE = f"""
 WITH toks AS (
@@ -715,10 +711,9 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivors — the global top-50 is provably inside the salted union,
 # and no task ever sorts a full per-source vocabulary).  The OLS
 # slope runs on 50 rows per source with round(ln·,10)→decimal sums.
-QZIPF_ORACLE = """
+QZIPF_ORACLE = f"""
 WITH toks AS (
-  SELECT source, unnest(string_split(regexp_replace(trim(lower(text)),
-                                     '\\s+', ' ', 'g'), ' ')) AS tok
+  SELECT source, unnest({_TOKS9}) AS tok
   FROM documents
 ), freq AS (
   SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
@@ -752,10 +747,11 @@ ORDER BY source
     description="Zipf rank-frequency log-log OLS slope of the top-50 terms per source — salted two-phase top-k, decimal ln sums (corpus stats [ext])",
 )
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.textops import tokens
+
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     toks = docs.select(
-        "source", F.explode(F.split(norm, " ")).alias("tok")
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
     freq = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("f")

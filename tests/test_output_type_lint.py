@@ -14,8 +14,13 @@ driver surprise into a pytest failure:
 * every declared oracle's DuckDB result types must contain no
   DECIMAL or HUGEINT or UBIGINT.
 
-Schema-only on the Spark side (no action is triggered beyond any
-bounded collects a query performs while building its plan).
+The Spark side inspects the schema only, but BUILDING a query's
+DataFrame is not always action-free: queries with bounded driver-side
+collects (codebooks, bloom words) or iterative loops pinned by
+localCheckpoint (geo NN refinement, chunked prefix sums) execute
+those stages at the fixture SF before a schema exists.  Keep such
+work fixture-bounded when adding queries, or the lint (and every
+other registry-walking test) pays for it.
 """
 
 from __future__ import annotations

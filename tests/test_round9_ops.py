@@ -365,3 +365,32 @@ def test_minmax_incremental_law(spark, fact, ops):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_containment_exact_ceiling_at_adversarial_threshold(spark):
+    """τ·|A| can land 1 ulp above an integer in doubles
+    (ceil(0.07·100) = 8 instead of 7), which would shorten the prefix
+    and over-prune — a pair with containment exactly τ must survive.
+    Doc A has exactly 100 distinct shingles; doc B shares exactly the
+    7 interior trigrams of a 9-word run, so containment(A→B) = 0.07."""
+    from jibaro_spark.operators.dedup import ngram_containment_pairs, shingles
+
+    a_words = [f"wa{i}" for i in range(102)]  # 100 trigrams, all distinct
+    run = a_words[10:19]  # 9 words → 7 interior trigrams
+    b_words = [f"xb{i}" for i in range(40)] + run + [f"yb{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    # sanity: the fixture is what the docstring claims
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.size(F.array_distinct(shingles(F.col("text"), 3))).alias("n"),
+        ).collect()
+    }
+    assert sizes[1] == 100
+    rows = ngram_containment_pairs(df, "doc_id", "text", 3, 0.07).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
+    assert got.get((1, 2)) == 0.07, got
