@@ -901,3 +901,138 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("tn").cast("long").alias("n_kept"),
     ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# md5-verifiable HyperLogLog ([ext] sketches — the HLL twin of r6's
+# q_cms_heavy_hitters_md5, shrinking the rows-only set: the production
+# q_hll_mergeable_distinct uses Spark's Datasketches HLL whose
+# estimates are engine-specific, so THIS query runs the whole register
+# pipeline in portable arithmetic).  h = md5(key): first 2 hex digits
+# → bucket (m=256), next 14 hex digits → a 56-bit word whose
+# leading-zero count is derived by EXACT string/integer ops (strip
+# leading '0' hex digits; the first nonzero digit contributes 0-3
+# bits) — no float log2, which is off-by-ulp at exact powers of two.
+# Z = Σ 2^(−M_j) is computed as an exact integer Σ 2^(57−M_j) in
+# DECIMAL (≤ 256·2^57 < 2^66), one double division at the end; absent
+# buckets contribute 2^57.  The raw (uncorrected) HLL estimator with
+# α_256 written as the same literal expression both sides; the merged
+# row demonstrates HLL's union law — per-bucket MAX of the per-group
+# registers IS the union sketch, no rescan.
+_HLL_RHO_SQL = """
+CASE WHEN stripped = '' THEN 57
+     ELSE 4 * (14 - LENGTH(stripped))
+          + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                 WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                 WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+                 ELSE 0 END
+          + 1 END
+"""
+
+QHLLMD5_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderstatus AS grp, md5(CAST(o_custkey AS VARCHAR)) AS hx
+  FROM orders
+), parts AS (
+  SELECT grp,
+         CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+         regexp_replace(substr(hx, 3, 14), '^0+', '') AS stripped
+  FROM h
+), regs AS (
+  SELECT grp, bucket, CAST(MAX({_HLL_RHO_SQL}) AS BIGINT) AS m
+  FROM parts GROUP BY 1, 2
+), zsum AS (
+  SELECT grp,
+         CAST(SUM(CAST(CAST(1 AS BIGINT) << CAST(57 - m AS INTEGER) AS DECIMAL(38,0)))
+              + (256 - COUNT(*)) * CAST(CAST(1 AS BIGINT) << 57 AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS zint,
+         CAST(COUNT(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY grp
+), uregs AS (
+  SELECT bucket, MAX(m) AS m FROM regs GROUP BY bucket
+), uz AS (
+  SELECT CAST(SUM(CAST(CAST(1 AS BIGINT) << CAST(57 - m AS INTEGER) AS DECIMAL(38,0)))
+              + (256 - COUNT(*)) * CAST(CAST(1 AS BIGINT) << 57 AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS zint
+  FROM uregs
+), ex AS (
+  SELECT o_orderstatus AS grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+  FROM orders GROUP BY 1
+)
+SELECT z.grp, z.n_regs,
+       ROUND((0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             / (CAST(z.zint AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 57 AS DOUBLE)), 6)
+         AS hll_estimate,
+       e.exact_custs,
+       ROUND((0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             / (CAST(u.zint AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 57 AS DOUBLE)), 6)
+         AS union_estimate
+FROM zsum z JOIN ex e ON e.grp = z.grp CROSS JOIN uz u
+ORDER BY z.grp
+"""
+
+
+@declare(
+    "q_hll_union_md5",
+    oracle=QHLLMD5_ORACLE,
+    description="md5-mode HyperLogLog: portable register pipeline (exact leading-zero arithmetic, integer-exact Z sums) per order status + union-by-register-max merge — the verifiable twin of the Datasketches HLL rollup (sketches [ext])",
+)
+def q_hll_union_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    hx = F.md5(F.col("o_custkey").cast("string"))
+    parts = o.select(
+        F.col("o_orderstatus").alias("grp"),
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.regexp_replace(F.substring(hx, 3, 14), "^0+", "").alias("stripped"),
+    )
+    first = F.substring("stripped", 1, 1)
+    rho = F.when(F.col("stripped") == "", 57).otherwise(
+        4 * (14 - F.length("stripped"))
+        + F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    regs = parts.withColumn("rho", rho).groupBy("grp", "bucket").agg(
+        F.max("rho").cast("long").alias("m")
+    )
+    # F.shiftleft takes a literal bit count; the per-row shift needs expr()
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(57 - m AS INT))").cast(
+        "decimal(38,0)"
+    )
+    full = F.shiftleft(F.lit(1).cast("long"), 57).cast("decimal(38,0)")
+
+    def zint(df, keys):
+        return df.groupBy(*keys).agg(
+            (F.sum(term) + (256 - F.count(F.lit(1))) * full)
+            .cast("decimal(38,0)")
+            .alias("zint"),
+            F.count(F.lit(1)).cast("long").alias("n_regs"),
+        )
+
+    alpha_mm = F.lit(0.7213 / (1 + 1.079 / 256)) * 256 * 256
+    denom = F.col("zint").cast("double") / F.shiftleft(
+        F.lit(1).cast("long"), 57
+    ).cast("double")
+    zsum = zint(regs, ["grp"])
+    # union law: per-bucket MAX across groups IS the union sketch
+    uregs = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    uz = zint(uregs, []).select(
+        F.round(alpha_mm / denom, 6).alias("union_estimate")
+    )
+    ex = o.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_custs")
+    )
+    return (
+        zsum.join(ex, "grp")
+        .crossJoin(F.broadcast(uz))
+        .select(
+            "grp",
+            "n_regs",
+            F.round(alpha_mm / denom, 6).alias("hll_estimate"),
+            "exact_custs",
+            "union_estimate",
+        )
+        .orderBy("grp")
+    )
