@@ -11,7 +11,19 @@
   causal family (DiD, CUPED already covered);
 - Neyman optimal sample allocation with largest-remainder integer
   rounding — the survey-design complement of the Horvitz-Thompson
-  estimator.
+  estimator;
+- incremental MIN/MAX maintenance under CDC with dirty-key-bounded
+  repair — the non-self-maintainable IVM case;
+- directed n-gram containment pairs — the asymmetric dedup measure
+  (small doc inside big doc) Jaccard structurally misses;
+- A/B power analysis (minimum detectable effect) — the pre-test
+  experimentation-design question;
+- Zipf rank-frequency slope per source — the natural-language sanity
+  check for a text source, via salted two-phase top-k;
+- winsorized/trimmed means — clamp-vs-drop robust statistics from
+  the distinct-value ECDF;
+- md5-mode HyperLogLog with union-by-register-max merge — the
+  verifiable twin of the Datasketches HLL rollup.
 
 Determinism contract: same as the rest of the registry — exact
 integer/decimal lanes for everything ranked or compared, per-term
