@@ -23,7 +23,13 @@
 - winsorized/trimmed means — clamp-vs-drop robust statistics from
   the distinct-value ECDF;
 - md5-mode HyperLogLog with union-by-register-max merge — the
-  verifiable twin of the Datasketches HLL rollup.
+  verifiable twin of the Datasketches HLL rollup;
+- decision-stump split finding by weighted Gini — the distributed
+  GBDT/tree-learning primitive, counts-first over the value domain;
+- two-feature OLS solved in closed form from exact decimal
+  sufficient statistics — non-iterative in-engine regression;
+- one-round bipartite label propagation — majority-vote
+  semi-supervised labeling on the customer→supplier graph.
 
 Determinism contract: same as the rest of the registry — exact
 integer/decimal lanes for everything ranked or compared, per-term
@@ -1047,4 +1053,296 @@ def q_hll_union_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "union_estimate",
         )
         .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finding ([ext] in-engine ML training — THE
+# distributed-GBDT primitive: per group, the price threshold that best
+# separates high-priority orders by weighted Gini impurity).  Counts
+# collapse to distinct (group, price) rows FIRST (the KS /
+# weighted-median shape: the cumulative window runs over the
+# value-domain-bounded distinct table, never the order volume); class
+# counts are exact integers, the Gini score is one double expression
+# over them ROUNDED TO 10 before the argmin rank, and ties break on
+# the smaller threshold — engine-invariant split choice.
+QGINI_ORACLE = """
+WITH d AS (
+  SELECT o_orderstatus AS grp,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS npos
+  FROM orders GROUP BY 1, 2
+), c AS (
+  SELECT grp, v,
+         SUM(n) OVER (PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         SUM(npos) OVER (PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+         SUM(n) OVER (PARTITION BY grp) AS nt,
+         SUM(npos) OVER (PARTITION BY grp) AS pt
+  FROM d
+), scored AS (
+  SELECT grp, v, nl, pl, nt, pt,
+         ROUND(
+           (CAST(nl AS DOUBLE) / nt)
+             * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                  - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+           + (CAST(nt - nl AS DOUBLE) / nt)
+             * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl)) * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                  - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))
+                    * (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))),
+           10) AS wg
+  FROM c WHERE nl < nt
+), best AS (
+  SELECT grp, v, nl, pl, wg,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY wg, v) AS rk,
+         MAX(nt) OVER (PARTITION BY grp) AS nt,
+         MAX(pt) OVER (PARTITION BY grp) AS pt
+  FROM scored
+)
+SELECT grp,
+       CAST(v AS DOUBLE) AS best_threshold,
+       CAST(nl AS BIGINT) AS left_n,
+       CAST(pl AS BIGINT) AS left_pos,
+       ROUND((1 - (CAST(pt AS DOUBLE) / nt) * (CAST(pt AS DOUBLE) / nt)
+                - (CAST(nt - pt AS DOUBLE) / nt) * (CAST(nt - pt AS DOUBLE) / nt))
+             - wg, 6) AS gini_gain
+FROM best WHERE rk = 1
+ORDER BY grp
+"""
+
+
+@declare(
+    "q_gini_split",
+    oracle=QGINI_ORACLE,
+    description="decision-stump split finding per order status: best price threshold by weighted Gini over distinct-value class counts — the distributed-GBDT primitive, counts-first (ML training [ext])",
+)
+def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("npos"),
+    )
+    cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    c = d.select(
+        "grp",
+        "v",
+        F.sum("n").over(cum).alias("nl"),
+        F.sum("npos").over(cum).alias("pl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("npos").over(tot).alias("pt"),
+    )
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nt, pt = F.col("nt").cast("double"), F.col("pt").cast("double")
+    nr, pr = nt - nl, pt - pl
+    wg = F.round(
+        (nl / nt) * (1 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl))
+        + (nr / nt) * (1 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)),
+        10,
+    )
+    scored = c.filter(F.col("nl") < F.col("nt")).withColumn("wg", wg)
+    rk = Window.partitionBy("grp").orderBy("wg", "v")
+    best = scored.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") == 1)
+    base = 1 - (pt / nt) * (pt / nt) - ((nt - pt) / nt) * ((nt - pt) / nt)
+    return best.select(
+        "grp",
+        F.col("v").cast("double").alias("best_threshold"),
+        F.col("nl").cast("long").alias("left_n"),
+        F.col("pl").cast("long").alias("left_pos"),
+        F.round(base - F.col("wg"), 6).alias("gini_gain"),
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS per nation ([ext] in-engine ML — multivariate
+# regression from sufficient statistics, the closed-form sibling of
+# the gradient logreg trainer: spend ~ acctbal + n_orders).  All
+# sufficient statistics (Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y,
+# Σy²) accumulate as EXACT decimals in one grouped scan; the centered
+# 2×2 normal-equation solve is a handful of double expressions over
+# those exact sums — no iteration, no shuffle beyond the two keyed
+# aggs, deterministic in any engine.
+QOLS2_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS x1,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(28,2)) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+), s AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,2))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,4))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,2))) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM per_cust GROUP BY nk
+), m AS (
+  SELECT nk, n,
+         s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy,
+         s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM s
+)
+SELECT nk AS nationkey, n,
+       ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6) AS beta_acctbal,
+       ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6) AS beta_orders,
+       ROUND(my - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * m1
+                - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * m2, 6)
+         AS intercept,
+       ROUND(((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * c1y
+              + (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y) / cyy, 6)
+         AS r2
+FROM m
+ORDER BY nationkey
+"""
+
+
+@declare(
+    "q_ols_two_feature",
+    oracle=QOLS2_ORACLE,
+    description="per-nation two-feature OLS (spend ~ acctbal + n_orders) solved in closed form from exact decimal sufficient statistics — no iteration, two keyed aggs (ML training [ext])",
+)
+def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("x2"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("decimal(28,2)")
+            .alias("y"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("x1"),
+            "x2",
+            "y",
+        )
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = per_cust.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x1 * x1).cast("decimal(38,4)")).cast("double").alias("s11"),
+        F.sum((x2 * x2).cast("decimal(38,0)")).cast("double").alias("s22"),
+        F.sum((x1 * x2).cast("decimal(38,2)")).cast("double").alias("s12"),
+        F.sum((x1 * y).cast("decimal(38,4)")).cast("double").alias("s1y"),
+        F.sum((x2 * y).cast("decimal(38,2)")).cast("double").alias("s2y"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return s.select(
+        F.col("nk").alias("nationkey"),
+        "n",
+        F.round(b1, 6).alias("beta_acctbal"),
+        F.round(b2, 6).alias("beta_orders"),
+        F.round(
+            F.col("sy") / n - b1 * F.col("s1") / n - b2 * F.col("s2") / n, 6
+        ).alias("intercept"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Bipartite label propagation, one round ([ext] semi-supervised
+# labeling — the graph family's labeling member next to BFS / SSSP /
+# PageRank / CC): each supplier takes the majority market segment of
+# the DISTINCT customers it has served (lineitem → orders → customer),
+# ties broken alphabetically.  Scale: two fact-keyed equi-joins, a
+# distinct collapse to (supplier, customer, segment), and a
+# supplier-keyed vote count + argmax window over ≤ 5 segment rows per
+# supplier — never a per-supplier scan of the fact table.
+QLP_ORACLE = """
+WITH served AS (
+  SELECT DISTINCT l.l_suppkey AS sk, c.c_custkey, c.c_mktsegment AS seg
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+), votes AS (
+  SELECT sk, seg, CAST(COUNT(*) AS BIGINT) AS v
+  FROM served GROUP BY 1, 2
+), ranked AS (
+  SELECT sk, seg, v,
+         CAST(SUM(v) OVER (PARTITION BY sk) AS BIGINT) AS n_customers,
+         ROW_NUMBER() OVER (PARTITION BY sk ORDER BY v DESC, seg) AS rk
+  FROM votes
+)
+SELECT sk AS s_suppkey, seg AS propagated_segment, v AS votes, n_customers
+FROM ranked WHERE rk = 1
+ORDER BY s_suppkey
+"""
+
+
+@declare(
+    "q_label_propagation",
+    oracle=QLP_ORACLE,
+    description="one-round bipartite label propagation: each supplier takes the majority market segment of its distinct served customers, alphabetical tie-break (graph labeling [ext])",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    served = (
+        t["lineitem"]
+        .select(F.col("l_suppkey").alias("sk"), "l_orderkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", F.col("c_mktsegment").alias("seg")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("sk", "c_custkey", "seg")
+        .distinct()
+    )
+    votes = served.groupBy("sk", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    sw = Window.partitionBy("sk")
+    rk = Window.partitionBy("sk").orderBy(F.desc("v"), F.asc("seg"))
+    return (
+        votes.withColumn("n_customers", F.sum("v").over(sw).cast("long"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("sk").alias("s_suppkey"),
+            F.col("seg").alias("propagated_segment"),
+            F.col("v").alias("votes"),
+            "n_customers",
+        )
+        .orderBy("s_suppkey")
     )
