@@ -29,7 +29,11 @@
 - two-feature OLS solved in closed form from exact decimal
   sufficient statistics — non-iterative in-engine regression;
 - one-round bipartite label propagation — majority-vote
-  semi-supervised labeling on the customer→supplier graph.
+  semi-supervised labeling on the customer→supplier graph;
+- effective sample size of importance weights — the
+  mixture-reweighting collapse diagnostic;
+- split-conformal prediction quantiles — finite-sample-valid
+  intervals from integer-exact ECDF ranks.
 
 Determinism contract: same as the rest of the registry — exact
 integer/decimal lanes for everything ranked or compared, per-term
@@ -1345,4 +1349,192 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of importance weights ([ext] training-data
+# reweighting diagnostics — the number that says whether a domain
+# mixture/temperature scheme has collapsed onto a few documents:
+# ESS = (Σw)²/Σw², reported per source with the weight concentration
+# ratio ESS/n).  Weights here are the repo's mixture-temperature form
+# (per-source share^(1/T − 1), T = 0.7, broadcast from a counts
+# rollup); all sums are exact decimals over 6-decimal-rounded
+# weights, the ratios single double expressions.  One scan + one
+# keyed agg — the diagnostic costs nothing next to the pipeline it
+# audits.
+QESS_ORACLE = """
+WITH cnt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nt
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n,
+         CAST(ROUND(POWER(CAST(n AS DOUBLE) / nt, 1.0 / 0.7 - 1.0), 6)
+              AS DECIMAL(7,6)) AS wgt
+  FROM cnt
+), s AS (
+  SELECT w.source, w.n, w.wgt,
+         CAST(SUM(CAST(w.n AS DECIMAL(13,0)) * w.wgt) OVER () AS DOUBLE) AS sw,
+         CAST(SUM(CAST(w.n AS DECIMAL(13,0)) * w.wgt * w.wgt) OVER () AS DOUBLE)
+           AS sww
+  FROM w
+)
+SELECT source, n,
+       CAST(wgt AS DOUBLE) AS weight,
+       ROUND(sw * sw / sww, 6) AS ess,
+       ROUND(sw * sw / sww / (SELECT SUM(n) FROM cnt), 6) AS ess_ratio
+FROM s
+ORDER BY source
+"""
+
+
+@declare(
+    "q_effective_sample_size",
+    oracle=QESS_ORACLE,
+    description="effective sample size (Σw)²/Σw² of temperature-reweighted source weights — the collapse diagnostic for mixture reweighting, decimal-exact sums (reweighting [ext])",
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tot = Window.partitionBy()
+    cnt = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("nt", F.sum("n").over(tot).cast("long"))
+    )
+    # wgt = share^(1/T − 1) ≤ 1, so decimal(7,6) holds it exactly and
+    # the n·w / n·w² products stay inside 38 digits — Spark's decimal
+    # multiply silently reduces scale past precision 38, which is an
+    # engine-specific rounding (the very thing the decimal lane exists
+    # to avoid)
+    w = cnt.withColumn(
+        "wgt",
+        F.round(
+            F.pow(F.col("n").cast("double") / F.col("nt"), 1.0 / 0.7 - 1.0), 6
+        ).cast("decimal(7,6)"),
+    )
+    s = w.select(
+        "source",
+        "n",
+        "wgt",
+        F.sum(F.col("n").cast("decimal(13,0)") * F.col("wgt"))
+        .over(tot)
+        .cast("double")
+        .alias("sw"),
+        F.sum(F.col("n").cast("decimal(13,0)") * F.col("wgt") * F.col("wgt"))
+        .over(tot)
+        .cast("double")
+        .alias("sww"),
+        F.sum("n").over(tot).cast("double").alias("ntot"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return s.select(
+        "source",
+        "n",
+        F.col("wgt").cast("double").alias("weight"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("ntot"), 6).alias("ess_ratio"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction quantile ([ext] uncertainty
+# quantification): per priority, the symmetric 90% conformal interval
+# around the group median — q̂ = the ⌈(n+1)·0.9⌉-th smallest
+# |v − median| score, the finite-sample-valid band split conformal
+# prediction hands any point predictor.  Median and score thresholds
+# come from the distinct-value ECDF in exact decimal/integer
+# arithmetic (the weighted-median machinery, twice); no value-level
+# sort of the fact table, only windows over distinct values.
+QCONF_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS pr, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), e AS (
+  SELECT pr, v, c,
+         SUM(c) OVER (PARTITION BY pr ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY pr) AS n
+  FROM d
+), med AS (
+  SELECT pr, MIN(CASE WHEN cum * 2 >= n THEN v END) AS m,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM e GROUP BY pr
+), scores AS (
+  SELECT d.pr, abs(d.v - md.m) AS s, d.c, md.n, md.m
+  FROM d JOIN med md ON md.pr = d.pr
+), sc AS (
+  SELECT pr, s, n, m,
+         SUM(c) OVER (PARTITION BY pr ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT pr, s, SUM(c) AS c, MAX(n) AS n, MAX(m) AS m
+        FROM scores GROUP BY pr, s)
+)
+SELECT pr,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(m) AS DOUBLE) AS median,
+       CAST(MIN(CASE WHEN cum * 10 >= (n + 1) * 9 THEN s END) AS DOUBLE) AS qhat,
+       CAST(MAX(m) - MIN(CASE WHEN cum * 10 >= (n + 1) * 9 THEN s END) AS DOUBLE)
+         AS lo,
+       CAST(MAX(m) + MIN(CASE WHEN cum * 10 >= (n + 1) * 9 THEN s END) AS DOUBLE)
+         AS hi
+FROM sc
+GROUP BY pr
+ORDER BY pr
+"""
+
+
+@declare(
+    "q_conformal_quantile",
+    oracle=QCONF_ORACLE,
+    description="split-conformal 90% interval per priority: the ceil((n+1)*0.9)-th smallest |v − median| via distinct-value ECDFs, integer-exact rank thresholds (UQ [ext])",
+)
+def q_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum_w = (
+        Window.partitionBy("pr")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pr_w = Window.partitionBy("pr")
+    e = d.select(
+        "pr", "v", "c",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(pr_w).alias("n"),
+    )
+    med = e.groupBy("pr").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("m"),
+        F.max("n").cast("long").alias("n"),
+    )
+    scores = (
+        d.join(med, "pr")
+        .groupBy("pr", F.abs(F.col("v") - F.col("m")).alias("s"))
+        .agg(F.sum("c").alias("c"), F.max("n").alias("n"), F.max("m").alias("m"))
+    )
+    scum_w = (
+        Window.partitionBy("pr")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sc = scores.select(
+        "pr", "s", "n", "m", F.sum("c").over(scum_w).alias("cum")
+    )
+    qhat = F.min(
+        F.when(F.col("cum") * 10 >= (F.col("n") + 1) * 9, F.col("s"))
+    )
+    return (
+        sc.groupBy("pr")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("m").cast("double").alias("median"),
+            qhat.cast("double").alias("qhat"),
+            (F.max("m") - qhat).cast("double").alias("lo"),
+            (F.max("m") + qhat).cast("double").alias("hi"),
+        )
+        .orderBy("pr")
     )

@@ -394,3 +394,51 @@ def test_containment_exact_ceiling_at_adversarial_threshold(spark):
     rows = ngram_containment_pairs(df, "doc_id", "text", 3, 0.07).collect()
     got = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
     assert got.get((1, 2)) == 0.07, got
+
+
+@FEW
+@given(data=st.data())
+def test_containment_property_vs_brute(spark, data):
+    """Property: on random small corpora of word sequences (with
+    planted shared runs), prefix-filtered containment equals the
+    brute-force all-pairs answer at a random threshold."""
+    from jibaro_spark.operators.dedup import ngram_containment_pairs, shingles
+
+    vocab = [f"w{i}" for i in range(30)]
+    n_docs = data.draw(st.integers(3, 6))
+    tau = data.draw(st.sampled_from([0.3, 0.5, 0.07, 0.8]))
+    docs = []
+    for i in range(n_docs):
+        words = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=5, max_size=25)
+        )
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", 3, tau).collect()
+    }
+    sh = df.select(
+        F.col("doc_id").alias("i"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("s"),
+    )
+    brute = (
+        sh.alias("a")
+        .crossJoin(
+            sh.select(F.col("i").alias("j"), F.col("s").alias("t")).alias("b")
+        )
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.size(F.array_intersect("s", "t")).cast("double")
+                / F.size("s").cast("double"),
+                6,
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= tau)
+        .collect()
+    )
+    want = {(r["i"], r["j"]): r["c"] for r in brute}
+    assert got == want, (tau, got, want)
