@@ -492,3 +492,87 @@ def sssp(
         )
         frontier = improved
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Peel toward the k-core for a FIXED number of rounds: each round
+    drops every alive node whose current degree is < ``k`` (isolated
+    nodes count as degree 0, so they peel too) and restricts the edge
+    set to surviving endpoints.  Returns one row per node, with the
+    round it was peeled in (``peeled_round``, 1-based; NULL = still in
+    after ``rounds`` rounds) and its final degree (NULL once peeled;
+    an alive node's final degree can be < k — even 0 — when its
+    neighbors fell in the LAST round: it would peel in round
+    ``rounds + 1``).
+
+    ``nodes`` (single column, any name) fixes the node universe; when
+    omitted it defaults to the edge endpoints.  A fixed round count
+    keeps the result deterministic and oracle-expressible (the driver
+    oracle unrolls the same rounds in SQL); full k-core needs
+    loop-until-fixpoint, which is the same body with a convergence
+    count — at 100 TB each round is one degree aggregation (map-side
+    combinable) plus two keyed semi-joins of the edge list against the
+    shrinking kill set, and peeling converges in few rounds on
+    heavy-tailed graphs because most mass is far from the core
+    boundary.  Lineage is truncated per round with ``localCheckpoint``
+    exactly as in :func:`connected_components`.
+
+    Input must be an undirected edge list given in ONE direction per
+    pair (the function symmetrizes internally); self-loops are
+    dropped.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    if nodes is None:
+        alive = sym.select(F.col("src").alias("node")).distinct()
+    else:
+        alive = nodes.toDF("node").distinct()
+    alive = alive.localCheckpoint(eager=True)
+    all_nodes = alive
+    peeled = None  # DataFrame[node, peeled_round]
+    for r in range(1, rounds + 1):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        kill = (
+            alive.join(deg.withColumnRenamed("src", "node"), "node", "left")
+            .filter(F.coalesce(F.col("deg"), F.lit(0)) < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if kill.isEmpty():
+            break
+        tagged = kill.select(
+            "node", F.lit(r).cast("long").alias("peeled_round")
+        )
+        peeled = tagged if peeled is None else peeled.union(tagged)
+        alive = alive.join(kill, "node", "left_anti").localCheckpoint(eager=True)
+        sym = (
+            sym.join(kill.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(kill.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    survived = alive.join(
+        final_deg.withColumnRenamed("src", "node"), "node", "left"
+    ).select("node", F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"))
+    out = all_nodes.join(survived, "node", "left")
+    if peeled is not None:
+        out = out.join(peeled.localCheckpoint(eager=True), "node", "left")
+    else:
+        out = out.withColumn("peeled_round", F.lit(None).cast("long"))
+    return out.select("node", "peeled_round", F.col("deg").cast("long").alias("deg"))
