@@ -126,6 +126,27 @@ HEADLINE = [
     "q_fk_orphan_audit",
     "q_partition_checksums",
     "q_ks_test",
+    # round 8-9 additions: blocked Fellegi-Sunter linkage, progressive
+    # geo NN refinement, directed containment index join, salted
+    # top-k Zipf, incremental MIN/MAX repair
+    "q_record_linkage",
+    "q_geo_nearest_only",
+    "q_containment_pairs",
+    "q_zipf_slope",
+    "q_incremental_minmax",
+    # round 10-12 additions: end-to-end LSH dedup (band join + CC +
+    # keep-best window), mergeable histogram quantiles, join-view IVM,
+    # two AdaBoost rounds, iterative k-core peel, rank-correlation
+    # machinery, bipartite HITS, per-doc TF-IDF window
+    "q_minhash_dedup_clusters",
+    "q_hist_quantile_sketch",
+    "q_incremental_join",
+    "q_adaboost_round",
+    "q_kcore_peel",
+    "q_spearman_corr",
+    "q_kendall_tau",
+    "q_hits_scores",
+    "q_doc_keywords",
 ]
 
 

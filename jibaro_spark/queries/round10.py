@@ -288,10 +288,14 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.graph import dedup_clusters
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # The md5 slot-minima aggregation is the dominant subtree and has
+    # THREE consumers (banding + the two signature join-backs);
+    # localCheckpoint pins it to one computation (the containment-join
+    # discipline, BASELINE.md round-7 note).
     sig = docs.select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
-    )
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "__id",
         F.explode(
@@ -603,6 +607,10 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ),
         )
+        # 1-row stump with three consumers (round-2 scoring twice via the
+        # per-feature cell branches + the weight scalars): pin it so the
+        # round-1 aggregation pipeline runs once.
+        .localCheckpoint(eager=True)
     )
     b = F.broadcast(
         best1.select(
