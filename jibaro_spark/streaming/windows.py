@@ -455,3 +455,120 @@ def streaming_semantic_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_space_saving(
+    events: DataFrame,
+    group_col: str,
+    item_col: str,
+    order_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Bounded-state heavy hitters per group via the SpaceSaving
+    algorithm (Metwally et al., ICDT'05) in ``applyInPandasWithState``:
+    each group keeps at most ``m`` (item, count, error) counters ACROSS
+    micro-batches.  On arrival: increment a tracked item; start a new
+    counter while capacity remains; otherwise evict the minimum counter
+    (ties: lexicographically smallest item) and inherit its count as
+    the newcomer's ``max_error``.
+
+    SpaceSaving guarantees — pinned by tests, they hold per group at
+    any stream length N with O(m) state:
+
+    * ``est_count >= true_count`` (never undercounts);
+    * ``est_count - max_error <= true_count`` (bounded overcount);
+    * every item with ``true_count > N/m`` is tracked.
+
+    Determinism: rows are processed in ``order_col`` order (ties by
+    ``item_col``) within each (group, micro-batch); with ``m`` >= the
+    group's distinct-item count the counters are EXACT counts, which is
+    what the declared batch twin (``q_space_saving_batch``) exploits
+    for its SQL oracle.
+
+    Output per micro-batch: one row per live counter —
+    ``(group, item, est_count, max_error)`` — the group's current
+    sketch snapshot (append mode; the latest snapshot per group is the
+    answer).  On a batch frame the same kernel runs once through
+    ``applyInPandas`` with empty initial state.
+
+    At 100 TB: state is ``groups × m`` counters regardless of stream
+    volume; each micro-batch shuffles once on ``group_col``.  This is
+    the streaming companion of the mergeable CMS/KMV/HLL sketch family
+    (``operators/sketches.py``) — SpaceSaving answers top-k, the
+    sketches answer frequency/cardinality.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    src = events.select(
+        F.col(group_col).alias("__grp"),
+        F.col(item_col).cast("string").alias("__item"),
+        F.col(order_col).alias("__ord"),
+    )
+    out_schema = (
+        f"{group_col} string, {item_col} string, est_count bigint, "
+        "max_error bigint"
+    )
+    state_schema = "items array<string>, counts array<long>, errors array<long>"
+
+    def _apply(grp, items, counts, errors, pdf):
+        import pandas as pd
+
+        tbl = {it: (c, e) for it, c, e in zip(items, counts, errors)}
+        if pdf is not None:
+            for it in pdf.sort_values(["__ord", "__item"])["__item"]:
+                if it in tbl:
+                    c, e = tbl[it]
+                    tbl[it] = (c + 1, e)
+                elif len(tbl) < m:
+                    tbl[it] = (1, 0)
+                else:
+                    evict = min(tbl.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    mn = evict[1][0]
+                    del tbl[evict[0]]
+                    tbl[it] = (mn + 1, mn)
+        snap = sorted(tbl.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        out = pd.DataFrame(
+            {
+                group_col: pd.Series([str(grp)] * len(snap), dtype="object"),
+                item_col: pd.Series([k for k, _ in snap], dtype="object"),
+                "est_count": pd.Series([v[0] for _, v in snap], dtype="int64"),
+                "max_error": pd.Series([v[1] for _, v in snap], dtype="int64"),
+            }
+        )
+        return (
+            [k for k, _ in snap],
+            [v[0] for _, v in snap],
+            [v[1] for _, v in snap],
+            out,
+        )
+
+    if not events.isStreaming:
+        def batch_kernel(key, pdf):
+            _, _, _, out = _apply(key[0], [], [], [], pdf)
+            return out
+
+        return src.groupBy("__grp").applyInPandas(batch_kernel, out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, errors = state.get
+            items, counts, errors = list(items), list(counts), list(errors)
+        else:
+            items, counts, errors = [], [], []
+        batches = [p for p in pdfs]
+        pdf = pd.concat(batches) if batches else None
+        items, counts, errors, out = _apply(key[0], items, counts, errors, pdf)
+        state.update((items, counts, errors))
+        yield out
+
+    return src.groupBy("__grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
