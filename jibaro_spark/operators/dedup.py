@@ -842,3 +842,63 @@ def ngram_containment_pairs(
             "containment",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: Sequence[str],
+    window: int,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95):
+    candidate pairs are records within ``window`` positions of each
+    other under a total sort order — the classic entity-resolution
+    blocking method for typo-adjacent keys, complementary to the
+    equi-key blocking of :mod:`operators.linkage` (which misses
+    near-miss keys) and the signature schemes (minhash/q-gram) in this
+    module.
+
+    Distributed shape: the global rank comes from
+    :func:`operators.relational.global_row_number` (range-repartition +
+    per-partition offsets — NO single-partition window), ranks are
+    bucketed at ``⌊(rn−1)/window⌋``, and a pair within ``window``
+    positions spans at most two ADJACENT buckets, so candidates come
+    from two keyed equi-joins (bucket b ⋈ b, b ⋈ b+1) filtered to
+    ``0 < rn_b − rn_a ≤ window``.  Per-bucket work is O(window²), total
+    O(n·window) — linear in n for fixed window, and the sort itself is
+    the same exchange a global ORDER BY plans.
+
+    Ties in ``sort_cols`` MUST be broken by ``id_col`` (appended
+    automatically) for the rank — and hence the candidate set — to be
+    deterministic.  Returns ``(id_a, id_b, rank_dist)`` with
+    ``id_a``/``id_b`` in rank order.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from jibaro_spark.operators.relational import global_row_number
+
+    ranked = global_row_number(
+        df.select(id_col, *sort_cols), [*sort_cols, id_col], out_col="__rn"
+    ).select(id_col, "__rn", F.expr(f"(__rn - 1) div {window}").alias("__b"))
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__rn").alias("__rna"),
+        F.col("__b").alias("__ba"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__rn").alias("__rnb"),
+        F.col("__b").alias("__bb"),
+    )
+    same = left.join(right, F.col("__ba") == F.col("__bb"))
+    nxt = left.join(right, F.col("__ba") + 1 == F.col("__bb"))
+    return (
+        same.unionByName(nxt)
+        .where(
+            (F.col("__rnb") > F.col("__rna"))
+            & (F.col("__rnb") - F.col("__rna") <= window)
+        )
+        .select(
+            "id_a", "id_b", (F.col("__rnb") - F.col("__rna")).alias("rank_dist")
+        )
+    )
