@@ -579,3 +579,56 @@ def incremental_join_apply(
     )
     kept = view.join(touched, vkeys, "left_anti")
     return kept.unionByName(enriched)
+
+
+def incremental_distinct_apply(
+    aux: DataFrame,
+    changes: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Incrementally maintain ``COUNT(DISTINCT value) GROUP BY group``
+    under inserts AND deletes — the fourth IVM case next to
+    :func:`incremental_agg_apply` (distributive), 
+    :func:`incremental_minmax_apply` (dirty-key repair) and
+    :func:`incremental_join_apply` (delta joins).  Plain distinct
+    counts are NOT self-maintainable from the count alone (a delete
+    may or may not remove the last occurrence); the standard fix is an
+    auxiliary multiplicity table ``(group, value, mult)`` — then every
+    change IS locally applicable: Δmult = (+1 per 'c', −1 per 'd'),
+    rows with ``mult ≤ 0`` drop, and the distinct count is the group's
+    surviving row count.
+
+    Returns the new auxiliary table (``mult > 0`` rows only).  Derive
+    the view with ``aux.groupBy(group).count()``.  At 100 TB the apply
+    is one |Δ|-side aggregation + ONE keyed outer join against the
+    auxiliary table on (group, value) — prunable when aux is clustered
+    by its key; the fact table is never touched.  Contract: ``op_col``
+    is 'c' (insert an occurrence) or 'd' (delete one); deleting more
+    occurrences than exist clamps at drop (the row disappears).
+
+    Reference scope: the reference maintains row-level current state
+    only (`/root/reference/jibaro/cdc.py`); distinct-count maintenance
+    is an [ext] operator from the large-scale pipeline brief.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    delta = (
+        changes.select(
+            *gcols,
+            value_col,
+            F.when(F.col(op_col) == "d", F.lit(-1)).otherwise(F.lit(1)).alias("__d"),
+        )
+        .groupBy(*gcols, value_col)
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    merged = aux.join(delta, [*gcols, value_col], "full_outer").select(
+        *gcols,
+        value_col,
+        (
+            F.coalesce(F.col(mult_col), F.lit(0))
+            + F.coalesce(F.col("__delta"), F.lit(0))
+        ).alias(mult_col),
+    )
+    return merged.filter(F.col(mult_col) > 0)
