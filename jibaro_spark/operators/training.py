@@ -93,3 +93,86 @@ def logreg_train(
                 "logreg_train diverged (non-finite weights) — lower lr"
             )
     return w
+
+
+def isotonic_fit_binned(
+    cells: DataFrame,
+    group_cols: list[str],
+    bin_col: str,
+    n_col: str,
+    s_col: str,
+) -> DataFrame:
+    """Exact weighted isotonic regression over pre-aggregated bins,
+    per group — the calibration primitive (fit a non-decreasing rate
+    curve to per-bin event rates, e.g. Platt-scaling's nonparametric
+    sibling for model-score calibration).
+
+    Input is the COUNTS-FIRST collapse the caller already did:
+    one row per (group, bin) with ``n_col`` = row count and ``s_col``
+    = (exact integer/decimal) sum of the response in that bin.  The
+    isotonic solution is computed with the minimax identity
+
+        fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k)
+
+    (Barlow-Bartholomew-Bremner-Brunk 1972, eq. 1.9–1.13: the weighted
+    least-squares monotone fit equals the max-min of interval means),
+    which distributes cleanly: prefix sums per group (window over B
+    bins), all j<=k interval means (B(B+1)/2 rows per group), a
+    suffix-min window per start bin, and one grouped max.  Work is
+    O(B^2) rows per group where B is the BIN count — bounded by the
+    bin domain (quantities, score deciles, price bands), never by the
+    row count, so the shape survives any corpus size.  Every interval
+    mean is a double division of exact sums: identical in any engine.
+
+    Returns one row per (group, bin): the input columns plus
+    ``iso_fit`` (double).  PAV-parity is pinned in
+    ``tests/test_round17_ops.py`` (pure-Python pool-adjacent-violators
+    reproduces the minimax fit exactly).
+    """
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = cells.select(
+        *g,
+        F.col(bin_col).alias("__b"),
+        F.col(n_col).alias("__n"),
+        F.col(s_col).alias("__s"),
+    )
+    pref = pref.withColumn("__cn", F.sum("__n").over(w)).withColumn(
+        "__cs", F.sum("__s").over(w)
+    )
+    start = pref.select(
+        *g,
+        F.col("__b").alias("__j"),
+        (F.col("__cn") - F.col("__n")).alias("__cn0"),
+        (F.col("__cs") - F.col("__s")).alias("__cs0"),
+    )
+    end = pref.select(
+        *g,
+        F.col("__b").alias("__k"),
+        F.col("__cn").alias("__cn1"),
+        F.col("__cs").alias("__cs1"),
+    )
+    pairs = start.join(end, on=g).filter(F.col("__k") >= F.col("__j"))
+    pairs = pairs.select(
+        *g,
+        "__j",
+        "__k",
+        (
+            (F.col("__cs1") - F.col("__cs0")).cast("double")
+            / (F.col("__cn1") - F.col("__cn0"))
+        ).alias("__avg"),
+    )
+    wmin = (
+        Window.partitionBy(*g, "__j")
+        .orderBy(F.col("__k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.withColumn("__m", F.min("__avg").over(wmin))
+    fit = m.groupBy(*g, F.col("__k").alias(bin_col)).agg(
+        F.max("__m").alias("iso_fit")
+    )
+    return cells.join(fit, on=g + [bin_col])

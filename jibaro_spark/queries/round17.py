@@ -461,3 +461,147 @@ def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cal_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration: the minimax-identity isotonic fit
+# (operators/training.isotonic_fit_binned) of the return rate vs the
+# quantity bin, per linestatus.  Counts-first: the operator sees one
+# row per (linestatus, quantity) — 50 bins — and every interval mean
+# is integer/integer double division, exact in both engines.
+
+QISO_ORACLE = """
+WITH cells AS (
+  SELECT l_linestatus AS linestatus, CAST(l_quantity AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY l_linestatus, CAST(l_quantity AS BIGINT)
+), pref AS (
+  SELECT linestatus, bin, n, s,
+         SUM(n) OVER (PARTITION BY linestatus ORDER BY bin) AS cn,
+         SUM(s) OVER (PARTITION BY linestatus ORDER BY bin) AS cs
+  FROM cells
+), pairs AS (
+  SELECT a.linestatus, a.bin AS j, e.bin AS k,
+         CAST(e.cs - (a.cs - a.s) AS DOUBLE)
+           / CAST(e.cn - (a.cn - a.n) AS DOUBLE) AS iavg
+  FROM pref a JOIN pref e
+    ON a.linestatus = e.linestatus AND e.bin >= a.bin
+), m AS (
+  SELECT linestatus, j, k,
+         MIN(iavg) OVER (PARTITION BY linestatus, j ORDER BY k DESC) AS mjk
+  FROM pairs
+), fit AS (
+  SELECT linestatus, k AS bin, MAX(mjk) AS iso FROM m GROUP BY linestatus, k
+)
+SELECT c.linestatus, c.bin, c.n,
+       ROUND(CAST(c.s AS DOUBLE) / c.n, 6) AS raw_rate,
+       ROUND(f.iso, 6) AS iso_rate
+FROM cells c JOIN fit f USING (linestatus, bin)
+ORDER BY linestatus, bin
+"""
+
+
+@declare(
+    "q_isotonic_calibration",
+    oracle=QISO_ORACLE,
+    description="Weighted isotonic regression (minimax-identity distributed PAV) of return rate vs quantity bin per linestatus — the nonparametric model-calibration primitive, O(B²) rows per group with B = bin-domain size (ML calibration [ext])",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.training import isotonic_fit_binned
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    cells = li.groupBy(
+        F.col("l_linestatus").alias("linestatus"),
+        F.col("l_quantity").cast("long").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("int")).cast("long").alias("s"),
+    )
+    fit = isotonic_fit_binned(cells, ["linestatus"], "bin", "n", "s")
+    return fit.select(
+        "linestatus",
+        "bin",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round(F.col("iso_fit"), 6).alias("iso_rate"),
+    ).orderBy("linestatus", "bin")
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (Hruschka et al.'s centroid-based variant —
+# the O(n·k) silhouette every at-scale evaluator uses instead of the
+# O(n²) pairwise original): clusters = market segments, feature =
+# acctbal in exact integer cents; a = |v − own centroid|, b = min
+# over other centroids; s = (b−a)/max(a,b).  Centroids are a 5-row
+# broadcast; per-term contributions rounded then decimal-summed.
+
+QSIL_ORACLE = """
+WITH pts AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+  FROM customer
+), cent AS (
+  SELECT seg, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu FROM pts GROUP BY seg
+), scored AS (
+  SELECT p.seg, p.v,
+         abs(p.v - own.mu) AS a,
+         MIN(abs(p.v - oth.mu)) AS b
+  FROM pts p
+  JOIN cent own ON own.seg = p.seg
+  JOIN cent oth ON oth.seg <> p.seg
+  GROUP BY p.seg, p.v, own.mu
+), sil AS (
+  SELECT seg,
+         CAST(ROUND(CASE WHEN greatest(a, b) = 0 THEN 0
+                         ELSE (b - a) / greatest(a, b) END, 10)
+              AS DECIMAL(28,12)) AS s
+  FROM scored
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+FROM sil GROUP BY seg ORDER BY seg
+"""
+
+
+@declare(
+    "q_silhouette_simplified",
+    oracle=QSIL_ORACLE,
+    description="Simplified (centroid-based) silhouette of the market-segment clustering over exact-cents acctbal: O(n·k) with a k-row broadcast centroid table, rounded-addend decimal mean per cluster (clustering eval [ext])",
+)
+def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    pts = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("v"),
+    )
+    pts = pts.localCheckpoint(eager=True)  # centroids + scoring share it
+    cent = pts.groupBy("seg").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    own = cent.select(F.col("seg"), F.col("mu").alias("mu_own"))
+    oth = cent.select(F.col("seg").alias("oseg"), F.col("mu").alias("mu_oth"))
+    scored = (
+        pts.join(F.broadcast(own), "seg")
+        .join(F.broadcast(oth), F.col("oseg") != F.col("seg"))
+        .groupBy("seg", "v", "mu_own")
+        .agg(F.min(F.abs(F.col("v") - F.col("mu_oth"))).alias("b"))
+        .withColumn("a", F.abs(F.col("v") - F.col("mu_own")))
+    )
+    s = (
+        F.when(F.greatest("a", "b") == 0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    )
+    sil = scored.select(
+        "seg", F.round(s, 10).cast("decimal(28,12)").alias("s")
+    )
+    return (
+        sil.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("seg")
+    )
