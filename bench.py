@@ -147,6 +147,24 @@ HEADLINE = [
     "q_kendall_tau",
     "q_hits_scores",
     "q_doc_keywords",
+    # round 13-16 additions: bounded-counter heavy hitters (batch twin
+    # of the streaming SpaceSaving), one-scan correlation matrix,
+    # windowed ER blocking over a distributed global rank, delete-safe
+    # COUNT(DISTINCT) IVM, survival comparison, corpus-growth
+    # checkpoints, exact power iteration
+    "q_space_saving_batch",
+    "q_corr_matrix",
+    "q_sorted_neighborhood",
+    "q_incremental_distinct",
+    "q_logrank_test",
+    "q_heaps_law",
+    "q_markov_stationary",
+    # round 17 additions: hypothesis-bounded BH step-up, md5-split
+    # calibration eval, O(B²)-bins isotonic fit, O(n·k) silhouette
+    "q_benjamini_hochberg",
+    "q_brier_calibration",
+    "q_isotonic_calibration",
+    "q_silhouette_simplified",
 ]
 
 
