@@ -632,3 +632,90 @@ def incremental_distinct_apply(
         ).alias(mult_col),
     )
     return merged.filter(F.col(mult_col) > 0)
+
+
+def incremental_topk_apply(
+    topk: DataFrame,
+    changes: DataFrame,
+    new_fact: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    k: int,
+    op_col: str = "op",
+    before_col: str = "before_v",
+    after_col: str = "after_v",
+    rank_col: str = "rank",
+    scale: int = 4,
+) -> DataFrame:
+    """Incrementally maintain a per-key TOP-K view (largest ``k``
+    values, ties broken by ascending ``id_col``) from a CDC change
+    batch — the ranking sibling of :func:`incremental_minmax_apply`
+    ([ext] IVM; top-k generalizes MAX, and shares its repair rule).
+
+    Self-maintenance analysis:
+
+    * **Inserts are self-maintainable**: union the stored members with
+      the batch's after-images, re-rank, keep ``k`` — a window over at
+      most ``k + |Δ_key|`` rows per key, no fact access.
+    * **Deletes/updates of a stored MEMBER are not**: the replacement
+      (the old k+1-th row) is unknown without the key's remaining
+      rows.  Membership is decided EXACTLY by joining the removal ids
+      against the stored view on ``keys + id`` — a removal that misses
+      the view was below the cut and cannot affect it (when the view
+      holds fewer than ``k`` rows it holds ALL the key's rows, so any
+      genuine removal necessarily hits).  Member-hit keys are DIRTY
+      and are recomputed by a keyed semi-join rescan of ``new_fact``
+      — a change-batch-bounded set, so at 100 TB the refresh reads
+      one keyed join's worth of the fact (partition/file-prunable
+      when the fact is clustered by key), never the full table.
+
+    Contract: ``topk`` has ``keys + [id_col, value_col]`` (≤ k rows
+    per key — the CURRENT view); ``changes`` has ``op_col``
+    ('c'|'u'|'d') + ``keys + [id_col]`` + before/after values;
+    ``new_fact`` is the post-change fact.  Update after-images of
+    non-members enter through the insert lane (their before-image
+    missed the view, so the displaced row is just re-ranked out).
+    Maintained invariant — ``apply(topk(T), Δ, T′) == topk(T′)`` —
+    pinned by the q_incremental_topk oracle (scratch recompute) and
+    branch units.
+    """
+    from pyspark.sql.window import Window
+
+    dec = f"decimal(28,{scale})"
+    view = topk.select(
+        *keys,
+        F.col(id_col).alias(id_col),
+        F.col(value_col).cast(dec).alias(value_col),
+    )
+    removals = changes.filter(F.col(op_col).isin("u", "d")).select(*keys, id_col)
+    dirty_keys = (
+        removals.join(view, keys + [id_col], "left_semi").select(*keys).distinct()
+    )
+    inserts = changes.filter(F.col(op_col) != "d").select(
+        *keys,
+        F.col(id_col).alias(id_col),
+        F.col(after_col).cast(dec).alias(value_col),
+    )
+    clean_pool = (
+        view.join(dirty_keys, keys, "left_anti")
+        .unionByName(inserts.join(dirty_keys, keys, "left_anti"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc()
+    )
+    clean_out = (
+        clean_pool.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+    rescanned = (
+        new_fact.select(
+            *keys,
+            F.col(id_col).alias(id_col),
+            F.col(value_col).cast(dec).alias(value_col),
+        )
+        .join(dirty_keys, keys, "left_semi")
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+    return clean_out.unionByName(rescanned)

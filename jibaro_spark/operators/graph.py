@@ -576,3 +576,62 @@ def kcore_peel(
     else:
         out = out.withColumn("peeled_round", F.lit(None).cast("long"))
     return out.select("node", "peeled_round", F.col("deg").cast("long").alias("deg"))
+
+
+def bfs_distances_per_source(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-source minimum hop distances — the landmark primitive
+    behind closeness/harmonic centrality and distance-sketch
+    embeddings ([ext]; the reference has no graph surface).
+
+    Same level-synchronous shape as :func:`bfs_distances`, but the
+    BFS state is keyed by ``(source, node)`` so every landmark's
+    distance field stays separate: the frontier joins the edge list
+    on the node, the anti-join against visited runs on the pair key.
+    Returns ``(source, node, dist)``.
+
+    Scale contract: state is ``|sources| × |reachable|`` — callers
+    pass a BOUNDED landmark set (every exact-at-scale closeness
+    estimator samples landmarks; Eppstein-Wang 2004 bounds the error
+    at O(sqrt(log n / k)) for k landmarks).  The per-level edge join
+    broadcasts the frontier under the same 2M-row budget as
+    :func:`bfs_distances`, falling back to a co-partitioned hash
+    join, and lineage is truncated per level with localCheckpoint.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    visited = (
+        sources.toDF("source")
+        .distinct()
+        .select(F.col("source"), F.col("source").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("source", "node")
+    n_frontier = visited.count()
+    broadcast_limit = 2_000_000
+    for hop in range(1, max_hops + 1):
+        if n_frontier <= broadcast_limit:
+            joined = e.join(F.broadcast(frontier), e["src"] == frontier["node"])
+        else:
+            joined = frontier.join(e, frontier["node"] == e["src"])
+        nxt = joined.select("source", F.col("dst").alias("node")).distinct()
+        new = (
+            nxt.join(visited, ["source", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = new.count()
+        if not n_frontier:
+            break
+        visited = visited.union(new)
+        frontier = new.select("source", "node")
+    return visited
