@@ -399,3 +399,118 @@ def read_pruned(
         if hi is not None:
             out = out.filter(F.col(c) <= hi)
     return out
+
+
+def build_bloom_file_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> str:
+    """Build a per-FILE Bloom-filter index over ``col`` for a parquet
+    table — the point-lookup companion of :func:`read_pruned`'s
+    min/max skipping (range probes): Delta calls this a bloom filter
+    index, Iceberg puts the same bits in puffin files.  Min/max stats
+    cannot prune point lookups on unclustered high-cardinality keys
+    (every file's range covers the probe); a per-file Bloom does,
+    with zero false negatives by construction.
+
+    One scan builds every file's filter simultaneously:
+    ``input_file_name()`` keys the rows, each value explodes to its
+    ``num_hashes`` bit positions (same seeded-xxhash64 family as
+    ``operators/bloom.py``, so filters are portable), and a
+    ``bit_or`` per (file, word) folds map-side.  The sparse (file,
+    word_idx, word) rows — at most ``files × num_bits/64``, zero
+    words omitted — land in a ``_bloom`` sidecar dir (the leading
+    underscore keeps every parquet reader from listing it as data).
+
+    Returns the sidecar path.  Rebuild after writes; the index is a
+    snapshot, like any stats manifest.
+    """
+    idx_path = f"{path.rstrip('/')}/_bloom/{col}"
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(col).alias("__k")
+    )
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("__k"), F.lit(i)), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("__pos")
+    words = (
+        df.filter(F.col("__k").isNotNull())
+        .select("file", pos)
+        .select(
+            "file",
+            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                "__bit"
+            ),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+    meta = spark.createDataFrame(
+        [(num_bits, num_hashes)], "num_bits int, num_hashes int"
+    )
+    words.write.mode("overwrite").parquet(f"{idx_path}/words")
+    meta.write.mode("overwrite").parquet(f"{idx_path}/meta")
+    return idx_path
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+) -> DataFrame:
+    """Point-lookup read that consults the ``_bloom`` sidecar built by
+    :func:`build_bloom_file_index`: only files whose Bloom filter
+    might contain ``value`` are handed to Spark, then the equality
+    predicate is re-applied as the residual filter — exactly
+    ``read.parquet(path).filter(col == value)`` semantics (no false
+    negatives: every file that holds the value has all its probe bits
+    set), with the file listing shrunk by the filters' selectivity.
+
+    Driver work is index-bounded: the probe positions come from one
+    1-row job (the same JVM xxhash64 the build used — no Python
+    reimplementation to drift), and only index rows at those
+    ``num_hashes`` word slots are collected (≤ files × num_hashes
+    rows).
+    """
+    idx_path = f"{path.rstrip('/')}/_bloom/{col}"
+    meta = spark.read.parquet(f"{idx_path}/meta").collect()[0]
+    num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
+    base = spark.read.parquet(path)
+    key_type = base.schema[col].dataType
+    probe = spark.range(1).select(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(value).cast(key_type), F.lit(i)), F.lit(num_bits)
+            ).alias(f"p{i}")
+            for i in range(num_hashes)
+        ]
+    ).collect()[0]
+    positions = [probe[f"p{i}"] for i in range(num_hashes)]
+    slots = {(int(p) // 64, 1 << (int(p) % 64)) for p in positions}
+    idx = (
+        spark.read.parquet(f"{idx_path}/words")
+        .filter(F.col("word_idx").isin([w for w, _ in slots]))
+        .collect()
+    )
+    by_file: dict[str, dict[int, int]] = {}
+    for r in idx:
+        by_file.setdefault(r["file"], {})[r["word_idx"]] = r["word"]
+    keep = [
+        f
+        for f, ws in by_file.items()
+        if all(ws.get(w, 0) & bit for w, bit in slots)
+    ]
+    if not keep:
+        out = base.filter(F.lit(False))
+    else:
+        out = spark.read.schema(base.schema).parquet(*keep)
+    return out.filter(F.col(col) == value)
