@@ -960,3 +960,85 @@ def train_pq_codebook(
         for cid, c in enumerate(cents):
             rows.append((s, cid, [float(x) for x in c]))
     return spark.createDataFrame(rows, "sub int, cid int, cvec array<float>")
+
+
+def mmr_select(
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    round_decimals: int = 10,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein, SIGIR'98) — the retrieval diversifier: pick the most
+    relevant item, then repeatedly the item maximizing
+    ``lam·rel(d) − lam_comp·max_{s∈S} cos(d, s)``.
+
+    ``lam_comp`` is passed EXPLICITLY rather than computed as
+    ``1 - lam``: the callers' SQL oracles write the literal ``0.3``,
+    and ``1 - 0.7`` in IEEE doubles is ``0.30000000000000004`` — the
+    kind of last-ulp drift the repo's cross-engine contract exists to
+    forbid.
+
+    Scale shape: k driver rounds; each round is ONE candidate scan
+    scoring against the ≤k selected vectors (plan literals — k·dim
+    doubles, broadcast by construction) and a 1-row TakeOrdered.  No
+    candidate×candidate pair materialization ever happens — the k·n
+    similarity evaluations stream map-side.  Collects total k rows.
+    Per-term cosines are rounded to ``round_decimals`` before the
+    max/linear combination so both engines combine identical doubles.
+
+    Returns a DataFrame ``(rank, <id_col>, <rel_col>, mmr_score)``
+    with rank 1..k in selection order (rank 1's score IS its
+    relevance, per the classic formulation).
+    """
+    spark = cands.sparkSession
+    df = cands.select(id_col, vec_col, rel_col).localCheckpoint(eager=True)
+    picks: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    for rank in range(1, k + 1):
+        if not sel_vecs:
+            scored = df.select(
+                id_col,
+                rel_col,
+                F.round(F.col(rel_col), round_decimals).alias("__score"),
+                vec_col,
+            )
+        else:
+            sims = [
+                F.round(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in v]),
+                    ),
+                    round_decimals,
+                )
+                for v in sel_vecs
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            scored = df.select(
+                id_col,
+                rel_col,
+                F.round(
+                    F.lit(lam) * F.col(rel_col) - F.lit(lam_comp) * maxsim,
+                    round_decimals,
+                ).alias("__score"),
+                vec_col,
+            )
+        top = (
+            scored.orderBy(F.col("__score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        picks.append((rank, r[id_col], float(r[rel_col]), float(r["__score"])))
+        sel_vecs.append([float(x) for x in r[vec_col]])
+        df = df.filter(F.col(id_col) != r[id_col])
+    return spark.createDataFrame(
+        picks, f"rank long, {id_col} long, {rel_col} double, mmr_score double"
+    )

@@ -376,3 +376,86 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dw"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval: relevance = rounded cosine to the
+# vec_id=0 query; greedy k=3 selection with λ=0.7.  The oracle
+# unrolls the three greedy steps explicitly (each step a 1-row
+# TakeOrdered over the rescored candidates) — the same arithmetic the
+# operator runs, engine-for-engine.
+
+QMMR_ORACLE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+), rel AS (
+  SELECT c.vec_id, c.v,
+         ROUND(list_dot_product(c.v, q.qv)
+               / (SQRT(list_dot_product(c.v, c.v))
+                  * SQRT(list_dot_product(q.qv, q.qv))), 10) AS rel
+  FROM c CROSS JOIN q
+), s1 AS (
+  SELECT vec_id, v, rel, rel AS score FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+), m2 AS (
+  SELECT r.vec_id, r.v, r.rel,
+         ROUND(0.7 * r.rel - 0.3 * ROUND(list_dot_product(r.v, s.v)
+               / (SQRT(list_dot_product(r.v, r.v))
+                  * SQRT(list_dot_product(s.v, s.v))), 10), 10) AS score
+  FROM rel r CROSS JOIN s1 s WHERE r.vec_id <> s.vec_id
+), s2 AS (
+  SELECT vec_id, v, rel, score FROM m2 ORDER BY score DESC, vec_id LIMIT 1
+), m3 AS (
+  SELECT r.vec_id, r.rel,
+         ROUND(0.7 * r.rel - 0.3 * GREATEST(
+           ROUND(list_dot_product(r.v, a.v)
+                 / (SQRT(list_dot_product(r.v, r.v))
+                    * SQRT(list_dot_product(a.v, a.v))), 10),
+           ROUND(list_dot_product(r.v, b.v)
+                 / (SQRT(list_dot_product(r.v, r.v))
+                    * SQRT(list_dot_product(b.v, b.v))), 10)), 10) AS score
+  FROM rel r CROSS JOIN s1 a CROSS JOIN s2 b
+  WHERE r.vec_id <> a.vec_id AND r.vec_id <> b.vec_id
+), s3 AS (
+  SELECT vec_id, rel, score FROM m3 ORDER BY score DESC, vec_id LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS rank, vec_id, ROUND(rel, 6) AS relevance,
+       ROUND(score, 6) AS mmr_score FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s3
+ORDER BY rank
+"""
+
+
+@declare(
+    "q_mmr_diversify",
+    oracle=QMMR_ORACLE,
+    description="MMR-diversified top-3 retrieval (λ=0.7) against the vec_id=0 query: k driver rounds, selected vectors as broadcast plan literals, 1-row TakeOrdered per round — never a candidate×candidate materialization (retrieval [ext])",
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.similarity import cosine, mmr_select
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 10).alias("rel"),
+        )
+    )
+    picked = mmr_select(
+        cands, "vec_id", "embedding", "rel", k=3, lam=0.7, lam_comp=0.3
+    )
+    return picked.select(
+        "rank",
+        "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("rank")

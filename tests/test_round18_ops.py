@@ -166,3 +166,15 @@ def test_durbin_watson_range(spark):
     for r in rows:
         assert r["dw"] is None or 0.0 <= r["dw"] <= 4.0
         assert r["n_days"] > 0
+
+
+def test_mmr_diversify_properties(spark):
+    rows = REGISTRY["q_mmr_diversify"].fn(spark, SF).collect()
+    assert len(rows) == 3
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    # rank 1 is the pure-relevance argmax: its score IS its relevance
+    assert abs(by_rank[0]["mmr_score"] - round(by_rank[0]["relevance"], 6)) < 1e-9
+    # later picks: score = 0.7·rel − 0.3·maxsim with maxsim ∈ [−1, 1]
+    for r in by_rank[1:]:
+        assert abs(r["mmr_score"] - 0.7 * r["relevance"]) <= 0.3 + 1e-9
+    assert len({r["vec_id"] for r in rows}) == 3
