@@ -244,3 +244,91 @@ def holt(
         return pdf
 
     return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, out_schema)
+
+
+def dtw_distance_pairs(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    band: int = 7,
+) -> DataFrame:
+    """Banded dynamic-time-warping distance between every pair of
+    keyed series (Sakoe-Chiba band; |x−y| step cost; symmetric
+    step pattern min(diag, up, left)) — the time-series similarity
+    join primitive that tolerates phase shift where a pointwise
+    metric (Euclidean/MAE) does not.
+
+    DTW's DP recurrence is order-dependent in BOTH indices, so no
+    window/aggregate can express it: this is the ``applyInPandas``
+    lane by design (module contract above).  Shape: per-pair state is
+    the O(min(n,m)·band) DP band, pairs are built by replicating each
+    key's series once per partner — total rows |keys|·Σ|series|, which
+    is bounded because the KEY DOMAIN is bounded (priorities, status
+    codes, sensors-per-site; a thousand-key cross would be a different
+    operator).  Each pair computes independently — one shuffle on the
+    pair id, then Arrow-batched numpy DP with no driver involvement.
+
+    Integer-valued series make the returned distance exactly integer
+    (sum of |int−int|), so results are bit-stable across runs and
+    engines; the pure-Python parity test pins the DP.
+
+    Returns ``(key_a, key_b, n_a, n_b, dtw)`` for every unordered
+    pair (key_a < key_b); ``dtw`` is double (NaN-free: the band is
+    widened to cover length differences, |n−m| ≤ effective band).
+    """
+    import numpy as np
+
+    keys = [r[0] for r in series.select(key_col).distinct().collect()]
+    keys.sort()
+    pairs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1 :]]
+    if not pairs:
+        return series.sparkSession.createDataFrame(
+            [], f"key_a string, key_b string, n_a long, n_b long, dtw double"
+        )
+    spark = series.sparkSession
+    pair_df = spark.createDataFrame(pairs, ["key_a", "key_b"])
+    s = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # replicate: side a rows + side b rows, tagged by the pair
+    tagged = pair_df.join(s, F.col("key_a") == F.col("__k")).select(
+        "key_a", "key_b", F.lit("a").alias("__side"), "__t", "__v"
+    ).unionByName(
+        pair_df.join(s, F.col("key_b") == F.col("__k")).select(
+            "key_a", "key_b", F.lit("b").alias("__side"), "__t", "__v"
+        )
+    )
+
+    def _dtw(pdf):
+        pdf = pdf.sort_values("__t")
+        x = pdf.loc[pdf["__side"] == "a", "__v"].to_numpy()
+        y = pdf.loc[pdf["__side"] == "b", "__v"].to_numpy()
+        n, m = len(x), len(y)
+        w = max(band, abs(n - m)) if n and m else band
+        big = float("inf")
+        prev = np.full(m + 1, big)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = np.full(m + 1, big)
+            lo, hi = max(1, i - w), min(m, i + w)
+            for j in range(lo, hi + 1):
+                c = abs(x[i - 1] - y[j - 1])
+                cur[j] = c + min(prev[j - 1], prev[j], cur[j - 1])
+            prev = cur
+        d = float(prev[m]) if n and m else float("nan")
+        return pd.DataFrame(
+            {
+                "key_a": [pdf["key_a"].iloc[0]],
+                "key_b": [pdf["key_b"].iloc[0]],
+                "n_a": [n],
+                "n_b": [m],
+                "dtw": [d],
+            }
+        )
+
+    return tagged.groupBy("key_a", "key_b").applyInPandas(
+        _dtw, "key_a string, key_b string, n_a long, n_b long, dtw double"
+    )
