@@ -332,3 +332,85 @@ def dtw_distance_pairs(
     return tagged.groupBy("key_a", "key_b").applyInPandas(
         _dtw, "key_a string, key_b string, n_a long, n_b long, dtw double"
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    seasonal_col: str = "s_cur",
+) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing per key
+    (level + trend + ``period``-length seasonal state) — the seasonal
+    completion of :func:`holt`.
+
+    ``l_1 = x_1``, ``b_1 = 0``, seasonal queue seeded to zeros; for
+    t ≥ 2 with ``su`` = the queue head (the season slot from
+    ``period`` steps ago)::
+
+        l_t = α·(x_t − su) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·su        (pushed onto the queue)
+
+    Same distribution contract as the module's other recurrences (one
+    key shuffle, Arrow-batched sequential scan, O(period) state).
+    Determinism: with α, β, γ exact binary fractions every step is
+    the same IEEE-double expression in the same order on any engine —
+    the oracle replays it with a recursive CTE whose seasonal state
+    is a rotating LIST (``seas[2:] || [s_new]``), and the outputs are
+    bit-identical, exactly like :func:`holt`'s.
+    """
+    if not keys or not order_by:
+        raise ValueError("holt_winters requires keys and an explicit order_by")
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(level_col, T.DoubleType(), True),
+            T.StructField(trend_col, T.DoubleType(), True),
+            T.StructField(seasonal_col, T.DoubleType(), True),
+        ]
+    )
+    order_cols = list(order_by)
+    a, b_, g_ = float(alpha), float(beta), float(gamma)
+    one_a, one_b, one_g = 1.0 - a, 1.0 - b_, 1.0 - g_
+    m = int(period)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        n = len(xs)
+        levels = [0.0] * n
+        trends = [0.0] * n
+        scurs = [0.0] * n
+        seas = [0.0] * m
+        lev, tr = 0.0, 0.0
+        for i in range(n):
+            x = float(xs[i])
+            if i == 0:
+                lev, tr = x, 0.0
+                s_new = 0.0
+            else:
+                su = seas[0]
+                l_new = a * (x - su) + one_a * (lev + tr)
+                tr = b_ * (l_new - lev) + one_b * tr
+                s_new = g_ * (x - l_new) + one_g * su
+                lev = l_new
+            seas = seas[1:] + [s_new]
+            levels[i], trends[i], scurs[i] = lev, tr, s_new
+        out = pdf.copy()
+        out[level_col] = levels
+        out[trend_col] = trends
+        out[seasonal_col] = scurs
+        return out
+
+    return df.groupBy(*keys).applyInPandas(run, out_schema)

@@ -249,3 +249,72 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bf_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (m=7) of per-type daily
+# event value — the seasonal completion of q_holt_forecast.  α=1/2,
+# β=γ=1/4 are exact binary fractions and the seasonal state is a
+# rotating list, so the recursive-CTE replay is bit-identical to the
+# operator's Arrow-batched recurrence (q_holt_forecast's discipline).
+
+QHW_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT etype, date_diff('day', DATE '1970-01-01', d) AS dn, x,
+         ROW_NUMBER() OVER (PARTITION BY etype ORDER BY d) AS rn
+  FROM daily
+), rec AS (
+  SELECT etype, dn, rn, x, CAST(x AS DOUBLE) AS level,
+         CAST(0.0 AS DOUBLE) AS trend, CAST(0.0 AS DOUBLE) AS s_cur,
+         CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS seas
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.etype, s.dn, s.rn, s.x,
+         0.5 * (s.x - r.seas[1]) + 0.5 * (r.level + r.trend),
+         0.25 * ((0.5 * (s.x - r.seas[1]) + 0.5 * (r.level + r.trend))
+                 - r.level) + 0.75 * r.trend,
+         0.25 * (s.x - (0.5 * (s.x - r.seas[1])
+                        + 0.5 * (r.level + r.trend))) + 0.75 * r.seas[1],
+         r.seas[2:] || [0.25 * (s.x - (0.5 * (s.x - r.seas[1])
+                        + 0.5 * (r.level + r.trend))) + 0.75 * r.seas[1]]
+  FROM rec r JOIN seq s ON s.etype = r.etype AND s.rn = r.rn + 1
+)
+SELECT etype, CAST(dn AS BIGINT) AS dn, ROUND(x, 6) AS x,
+       ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+       ROUND(s_cur, 6) AS s_cur
+FROM rec ORDER BY etype, dn
+"""
+
+
+@declare(
+    "q_holt_winters",
+    oracle=QHW_ORACLE,
+    description="Holt-Winters additive seasonal smoothing (m=7, α=1/2, β=γ=1/4) of per-type daily event value — rotating-list seasonal state, bit-identical to the recursive-CTE replay (forecasting [ext])",
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.sequential import holt_winters
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        F.col("event_type").alias("etype"), F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    daily = daily.select(
+        "etype", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("dn"), "x"
+    )
+    out = holt_winters(daily, keys=["etype"], order_by=["dn"], value_col="x", period=7)
+    return out.select(
+        "etype",
+        F.col("dn").cast("long").alias("dn"),
+        F.round("x", 6).alias("x"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("s_cur", 6).alias("s_cur"),
+    ).orderBy("etype", "dn")

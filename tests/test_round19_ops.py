@@ -85,3 +85,54 @@ def test_brown_forsythe_nonnegative(spark):
     assert r["bf_stat"] >= 0.0
     assert r["n_groups"] >= 2
     assert r["n_rows"] > r["n_groups"]
+
+
+def _hw_ref(xs, m=7, a=0.5, b=0.25, g=0.25):
+    seas = [0.0] * m
+    lev, tr = 0.0, 0.0
+    out = []
+    for i, x in enumerate(xs):
+        if i == 0:
+            lev, tr, s_new = x, 0.0, 0.0
+        else:
+            su = seas[0]
+            l_new = a * (x - su) + (1 - a) * (lev + tr)
+            tr = b * (l_new - lev) + (1 - b) * tr
+            s_new = g * (x - l_new) + (1 - g) * su
+            lev = l_new
+        seas = seas[1:] + [s_new]
+        out.append((lev, tr, s_new))
+    return out
+
+
+def test_holt_winters_matches_pure_python(spark):
+    xs = [10.0, 12.0, 8.0, 11.0, 15.0, 9.0, 7.0, 13.0, 12.5, 8.25,
+          11.75, 14.0, 9.5, 7.25, 12.0]
+    rows = [("k", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    from jibaro_spark.operators.sequential import holt_winters
+
+    got = (
+        holt_winters(df, ["k"], ["t"], "x", period=7)
+        .orderBy("t")
+        .collect()
+    )
+    want = _hw_ref(xs)
+    for r, (lev, tr, s) in zip(got, want):
+        assert r["level"] == lev and r["trend"] == tr and r["s_cur"] == s
+
+
+def test_holt_winters_tracks_pure_seasonal_signal(spark):
+    # a noiseless period-7 signal: after warmup the one-step forecast
+    # level+trend+seas-slot should approach the signal
+    base = [5.0, 1.0, 2.0, 8.0, 3.0, 9.0, 4.0]
+    xs = base * 8
+    rows = [("k", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    from jibaro_spark.operators.sequential import holt_winters
+
+    got = holt_winters(df, ["k"], ["t"], "x", period=7).orderBy("t").collect()
+    tail = got[-7:]
+    for r, x in zip(tail, base):
+        # level + seasonal reconstructs the signal within tolerance
+        assert abs((r["level"] + r["s_cur"]) - x) < 1.5
