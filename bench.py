@@ -165,6 +165,19 @@ HEADLINE = [
     "q_brier_calibration",
     "q_isotonic_calibration",
     "q_silhouette_simplified",
+    # round 18-19 additions: top-k IVM (member-hit dirty repair),
+    # regex sequence funnels, per-source-BFS closeness, integer-exact
+    # Durbin-Watson, greedy MMR, banded DTW pairs, post-hoc stats,
+    # rotating-state Holt-Winters
+    "q_incremental_topk",
+    "q_event_pattern_match",
+    "q_closeness_centrality",
+    "q_durbin_watson",
+    "q_mmr_diversify",
+    "q_dtw_priority_pairs",
+    "q_tukey_kramer",
+    "q_brown_forsythe",
+    "q_holt_winters",
 ]
 
 

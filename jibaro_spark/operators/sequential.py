@@ -414,3 +414,79 @@ def holt_winters(
         return out
 
     return df.groupBy(*keys).applyInPandas(run, out_schema)
+
+
+def croston(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    z_col: str = "z_hat",
+    p_col: str = "p_hat",
+    fc_col: str = "forecast",
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) — the
+    forecasting recurrence for series that are mostly zero (spare
+    parts, rare events), where plain exponential smoothing collapses
+    toward zero between demands.
+
+    Two exponentially-smoothed states updated ONLY at nonzero
+    periods: demand size ``z`` and inter-demand interval ``p``; ``q``
+    counts periods since the last demand::
+
+        x_t > 0:  z ← α·x_t + (1−α)·z ;  p ← α·q + (1−α)·p ;  q ← 1
+        x_t = 0:  q ← q + 1                         (states carried)
+
+    First demand seeds ``z = x``, ``p = q``.  Forecast = ``z / p``
+    (NULL before the first demand).  Same distribution contract as
+    the module's other recurrences; with α an exact binary fraction
+    the recursive-CTE replay is bit-identical (:func:`holt`'s
+    discipline).  Input must be a DENSE series (zero-filled calendar)
+    — intermittency is the point, so the zeros must be rows.
+    """
+    if not keys or not order_by:
+        raise ValueError("croston requires keys and an explicit order_by")
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(z_col, T.DoubleType(), True),
+            T.StructField(p_col, T.DoubleType(), True),
+            T.StructField(fc_col, T.DoubleType(), True),
+        ]
+    )
+    order_cols = list(order_by)
+    a = float(alpha)
+    one_a = 1.0 - a
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        n = len(xs)
+        zs = [None] * n
+        ps = [None] * n
+        fcs = [None] * n
+        z = p = None
+        q = 1
+        for i in range(n):
+            x = float(xs[i])
+            if x > 0.0:
+                if z is None:
+                    z = x
+                    p = float(q)
+                else:
+                    z = a * x + one_a * z
+                    p = a * float(q) + one_a * p
+                q = 1
+            else:
+                q += 1
+            zs[i], ps[i] = z, p
+            fcs[i] = (z / p) if z is not None else None
+        out = pdf.copy()
+        out[z_col] = pd.array(zs, dtype="float64")
+        out[p_col] = pd.array(ps, dtype="float64")
+        out[fc_col] = pd.array(fcs, dtype="float64")
+        return out
+
+    return df.groupBy(*keys).applyInPandas(run, out_schema)
