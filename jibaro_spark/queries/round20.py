@@ -133,3 +133,155 @@ def q_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "dn")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution ([ext] ER flagship, the linkage twin of
+# q_minhash_dedup_clusters): degrade a replica of the customer master
+# (round8's md5 recipe), block on nation, Fellegi-Sunter-score the
+# candidates, keep score >= 12 as match edges, close them transitively
+# (connected components), and survive ONE canonical record per cluster
+# (master side preferred, then min id).  The oracle replays the WHOLE
+# pipeline — degradation, blocking, scoring, a recursive-CTE
+# transitive closure, and survivorship — so the driver hash-checks the
+# full resolution surface, not just the pair scores.
+
+_ER_SQL_MD5 = (
+    "CAST(('0x' || substr(md5('{salt}|' || CAST(c_custkey AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10"
+)
+
+QER_ORACLE = f"""
+WITH RECURSIVE a AS (
+  SELECT c_custkey AS id, c_name AS name,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         c_mktsegment AS seg, c_nationkey AS nat, 'a' AS side
+  FROM customer
+), b AS (
+  SELECT c_custkey + 1000000 AS id,
+         CASE WHEN {_ER_SQL_MD5.format(salt='n')} = 0
+              THEN reverse(c_name) ELSE c_name END AS name,
+         CASE WHEN {_ER_SQL_MD5.format(salt='b')} = 0
+              THEN CAST(c_acctbal AS DECIMAL(18,2)) + 100.00
+              ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal,
+         CASE WHEN {_ER_SQL_MD5.format(salt='s')} = 0
+              THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+         c_nationkey AS nat, 'b' AS side
+  FROM customer
+), records AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+), scored AS (
+  SELECT a.id AS src, b.id AS dst,
+         CAST(CAST(CASE WHEN a.name = b.name THEN 13.135709 ELSE -3.321784 END AS DECIMAL(18,6))
+            + CAST(CASE WHEN a.bal  = b.bal  THEN 9.731319  ELSE -2.735522 END AS DECIMAL(18,6))
+            + CAST(CASE WHEN a.seg  = b.seg  THEN 2.0       ELSE -2.0      END AS DECIMAL(18,6))
+           AS DECIMAL(28,6)) AS score
+  FROM a JOIN b ON a.nat = b.nat
+), edges AS (
+  SELECT src, dst FROM scored WHERE score >= 12.0
+  UNION
+  SELECT dst, src FROM scored WHERE score >= 12.0
+), comp AS (
+  SELECT id AS node, id AS root FROM records
+  UNION
+  SELECT e.dst AS node, c.root
+  FROM comp c JOIN edges e ON e.src = c.node
+), labels AS (
+  SELECT node, MIN(root) AS cluster_id FROM comp GROUP BY node
+)
+SELECT l.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN r.side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_master,
+       MIN(CASE WHEN r.side = 'a' THEN r.id END) AS canonical_id
+FROM labels l JOIN records r ON r.id = l.node
+GROUP BY l.cluster_id
+HAVING COUNT(*) >= 2
+ORDER BY l.cluster_id
+"""
+
+
+@declare(
+    "q_er_pipeline",
+    oracle=QER_ORACLE,
+    description="End-to-end entity resolution: degraded replica → nation-blocked Fellegi-Sunter scoring → match edges → connected-components closure → master-preferred survivorship; oracle replays the whole pipeline incl. a recursive-CTE transitive closure (ER flagship [ext])",
+)
+def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.graph import connected_components
+    from jibaro_spark.operators.linkage import FieldComparator, fellegi_sunter_join
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+
+    def md5_mod(salt: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(10))
+
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_nationkey").alias("a_nat"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 1000000).alias("b_id"),
+        F.when(md5_mod("n") == 0, F.reverse(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(
+            md5_mod("b") == 0,
+            F.col("c_acctbal").cast("decimal(18,2)")
+            + F.lit("100.00").cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("c_acctbal").cast("decimal(18,2)"))
+        .alias("b_bal"),
+        F.when(md5_mod("s") == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+    scored = fellegi_sunter_join(
+        a,
+        b,
+        "a_id",
+        "b_id",
+        block_on=[("a_nat", "b_nat")],
+        comparators=[
+            FieldComparator("name", F.col("a_name") == F.col("b_name"), 0.9, 0.0001),
+            FieldComparator("bal", F.col("a_bal") == F.col("b_bal"), 0.85, 0.001),
+            FieldComparator("seg", F.col("a_seg") == F.col("b_seg"), 0.8, 0.2),
+        ],
+        upper=12.0,
+        lower=0.0,
+    )
+    edges = scored.filter(F.col("decision") == "match").select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    records = a.select(
+        F.col("a_id").alias("id"), F.lit("a").alias("side")
+    ).unionByName(b.select(F.col("b_id").alias("id"), F.lit("b").alias("side")))
+    comp = connected_components(edges)
+    labeled = records.join(
+        comp, records["id"] == comp["node"], "left"
+    ).select(
+        "id",
+        "side",
+        F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"),
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum((F.col("side") == "a").cast("int")).cast("long").alias("n_master"),
+            F.min(F.when(F.col("side") == "a", F.col("id"))).alias("canonical_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )

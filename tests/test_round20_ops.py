@@ -61,3 +61,19 @@ def test_croston_query_laws(spark):
             assert r["z_hat"] >= 1.0  # demands are counts >= 1
             assert r["p_hat"] >= 1.0  # intervals are >= 1 period
             assert abs(r["forecast"] - round(r["z_hat"] / r["p_hat"], 2)) < 0.5
+
+
+def test_er_pipeline_invariants(spark):
+    rows = REGISTRY["q_er_pipeline"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every multi-member cluster came from >= 1 match edge and
+        # contains at least one master record (edges are a-b only)
+        assert r["n_members"] >= 2
+        assert 1 <= r["n_master"] < r["n_members"]
+        assert r["canonical_id"] is not None
+        assert r["cluster_id"] <= r["canonical_id"]
+    # intact records (name survives + seg or bal survives) must link:
+    # the match rate over 1500 masters is ~0.9*(1-0.01) — sanity band
+    n_masters = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert 0.7 * n_masters <= sum(r["n_members"] - 1 for r in rows) <= n_masters
