@@ -829,3 +829,52 @@ def grouped_prefix_sum(
         joined.withColumn(out_col, F.col("__off") + F.col("__lc"))
         .drop("__gpid", "__lc", "__off")
     )
+
+
+def aggregate_navigator(
+    fact: DataFrame,
+    summaries: "list[tuple[list[str], DataFrame]]",
+    keys: "list[str]",
+    measures: "dict[str, str]",
+) -> DataFrame:
+    """Aggregate-aware query routing (the warehouse "aggregate
+    navigator" / materialized-view rewrite for additive rollups):
+    answer ``SELECT keys, agg(measures) FROM fact GROUP BY keys`` from
+    the SMALLEST pre-aggregated summary whose grain covers the
+    requested keys, falling back to the fact table.
+
+    ``summaries`` is ``[(grain_cols, summary_df), ...]`` where each
+    summary has ``grain_cols`` plus one column per measure holding the
+    per-grain partial (SUM-of or COUNT-of).  ``measures`` maps output
+    column → ``"sum"``/``"count"``; additivity is what makes re-rolling
+    a summary legal (MIN/MAX would also roll up; AVG callers route a
+    sum and a count and divide downstream).
+
+    Routing rule: usable ⟺ requested ``keys ⊆ grain``; among usable
+    summaries pick the one with the FEWEST grain columns (coarsest —
+    cheapest to re-aggregate), using the fact when none qualifies.
+    At 100 TB the payoff is the whole point of summary tables: a
+    grain-covered query re-aggregates a table orders of magnitude
+    smaller than the fact, and correctness is transparent — pinned by
+    the q_agg_navigator oracle, which always computes from the fact.
+
+    COUNT partials re-roll via SUM (a count of counts is a sum); the
+    chosen source is returned re-aggregated to ``keys`` with the
+    measure output names.
+    """
+    key_set = set(keys)
+    usable = [
+        (grain, df) for grain, df in summaries if key_set.issubset(set(grain))
+    ]
+    if usable:
+        usable.sort(key=lambda t: len(t[0]))
+        _, src = usable[0]
+        aggs = [F.sum(F.col(out)).alias(out) for out in measures]
+        return src.groupBy(*keys).agg(*aggs)
+    aggs = []
+    for out, kind in measures.items():
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(F.sum(F.col(out)).alias(out))
+    return fact.groupBy(*keys).agg(*aggs)
