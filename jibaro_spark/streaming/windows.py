@@ -120,6 +120,7 @@ def interval_join(
     upper: str = "10 minutes",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join: pair each left row with right rows of
     the same ``key`` whose timestamp falls in
@@ -131,9 +132,19 @@ def interval_join(
     stream-stream join would buffer both streams forever; with the
     bound, state per side is ``watermark + interval`` of data).
 
+    ``how`` ∈ {inner, left_outer, right_outer, full_outer}: the outer
+    forms are the "did NOT convert / was never clicked" workloads.
+    Streaming outer semantics (pinned by test): an unmatched row is
+    emitted with nulls only AFTER the watermark passes its join
+    window — Spark cannot know "no match will come" any earlier, so
+    outer results near the head of the stream trail by the watermark.
+
     Right columns are prefixed with ``right_prefix`` (stream-stream
     self-joins share column names).
     """
+    allowed = {"inner", "left_outer", "right_outer", "full_outer"}
+    if how not in allowed:
+        raise ValueError(f"interval_join: how must be one of {sorted(allowed)}")
     if left.isStreaming != right.isStreaming:
         raise ValueError("interval_join: both sides must be batch or both streams")
     if left.isStreaming:
@@ -146,7 +157,7 @@ def interval_join(
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return left.join(r, cond, "inner")
+    return left.join(r, cond, how)
 
 
 def running_counts(

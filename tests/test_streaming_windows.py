@@ -466,3 +466,77 @@ def test_stream_static_enrichment_join(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == expected and got, got
+
+
+def test_interval_join_left_outer_stream_emits_after_watermark(spark, tmp_path):
+    """Streaming LEFT OUTER stream-stream join: an unmatched left row
+    is emitted with null right columns only after the watermark passes
+    its join window; matched rows pair normally.  Three-file sequence
+    mirrors test_watermark_drops_late_data's eviction mechanics."""
+    import datetime
+    import time
+
+    src = str(tmp_path / "oj_events")
+    schema = "ts timestamp, event_type string, user_id int"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(datetime.datetime.fromisoformat(t), e, u) for t, e, u in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    # batch 0: user 1 purchase has a click 10 min earlier (match);
+    # user 2 purchase has NO click anywhere
+    write(
+        [
+            ("2026-01-01 10:00:00", "click", 1),
+            ("2026-01-01 10:10:00", "purchase", 1),
+            ("2026-01-01 10:10:00", "purchase", 2),
+        ]
+    )
+    # batch 1: far-future rows push the watermark well past 10:10 on
+    # BOTH sides → user 2's join window closes → null-joined emission
+    write(
+        [
+            ("2026-01-02 10:00:00", "click", 9),
+            ("2026-01-02 10:00:05", "purchase", 9),
+        ]
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    sdf = W.interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        key="user_id",
+        lower="30 minutes",
+        upper="0 seconds",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    assert sdf.isStreaming
+    _run_to_memory(sdf, "oj")
+    rows = spark.sql("SELECT user_id, r_user_id FROM oj").collect()
+    got = {(r.user_id, r.r_user_id) for r in rows}
+    assert (1, 1) in got, got          # matched pair
+    assert (2, None) in got, got       # watermark-closed unmatched left
+    # batch semantics agree on the same data
+    batch = spark.read.parquet(src)
+    bdf = W.interval_join(
+        batch.filter(F.col("event_type") == "purchase"),
+        batch.filter(F.col("event_type") == "click"),
+        key="user_id",
+        lower="30 minutes",
+        upper="0 seconds",
+        how="left_outer",
+    )
+    bgot = {(r.user_id, r.r_user_id) for r in bdf.collect()}
+    assert {(1, 1), (2, None)} <= bgot
+
+
+def test_interval_join_rejects_bad_how(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    with pytest.raises(ValueError, match="how must be"):
+        W.interval_join(batch, batch, key="user_id", how="cross")
