@@ -240,3 +240,120 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_w"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Youden-J / cost threshold table: per distinct score threshold the
+# confusion rates, J = TPR − FPR, and an asymmetric expected cost —
+# the operating-point selector that closes the scorer-eval battery
+# (AUC, AP, lift, Brier, confusion, now the threshold choice).
+
+QYOUDEN_ORACLE = """
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                              CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 AS part,
+         CAST(l_quantity AS BIGINT) AS band,
+         CAST(l_returnflag = 'R' AS INT) AS y
+  FROM lineitem
+), model AS (
+  SELECT band, ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p_hat
+  FROM s WHERE part = 0 GROUP BY band
+), fallback AS (
+  SELECT ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p_glob
+  FROM s WHERE part = 0
+), test AS (
+  SELECT COALESCE(m.p_hat, f.p_glob) AS p_hat, t.y
+  FROM s t LEFT JOIN model m USING (band) CROSS JOIN fallback f
+  WHERE t.part = 1
+), cells AS (
+  SELECT p_hat, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM test GROUP BY p_hat
+), cum AS (
+  SELECT p_hat,
+         SUM(pos) OVER (ORDER BY p_hat DESC) AS tp,
+         SUM(n - pos) OVER (ORDER BY p_hat DESC) AS fp,
+         SUM(pos) OVER () AS tot_pos,
+         SUM(n - pos) OVER () AS tot_neg
+  FROM cells
+)
+SELECT p_hat AS threshold,
+       ROUND(CAST(tp AS DOUBLE) / tot_pos, 6) AS tpr,
+       ROUND(CAST(fp AS DOUBLE) / tot_neg, 6) AS fpr,
+       ROUND(CAST(tp AS DOUBLE) / tot_pos - CAST(fp AS DOUBLE) / tot_neg, 6)
+         AS youden_j,
+       CAST(5 * fp + 1 * (tot_pos - tp) AS BIGINT) AS exp_cost_5to1
+FROM cum
+ORDER BY threshold DESC
+"""
+
+
+@declare(
+    "q_youden_threshold",
+    oracle=QYOUDEN_ORACLE,
+    description="Youden-J / asymmetric-cost operating-point table of the md5-split band scorer over the bounded distinct-score thresholds — the threshold selector closing the scorer-eval battery (ML eval [ext])",
+)
+def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    part = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    s = li.select(
+        part.alias("part"),
+        F.col("l_quantity").cast("long").alias("band"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    s = s.localCheckpoint(eager=True)
+    train = s.filter(F.col("part") == 0)
+    model = train.groupBy("band").agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("p_hat")
+    )
+    fallback = train.agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("p_glob")
+    )
+    test = (
+        s.filter(F.col("part") == 1)
+        .join(F.broadcast(model), "band", "left")
+        .crossJoin(F.broadcast(fallback))
+        .select(F.coalesce(F.col("p_hat"), F.col("p_glob")).alias("p_hat"), "y")
+    )
+    cells = test.groupBy("p_hat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wd = Window.orderBy(F.col("p_hat").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = (
+        cells.withColumn("tp", F.sum("pos").over(wd))
+        .withColumn("fp", F.sum(F.col("n") - F.col("pos")).over(wd))
+        .withColumn("tot_pos", F.sum("pos").over(wall))
+        .withColumn("tot_neg", F.sum(F.col("n") - F.col("pos")).over(wall))
+    )
+    tpr = F.col("tp").cast("double") / F.col("tot_pos")
+    fpr = F.col("fp").cast("double") / F.col("tot_neg")
+    return cum.select(
+        F.col("p_hat").alias("threshold"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(tpr - fpr, 6).alias("youden_j"),
+        (5 * F.col("fp") + (F.col("tot_pos") - F.col("tp")))
+        .cast("long")
+        .alias("exp_cost_5to1"),
+    ).orderBy(F.col("threshold").desc())

@@ -28,3 +28,21 @@ def test_kendall_w_range(spark):
     assert 0.0 <= r["kendall_w"] <= 1.0
     assert r["n_years"] >= 2
     assert r["n_nations"] >= 2
+
+
+def test_youden_threshold_laws(spark):
+    rows = REGISTRY["q_youden_threshold"].fn(spark, SF).collect()
+    assert rows
+    by_thr = sorted(rows, key=lambda r: -r["threshold"])
+    tprs = [r["tpr"] for r in by_thr]
+    fprs = [r["fpr"] for r in by_thr]
+    # both rates are monotone non-decreasing as the threshold drops
+    assert tprs == sorted(tprs)
+    assert fprs == sorted(fprs)
+    # the loosest threshold accepts everything
+    assert abs(tprs[-1] - 1.0) < 1e-9 and abs(fprs[-1] - 1.0) < 1e-9
+    for r in rows:
+        # J is rounded from the UNROUNDED rates; recomputing from the
+        # displayed (rounded) rates can differ by one ulp-of-1e-6
+        assert abs(r["youden_j"] - (r["tpr"] - r["fpr"])) < 2e-6
+        assert r["exp_cost_5to1"] >= 0
