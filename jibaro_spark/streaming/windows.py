@@ -583,3 +583,92 @@ def streaming_space_saving(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_bottomk_sample(
+    events: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Bounded-state deterministic DISTINCT-item sample per group via
+    the bottom-k (KMV) construction in ``applyInPandasWithState``:
+    keep the k items whose md5 priorities are smallest, across
+    micro-batches.
+
+    Why bottom-k instead of a classic reservoir: the md5 priority
+    makes the sample a pure FUNCTION OF THE DISTINCT ITEM SET — order-
+    independent and duplicate-insensitive — so the streaming sketch is
+    EXACTLY equal to the batch twin on the same data (pinned by test;
+    a randomized reservoir can only be equal in distribution), two
+    sketches merge by union+truncate, and the k-th smallest priority
+    doubles as a KMV cardinality estimator.  This is the uniform-
+    sample companion of :func:`streaming_space_saving` (top-k by
+    frequency) — together they cover "what's hot" and "what's
+    typical" with O(k) state per group.
+
+    Output per micro-batch: the group's current sample snapshot
+    ``(group, item, priority)`` (append mode; latest snapshot per
+    group is the answer).  Batch frames run the same kernel through
+    ``applyInPandas``.  At 100 TB: state is ``groups × k`` strings,
+    one group-keyed shuffle per micro-batch.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import hashlib
+
+    src = events.select(
+        F.col(group_col).alias("__grp"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    out_schema = f"{group_col} string, {item_col} string, priority string"
+    state_schema = "prios array<string>, items array<string>"
+
+    def _apply(grp, prios, items, pdf):
+        import pandas as pd
+
+        pool = dict(zip(items, prios))
+        if pdf is not None:
+            for it in pdf["__item"].unique():
+                if it not in pool:
+                    pool[it] = hashlib.md5(it.encode()).hexdigest()
+        snap = sorted(pool.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        out = pd.DataFrame(
+            {
+                group_col: pd.Series([str(grp)] * len(snap), dtype="object"),
+                item_col: pd.Series([i for i, _ in snap], dtype="object"),
+                "priority": pd.Series([p for _, p in snap], dtype="object"),
+            }
+        )
+        return [p for _, p in snap], [i for i, _ in snap], out
+
+    if not events.isStreaming:
+        def batch_kernel(key, pdf):
+            _, _, out = _apply(key[0], [], [], pdf)
+            return out
+
+        return src.groupBy("__grp").applyInPandas(batch_kernel, out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            prios, items = state.get
+            prios, items = list(prios), list(items)
+        else:
+            prios, items = [], []
+        batches = [p for p in pdfs]
+        pdf = pd.concat(batches) if batches else None
+        prios, items, out = _apply(key[0], prios, items, pdf)
+        state.update((prios, items))
+        yield out
+
+    return src.groupBy("__grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

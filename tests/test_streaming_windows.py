@@ -540,3 +540,41 @@ def test_interval_join_rejects_bad_how(spark, events_dir):
     batch = spark.read.parquet(events_dir)
     with pytest.raises(ValueError, match="how must be"):
         W.interval_join(batch, batch, key="user_id", how="cross")
+
+
+def test_bottomk_sample_stream_equals_batch_exactly(spark, events_dir):
+    """The md5 bottom-k sketch is a pure function of the distinct item
+    set — the STREAMING result (2+ micro-batches) must equal the batch
+    kernel and the declarative SQL form EXACTLY, row for row."""
+    batch = spark.read.parquet(events_dir)
+    bdf = W.streaming_bottomk_sample(batch, "event_type", "user_id", k=16)
+    expected = {
+        (r["event_type"], r["user_id"], r["priority"]) for r in bdf.collect()
+    }
+    assert expected
+
+    sdf = W.streaming_bottomk_sample(
+        _stream(spark, events_dir), "event_type", "user_id", k=16
+    )
+    assert sdf.isStreaming
+    _run_to_memory(sdf, "bottomk")
+    # append mode emits one snapshot per (group, micro-batch): the
+    # LAST snapshot per group is the final sketch. Reconstruct it by
+    # keeping, per group, the k smallest priorities ever emitted —
+    # equivalent because snapshots are monotone under union+truncate.
+    rows = spark.sql("SELECT * FROM bottomk").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["event_type"], {})[r["user_id"]] = r["priority"]
+    got = set()
+    for g, pool in by_grp.items():
+        for uid, pri in sorted(pool.items(), key=lambda kv: (kv[1], kv[0]))[:16]:
+            got.add((g, uid, pri))
+    assert got == expected
+
+
+def test_bottomk_rejects_bad_k(spark, events_dir):
+    with pytest.raises(ValueError, match="k must be"):
+        W.streaming_bottomk_sample(
+            spark.read.parquet(events_dir), "event_type", "user_id", k=0
+        )
