@@ -635,3 +635,95 @@ def bfs_distances_per_source(
         visited = visited.union(new)
         frontier = new.select("source", "node")
     return visited
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Minimum spanning forest via Borůvka's algorithm — the
+    distributed MST (each round EVERY component picks its lightest
+    outgoing edge simultaneously, components contract, O(log n)
+    rounds; the same structure GraphX/Giraph MST implementations use,
+    because Prim/Kruskal are inherently sequential).
+
+    Edge weights are tie-broken into a TOTAL order by (w, src, dst),
+    which makes the MST unique — so the result is checkable against
+    any other MST algorithm (the declared query's oracle uses the
+    CYCLE PROPERTY instead of replaying Borůvka: an edge is in the
+    unique MST iff its endpoints are NOT connected using strictly
+    lighter edges).
+
+    Per round: one join of edges against the component labels, one
+    per-component argmin (window over component-bounded candidate
+    rows), a component-graph connected-components pass to contract,
+    and a localCheckpoint to truncate lineage.  At 100 TB the edge
+    list is shuffled on its endpoints each round with O(log n)
+    rounds — the standard distributed-MST cost.
+
+    Returns the forest edges ``(src, dst, w)`` (canonical src<dst).
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+        F.col(w).alias("w"),
+    ).filter(F.col("a") != F.col("b"))
+    # unique edge per (a,b): keep the lightest parallel edge
+    we = Window.partitionBy("a", "b").orderBy("w")
+    e = (
+        e.withColumn("__r", F.row_number().over(we))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))
+    ).distinct()
+    comp = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    mst = spark.createDataFrame([], "a long, b long, w long")
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        cross = (
+            e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
+        )
+        # per-component lightest outgoing edge under the (w, a, b)
+        # total order — ties cannot happen, so the MST is unique
+        cand = cross.select(
+            F.col("ca").alias("c"), "a", "b", "w", "cb"
+        ).unionByName(
+            cross.select(F.col("cb").alias("c"), "a", "b", "w", F.col("ca").alias("cb"))
+        )
+        wmin = Window.partitionBy("c").orderBy("w", "a", "b")
+        picks = (
+            cand.withColumn("__r", F.row_number().over(wmin))
+            .filter(F.col("__r") == 1)
+            .localCheckpoint(eager=True)
+        )
+        if picks.limit(1).count() == 0:
+            break
+        mst = (
+            mst.unionByName(picks.select("a", "b", "w"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # contract the component graph along the picked edges
+        comp_edges = picks.select(
+            F.col("c").alias("src"), F.col("cb").alias("dst")
+        )
+        cc = connected_components(comp_edges)
+        comp = (
+            comp.join(cc, comp["comp"] == cc["node"], "left")
+            .select(
+                comp["node"].alias("node"),
+                F.coalesce(cc["component"], comp["comp"]).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return mst

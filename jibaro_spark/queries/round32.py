@@ -140,3 +140,70 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("friedman_chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed minimum spanning tree (Borůvka) on the weighted nation
+# trade graph.  The oracle does NOT replay Borůvka: under the
+# (w, a, b) total order the MST is unique, so it applies the CYCLE
+# PROPERTY — an edge belongs to the MST iff its endpoints are not
+# connected using strictly lighter edges — with a bounded
+# (edge × node) recursive reachability walk.  Algorithm-independent
+# agreement is the strongest possible check.
+
+QMST_ORACLE = """
+WITH RECURSIVE trade AS (
+  SELECT DISTINCT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+         GREATEST(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+), edges AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST((a + b) % 9 + 1 AS BIGINT) AS w,
+         ROW_NUMBER() OVER (ORDER BY (a + b) % 9 + 1, a, b) AS id
+  FROM trade
+), walk AS (
+  SELECT e.id, e.a AS node FROM edges e
+  UNION
+  SELECT wk.id, CASE WHEN f.a = wk.node THEN f.b ELSE f.a END AS node
+  FROM walk wk JOIN edges f
+    ON (f.a = wk.node OR f.b = wk.node) AND f.id < wk.id
+)
+SELECT e.a AS src, e.b AS dst, e.w
+FROM edges e
+WHERE NOT EXISTS (SELECT 1 FROM walk x WHERE x.id = e.id AND x.node = e.b)
+ORDER BY src, dst
+"""
+
+
+@declare(
+    "q_boruvka_mst",
+    oracle=QMST_ORACLE,
+    description="Distributed minimum spanning tree (Borůvka, O(log n) simultaneous component contractions) of the weighted nation trade graph; tie-broken total order makes the MST unique, and the oracle verifies it algorithm-independently via the cycle property (graph [ext])",
+)
+def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.graph import boruvka_mst
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    li, o, c, s = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    trade = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("src"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "w", ((F.col("src") + F.col("dst")) % 9 + 1).cast("long")
+        )
+    )
+    mst = boruvka_mst(trade, "src", "dst", "w")
+    return mst.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w")
+    ).orderBy("src", "dst")
