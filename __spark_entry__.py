@@ -3,7 +3,7 @@
 ``queries()`` / ``oracle_sql()`` are populated from the declared-query
 registry in :mod:`jibaro_spark.queries` — one entry per implemented
 operator from SURVEY.md §2 (plus the [ext] LLM-pipeline operators).
-Queries without an oracle entry (11 of 350) are genuinely
+Queries without an oracle entry (11 of 352) are genuinely
 non-SQL-expressible — LSH/IVF/IVF-PQ approximate retrieval (knn_lsh,
 knn_ivf, knn_ivfpq, minhash/simhash near-dup pairs), engine-specific
 sketches (approx_count_distinct, HLL union rollup, count-min heavy
