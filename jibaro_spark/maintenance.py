@@ -604,20 +604,33 @@ def delete_by_keys(
         # stats paths may be scheme-less; rejoin by basename (all part
         # files of one directory have unique basenames)
         by_base = {f.rsplit("/", 1)[-1]: f for f in all_files}
+        unmapped = False
         for row in stats:
             mn, mx = row.get(f"{col}_min"), row.get(f"{col}_max")
             if mn is None or mx is None or not (mx < lo or mn > hi):
                 base_name = row["file"].rsplit("/", 1)[-1]
                 if base_name in by_base:
                     candidates.append(by_base[base_name])
-        candidates = sorted(set(candidates)) or list(all_files)
+                else:
+                    unmapped = True
+        candidates = sorted(set(candidates))
+        # Fall back to a full-table rewrite ONLY when the evidence is
+        # incomplete (no footer stats at all, or an admitted stats row
+        # we could not map back to a listed file).  When pruning
+        # legitimately excluded every file, the correct answer is
+        # "nothing to rewrite", not "rewrite everything".
+        if not candidates and (not stats or unmapped):
+            candidates = list(all_files)
 
     if not candidates:
         return {"files_total": len(all_files), "files_rewritten": 0, "rows_deleted": 0}
 
     cand = spark.read.schema(base.schema).parquet(*candidates)
     n_before = cand.count()
-    kept = cand.filter(~F.col(col).isin(values))
+    # NULL-keyed rows are never deletion targets: plain
+    # ``~isin(values)`` evaluates to NULL for them (three-valued
+    # logic) and a bare filter would silently erase them.
+    kept = cand.filter((~F.col(col).isin(values)) | F.col(col).isNull())
     n_after = kept.count()
     local = path.replace("file:", "")
     tmp = os.path.join(local, f"_tmp_delete_{uuid.uuid4().hex[:8]}")
@@ -631,6 +644,25 @@ def delete_by_keys(
                 os.path.join(local, f"part-del-{uuid.uuid4().hex[:8]}-{name}"),
             )
     shutil.rmtree(tmp, ignore_errors=True)
+    # The rewrite changed the file set, so every ``_bloom`` sidecar on
+    # this table is now stale: rewritten originals stay indexed and the
+    # new part-del-* files have no entries — a later bloom-pruned read
+    # or second delete pass would silently skip them (false negatives).
+    # Rebuild each existing sidecar with its original parameters.
+    bloom_root = os.path.join(local, "_bloom")
+    if os.path.isdir(bloom_root):
+        for bloom_col in sorted(os.listdir(bloom_root)):
+            meta_dir = os.path.join(bloom_root, bloom_col, "meta")
+            if not os.path.isdir(meta_dir):
+                continue
+            m = spark.read.parquet(meta_dir).collect()[0]
+            build_bloom_file_index(
+                spark,
+                path,
+                bloom_col,
+                num_bits=int(m["num_bits"]),
+                num_hashes=int(m["num_hashes"]),
+            )
     return {
         "files_total": len(all_files),
         "files_rewritten": len(candidates),

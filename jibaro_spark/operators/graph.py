@@ -685,8 +685,10 @@ def boruvka_mst(
         e.select(F.col("b").alias("node"))
     ).distinct()
     comp = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
-    spark = edges.sparkSession
-    mst = spark.createDataFrame([], "a long, b long, w long")
+    # empty accumulator with the PROJECTED edge schema — node ids may be
+    # strings, weights decimal/double; hardcoding long would break the
+    # unionByName for any non-bigint graph
+    mst = e.select("a", "b", "w").limit(0)
     for _ in range(max_rounds):
         ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
         cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
@@ -726,4 +728,6 @@ def boruvka_mst(
             )
             .localCheckpoint(eager=True)
         )
-    return mst
+    return mst.select(
+        F.col("a").alias(src), F.col("b").alias(dst), F.col("w").alias(w)
+    )

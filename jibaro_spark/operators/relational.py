@@ -756,8 +756,8 @@ def grouped_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],
     order_cols: Sequence[str],
-    value_col: str,
-    out_col: str = "__cum",
+    value_col: "str | Sequence[str]",
+    out_col: "str | Sequence[str]" = "__cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact per-group running sum of ``value_col`` under
@@ -788,7 +788,18 @@ def grouped_prefix_sum(
     nondeterministic.  ``value_col`` should be integer/decimal typed
     if a bit-exact cross-engine result is required — chunked double
     addition has a different rounding order than a sequential scan.
+
+    ``value_col``/``out_col`` also accept equal-length sequences to
+    compute several running sums in ONE pass (same two shuffles, one
+    offset join) — a caller needing cumsum(n) and cumsum(npos) under
+    the same order should never pay the pipeline twice.
     """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(outs):
+        raise ValueError(
+            f"grouped_prefix_sum: {len(vcols)} value cols vs {len(outs)} out cols"
+        )
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -809,25 +820,35 @@ def grouped_prefix_sum(
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = s.withColumn("__lc", F.sum(value_col).over(local_w))
+    local = s
+    for i, vc in enumerate(vcols):
+        local = local.withColumn(f"__lc{i}", F.sum(vc).over(local_w))
     chunk_tot = local.groupBy("__gpid", *gcols).agg(
-        F.sum(value_col).alias("__ct")
+        *[F.sum(vc).alias(f"__ct{i}") for i, vc in enumerate(vcols)]
     )
     off_w = (
         Window.partitionBy(*gcols)
         .orderBy("__gpid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    zero = F.lit(0).cast(dict(chunk_tot.dtypes)["__ct"])
+    ct_types = dict(chunk_tot.dtypes)
     offsets = chunk_tot.select(
         "__gpid",
         *gcols,
-        F.coalesce(F.sum("__ct").over(off_w), zero).alias("__off"),
+        *[
+            F.coalesce(
+                F.sum(f"__ct{i}").over(off_w),
+                F.lit(0).cast(ct_types[f"__ct{i}"]),
+            ).alias(f"__off{i}")
+            for i in range(len(vcols))
+        ],
     )
     joined = local.join(offsets, ["__gpid", *group_cols])
-    return (
-        joined.withColumn(out_col, F.col("__off") + F.col("__lc"))
-        .drop("__gpid", "__lc", "__off")
+    for i, oc in enumerate(outs):
+        joined = joined.withColumn(oc, F.col(f"__off{i}") + F.col(f"__lc{i}"))
+    return joined.drop(
+        "__gpid", *[f"__lc{i}" for i in range(len(vcols))],
+        *[f"__off{i}" for i in range(len(vcols))],
     )
 
 

@@ -252,6 +252,7 @@ def dtw_distance_pairs(
     order_col: str,
     value_col: str,
     band: int = 7,
+    max_keys: int = 1000,
 ) -> DataFrame:
     """Banded dynamic-time-warping distance between every pair of
     keyed series (Sakoe-Chiba band; |x−y| step cost; symmetric
@@ -266,7 +267,8 @@ def dtw_distance_pairs(
     key's series once per partner — total rows |keys|·Σ|series|, which
     is bounded because the KEY DOMAIN is bounded (priorities, status
     codes, sensors-per-site; a thousand-key cross would be a different
-    operator).  Each pair computes independently — one shuffle on the
+    operator) — and enforced: more than ``max_keys`` distinct keys
+    raises ``ValueError`` unless the caller overrides it.  Each pair computes independently — one shuffle on the
     pair id, then Arrow-batched numpy DP with no driver involvement.
 
     Integer-valued series make the returned distance exactly integer
@@ -279,6 +281,19 @@ def dtw_distance_pairs(
     """
     import numpy as np
 
+    # Enforce the bounded-key-domain contract instead of leaving it in
+    # prose: a caller with 10^5 keys would otherwise get a silent
+    # C(k,2) ≈ 5×10^9-row pair plan.  Same precedent as
+    # ``dedup.edit_distance_join``'s explicit blocking requirement —
+    # pass a larger ``max_keys`` to opt in deliberately.
+    n_keys = series.select(key_col).distinct().count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"dtw_distance_pairs builds all C(k,2) pairs driver-side: "
+            f"{n_keys} distinct keys exceeds max_keys={max_keys}; "
+            f"pre-aggregate/bucket the key domain or raise max_keys "
+            f"explicitly if the quadratic pair plan is intended"
+        )
     keys = [r[0] for r in series.select(key_col).distinct().collect()]
     keys.sort()
     pairs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1 :]]

@@ -540,6 +540,8 @@ SELECT * FROM (
     description="Two AdaBoost rounds over two-feature decision stumps: integer round-1 errors, round(exp(±α),10)-decimal round-2 weights, TakeOrdered argmins — the distributed boosting primitive (training [ext])",
 )
 def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.relational import grouped_prefix_sum
+
     o = load_tables(spark, sf_dir, "orders")["orders"]
     ex = o.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("price"),
@@ -562,20 +564,22 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cells = feat_cells(ex, "price", []).unionByName(feat_cells(ex, "day", []))
-    cum_w = (
-        Window.partitionBy("feat")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot_w = Window.partitionBy("feat")
-    c1 = cells.select(
-        "feat",
-        "v",
-        F.sum("n").over(cum_w).alias("nl"),
-        F.sum("npos").over(cum_w).alias("pl"),
-        F.sum("n").over(tot_w).alias("nt"),
-        F.sum("npos").over(tot_w).alias("pt"),
-    )
+
+    # The cumulative-error scan must NOT be Window.partitionBy("feat"):
+    # with feat ∈ {price, day} that is a 2-task stage, and `price` is
+    # cents-granular (~5×10^7 distinct values at 100×).  grouped_prefix_sum
+    # computes the identical running sums chunk-parallel (both measures in
+    # one pass), and the per-feature TOTALS collapse to a 2-row broadcast.
+    def cum_and_tot(cdf, ncol, pcol, nl, pl, nt, pt):
+        cum = grouped_prefix_sum(cdf, ["feat"], ["v"], [ncol, pcol], [nl, pl])
+        tot = cdf.groupBy("feat").agg(
+            F.sum(ncol).alias(nt), F.sum(pcol).alias(pt)
+        )
+        return cum.join(F.broadcast(tot), "feat").select(
+            "feat", "v", nl, pl, nt, pt
+        )
+
+    c1 = cum_and_tot(cells, "n", "npos", "nl", "pl", "nt", "pt")
     e1 = c1.select(
         "feat",
         "v",
@@ -643,14 +647,7 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("npos").cast("decimal(28,0)") * wexpr).alias("wpos"),
         )
     )
-    c2 = wcells.select(
-        "feat",
-        "v",
-        F.sum("wn").over(cum_w).alias("wl"),
-        F.sum("wpos").over(cum_w).alias("pwl"),
-        F.sum("wn").over(tot_w).alias("wnt"),
-        F.sum("wpos").over(tot_w).alias("pwt"),
-    )
+    c2 = cum_and_tot(wcells, "wn", "wpos", "wl", "pwl", "wnt", "pwt")
     e2 = c2.select(
         "feat",
         "v",

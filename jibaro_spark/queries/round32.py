@@ -204,6 +204,4 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mst = boruvka_mst(trade, "src", "dst", "w")
-    return mst.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w")
-    ).orderBy("src", "dst")
+    return mst.orderBy("src", "dst")

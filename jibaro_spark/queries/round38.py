@@ -1,0 +1,96 @@
+"""Round-38 declared queries — closing the DTW oracle gap.
+
+``q_dtw_monthly_pairs`` is the hash-checkable twin of
+``q_dtw_priority_pairs`` (VERDICT r7 item 4): the same banded DTW DP
+(``operators/sequential.dtw_distance_pairs``), run over MONTHLY
+order-count series per priority so the DuckDB oracle — a recursive CTE
+marching the DP one (i+j) anti-diagonal per iteration — stays within a
+~170-deep recursion at sf0.01 (the daily twin's ~3,500 diagonals keep
+it rows-only; the DP itself is identical code either way, so a full
+hash match here pins the operator end-to-end).
+
+Oracle construction: the working set of iteration t holds the finished
+cells of anti-diagonal d (age 0) plus the carried cells of d-1
+(age 1).  Each age-0 cell contributes to its up/left successors and
+re-emits itself as the carry; each age-1 cell contributes to its
+diagonal successor; a GROUP BY per target cell takes MIN over the ≤3
+contributors and adds the |x_i − y_j| step cost.  Out-of-band /
+out-of-range targets are filtered, so exactly the banded cells
+materialize — the same Sakoe-Chiba band the Spark kernel computes with
+``w = max(band, |n−m|)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jibaro_spark.queries.registry import declare, load_tables
+
+QDTWM_ORACLE = """
+WITH RECURSIVE monthly AS (
+  SELECT o_orderpriority AS p, STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+         COUNT(*) AS y
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT p, CAST(y AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY m) AS i,
+         COUNT(*) OVER (PARTITION BY p) AS n
+  FROM monthly
+), pr AS (
+  SELECT a.p AS ka, b.p AS kb, a.n AS na, b.n AS nb,
+         GREATEST(7, ABS(a.n - b.n)) AS w
+  FROM (SELECT DISTINCT p, n FROM s) a
+  JOIN (SELECT DISTINCT p, n FROM s) b ON a.p < b.p
+), dp AS (
+  SELECT pr.ka, pr.kb, 0 AS age, 1 AS i, 1 AS j, ABS(xa.y - xb.y) AS acc
+  FROM pr
+  JOIN s xa ON xa.p = pr.ka AND xa.i = 1
+  JOIN s xb ON xb.p = pr.kb AND xb.i = 1
+  UNION ALL
+  SELECT c.ka, c.kb, c.age, c.i, c.j,
+         MIN(c.pred + CASE WHEN c.age = 0 THEN ABS(xa.y - xb.y) ELSE 0 END)
+  FROM (
+    SELECT d.ka, d.kb,
+           struct_extract(u.t, 'age') AS age,
+           struct_extract(u.t, 'i') AS i,
+           struct_extract(u.t, 'j') AS j,
+           d.acc AS pred
+    FROM dp d,
+      UNNEST(CASE WHEN d.age = 0 THEN [
+               struct_pack(age := 1, i := d.i, j := d.j),
+               struct_pack(age := 0, i := d.i + 1, j := d.j),
+               struct_pack(age := 0, i := d.i, j := d.j + 1)]
+             ELSE [struct_pack(age := 0, i := d.i + 1, j := d.j + 1)] END
+      ) AS u(t)
+  ) c
+  JOIN pr p2 ON p2.ka = c.ka AND p2.kb = c.kb
+  LEFT JOIN s xa ON c.age = 0 AND xa.p = c.ka AND xa.i = c.i
+  LEFT JOIN s xb ON c.age = 0 AND xb.p = c.kb AND xb.i = c.j
+  WHERE c.age = 1
+     OR (c.i <= p2.na AND c.j <= p2.nb AND ABS(c.i - c.j) <= p2.w)
+  GROUP BY c.ka, c.kb, c.age, c.i, c.j
+)
+SELECT d.ka AS key_a, d.kb AS key_b, p2.na AS n_a, p2.nb AS n_b,
+       CAST(d.acc AS DOUBLE) AS dtw
+FROM dp d JOIN pr p2 ON p2.ka = d.ka AND p2.kb = d.kb
+WHERE d.age = 0 AND d.i = p2.na AND d.j = p2.nb
+ORDER BY key_a, key_b
+"""
+
+
+@declare(
+    "q_dtw_monthly_pairs",
+    oracle=QDTWM_ORACLE,
+    description="banded DTW distance between monthly order-count series of every priority pair — the fully hash-checked twin of q_dtw_priority_pairs: same applyInPandas DP, monthly grain keeps the DuckDB anti-diagonal recursive-CTE oracle ~170 iterations deep (time-series similarity [ext])",
+)
+def q_dtw_monthly_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.sequential import dtw_distance_pairs
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    out = dtw_distance_pairs(monthly, "priority", "m", "y", band=7)
+    return out.orderBy("key_a", "key_b")

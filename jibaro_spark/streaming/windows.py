@@ -617,10 +617,12 @@ def streaming_bottomk_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     import hashlib
 
+    # NULL items would reach the kernel as None and crash ``.encode()``;
+    # a NULL is not a distinct item of the sample, so drop it up front.
     src = events.select(
         F.col(group_col).alias("__grp"),
         F.col(item_col).cast("string").alias("__item"),
-    )
+    ).filter(F.col("__item").isNotNull())
     out_schema = f"{group_col} string, {item_col} string, priority string"
     state_schema = "prios array<string>, items array<string>"
 

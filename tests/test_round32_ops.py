@@ -44,7 +44,7 @@ def test_boruvka_mst_is_spanning_tree(spark):
         ],
         "src long, dst long, w long",
     )
-    mst = {(r["a"], r["b"], r["w"]) for r in boruvka_mst(edges).collect()}
+    mst = {(r["src"], r["dst"], r["w"]) for r in boruvka_mst(edges).collect()}
     assert len(mst) == 5  # 6 nodes → 5 edges
     assert (1, 3, 9) not in mst          # heaviest cycle edge dropped
     assert (3, 4, 7) in mst              # bridges always survive
