@@ -759,6 +759,8 @@ def grouped_prefix_sum(
     value_col: "str | Sequence[str]",
     out_col: "str | Sequence[str]" = "__cum",
     num_partitions: int | None = None,
+    total_cols: "Sequence[str] | None" = None,
+    broadcast_totals: bool = True,
 ) -> DataFrame:
     """Exact per-group running sum of ``value_col`` under
     ``order_cols`` WITHOUT a per-group single-task scan ([ext] scale
@@ -793,12 +795,30 @@ def grouped_prefix_sum(
     compute several running sums in ONE pass (same two shuffles, one
     offset join) — a caller needing cumsum(n) and cumsum(npos) under
     the same order should never pay the pipeline twice.
+
+    ``total_cols`` (one name per value col) additionally stamps each
+    row with its GROUP TOTAL, derived from the per-chunk totals the
+    pipeline already owns (a ≤ groups×chunks-row aggregate, broadcast
+    back) — callers needing running sums AND totals (ECDFs, cumulative
+    shares) get both from one pass instead of re-scanning the input,
+    and without a whole-group unordered window (a per-group-one-task
+    stage, the exact shape this operator exists to avoid).  The totals
+    table has one row per GROUP: the default ``broadcast_totals=True``
+    is right for bounded group domains (features, statuses, priority
+    classes); pass ``False`` for a high-cardinality group key so the
+    rejoin runs as a keyed shuffle join instead of materializing every
+    group on every executor.
     """
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     outs = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vcols) != len(outs):
         raise ValueError(
             f"grouped_prefix_sum: {len(vcols)} value cols vs {len(outs)} out cols"
+        )
+    if total_cols is not None and len(total_cols) != len(vcols):
+        raise ValueError(
+            f"grouped_prefix_sum: {len(vcols)} value cols vs "
+            f"{len(total_cols)} total cols"
         )
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
@@ -846,6 +866,16 @@ def grouped_prefix_sum(
     joined = local.join(offsets, ["__gpid", *group_cols])
     for i, oc in enumerate(outs):
         joined = joined.withColumn(oc, F.col(f"__off{i}") + F.col(f"__lc{i}"))
+    if total_cols is not None:
+        totals = chunk_tot.groupBy(*gcols).agg(
+            *[
+                F.sum(f"__ct{i}").cast(ct_types[f"__ct{i}"]).alias(tc)
+                for i, tc in enumerate(total_cols)
+            ]
+        )
+        if broadcast_totals:
+            totals = F.broadcast(totals)
+        joined = joined.join(totals, list(group_cols))
     return joined.drop(
         "__gpid", *[f"__lc{i}" for i in range(len(vcols))],
         *[f"__off{i}" for i in range(len(vcols))],

@@ -571,13 +571,13 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the identical running sums chunk-parallel (both measures in
     # one pass), and the per-feature TOTALS collapse to a 2-row broadcast.
     def cum_and_tot(cdf, ncol, pcol, nl, pl, nt, pt):
-        cum = grouped_prefix_sum(cdf, ["feat"], ["v"], [ncol, pcol], [nl, pl])
-        tot = cdf.groupBy("feat").agg(
-            F.sum(ncol).alias(nt), F.sum(pcol).alias(pt)
-        )
-        return cum.join(F.broadcast(tot), "feat").select(
-            "feat", "v", nl, pl, nt, pt
-        )
+        # running sums AND per-feature totals from ONE pass — the
+        # totals come from the chunk totals the pipeline already owns,
+        # so the cell collapse underneath is scanned exactly once
+        return grouped_prefix_sum(
+            cdf, ["feat"], ["v"], [ncol, pcol], [nl, pl],
+            total_cols=[nt, pt],
+        ).select("feat", "v", nl, pl, nt, pt)
 
     c1 = cum_and_tot(cells, "n", "npos", "nl", "pl", "nt", "pt")
     e1 = c1.select(

@@ -7,7 +7,12 @@ multiple comparison, and variance-homogeneity testing.
   order-dependent in both indices — not SQL-expressible — so this is
   a rows-only row (no DuckDB oracle); the DP itself is pinned exactly
   against a pure-Python reference in ``tests/test_round19_ops.py``,
-  and integer-valued series make the distance exactly integer.
+  and integer-valued series make the distance exactly integer.  The
+  MONTHLY-grain twin ``q_dtw_monthly_pairs`` (``queries/round38.py``)
+  runs the SAME kernel with a fully hash-checked DuckDB oracle (an
+  anti-diagonal recursive CTE), so the operator is oracle-pinned
+  end-to-end; only this daily variant's ~3,500-diagonal recursion
+  depth keeps it rows-only.
 * ``q_tukey_kramer`` — post-hoc pairwise comparison after ANOVA:
   the Tukey-Kramer studentized-range statistic for every nation pair
   on customer acctbal, from exact decimal moments; top-20 pairs.
@@ -31,7 +36,7 @@ from jibaro_spark.queries.registry import declare, load_tables
 
 @declare(
     "q_dtw_priority_pairs",
-    description="banded DTW distance between daily order-count series of every priority pair — applyInPandas DP per pair, key-domain-bounded replication; exact-integer distances pinned vs a pure-Python reference (time-series similarity [ext], non-SQL-expressible: no oracle)",
+    description="banded DTW distance between daily order-count series of every priority pair — applyInPandas DP per pair, key-domain-bounded replication; exact-integer distances pinned vs a pure-Python reference AND oracle-pinned end-to-end via the monthly twin q_dtw_monthly_pairs (time-series similarity [ext], recursion depth keeps this variant rows-only)",
 )
 def q_dtw_priority_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.sequential import dtw_distance_pairs

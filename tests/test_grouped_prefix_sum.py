@@ -52,6 +52,37 @@ def test_single_row_groups_and_empty_input(spark):
     assert grouped_prefix_sum(empty, ["g"], ["i"], "v", num_partitions=4).count() == 0
 
 
+@pytest.mark.parametrize("bcast", [True, False])
+def test_total_cols_match_group_totals(spark, bcast):
+    """total_cols stamps each row with its exact group total (both the
+    broadcast and the keyed-shuffle rejoin lanes), from the chunk
+    totals the pipeline already owns — no second scan of the input."""
+    rows = [((f"g{i % 4}"), i, i % 11, (i * 3) % 7) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, i long, x long, y long")
+    got = grouped_prefix_sum(
+        df, ["g"], ["i"], ["x", "y"], ["cx", "cy"],
+        num_partitions=6, total_cols=["tx", "ty"], broadcast_totals=bcast,
+    )
+    truth = df.groupBy("g").agg(
+        F.sum("x").alias("__tx"), F.sum("y").alias("__ty")
+    )
+    j = got.join(truth, "g")
+    assert (
+        j.where(
+            (F.col("tx") != F.col("__tx")) | (F.col("ty") != F.col("__ty"))
+        ).count()
+        == 0
+    )
+    assert got.count() == 600
+    # last row of each group: running sum == total
+    last = got.where(F.col("i") >= 596)
+    assert last.where(F.col("cx") != F.col("tx")).count() == 0
+    with pytest.raises(ValueError):
+        grouped_prefix_sum(
+            df, ["g"], ["i"], ["x", "y"], ["cx", "cy"], total_cols=["onlyone"]
+        )
+
+
 def test_plan_has_no_single_partition_and_no_collect(spark):
     """The whole pipeline is windows partitioned by (chunk, group) /
     (group) plus one keyed join — no SinglePartition anywhere."""
