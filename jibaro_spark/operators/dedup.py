@@ -902,3 +902,95 @@ def sorted_neighborhood_pairs(
             "id_a", "id_b", (F.col("__rnb") - F.col("__rna")).alias("rank_dist")
         )
     )
+
+
+def duplicated_char_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated character spans — the distributed
+    form of ExactSubstr training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): find every
+    maximal run of characters that appears verbatim in at least
+    ``min_docs`` distinct documents, as the union of overlapping
+    duplicated ``k``-grams.
+
+    The sentence/MinHash/SimHash lanes in this module catch
+    document-level near-duplication; THIS catches verbatim boilerplate
+    and quotation spans buried inside otherwise-unique documents — the
+    memorization vector the paper targets with a suffix array.  The
+    distributed approximation replaces the suffix array with the
+    standard k-gram hash join:
+
+    1. explode each document into its ``len−k+1`` character k-grams
+       with positions — map-side, O(total chars) rows, no shuffle;
+    2. doc-frequency per gram (one keyed agg with map-side combine);
+       grams with ``>= min_docs`` distinct docs are duplicated;
+    3. semi-join positions against duplicated grams (keyed on the
+       gram) — duplicated positions only survive;
+    4. merge overlapping-or-adjacent positions per document into
+       maximal spans (gaps-and-islands under a PER-DOCUMENT window —
+       bounded by document length, never corpus-sized).
+
+    At 100 TB the shuffle key is the k-gram itself (k bytes); swapping
+    in ``xxhash64(gram)`` halves shuffle bytes at a ~2⁻⁶⁴ collision
+    risk per pair — kept exact here so the result is oracle-checkable.
+    Stop-gram skew (a boilerplate gram appearing in millions of docs)
+    is bounded by the agg in step 2 being a count, never a list; the
+    position rejoin fans out exactly as much as the true duplication
+    volume, which is the answer itself.
+
+    Returns ``(id_col, span_start, span_end, span_chars,
+    n_dup_grams)``, positions 1-based inclusive.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    grams = (
+        df.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+            ).alias("pos"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(f"substring(__t, pos, {k})").alias("__gram"),
+        )
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    hits = grams.join(dup, "__gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull() | (F.col("pos") > F.col("__prev") + k)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).cast("long").alias("span_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+    ).drop("__isl")

@@ -1,4 +1,12 @@
-"""Round-38 declared queries — closing the DTW oracle gap.
+"""Round-38 declared queries — closing the DTW oracle gap, plus the
+ExactSubstr dedup lane.
+
+* ``q_exact_substring_spans`` — cross-document duplicated character
+  spans (``operators/dedup.duplicated_char_spans``): the distributed
+  k-gram-join form of ExactSubstr training-data dedup (Lee et al.,
+  ACL 2022).  Completes the dedup matrix: document-level exact
+  (hash), near (MinHash/SimHash/n-gram), sentence-grain — and now
+  sub-document verbatim spans.
 
 ``q_dtw_monthly_pairs`` is the hash-checkable twin of
 ``q_dtw_priority_pairs`` (VERDICT r7 item 4): the same banded DTW DP
@@ -94,3 +102,49 @@ def q_dtw_monthly_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))
     out = dtw_distance_pairs(monthly, "priority", "m", "y", band=7)
     return out.orderBy("key_a", "key_b")
+
+
+# The UNNEST bound (1..600) must cover len(text)-k+1 at the oracle's
+# sf0.01 fixture (max text length 553); the WHERE clause trims it
+# exactly, so a larger bound is only wasted rows, never wrong rows.
+QEXSUB_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         substr(text, CAST(u.i AS INTEGER), 40) AS gram
+  FROM documents CROSS JOIN UNNEST(range(1, 601)) AS u(i)
+  WHERE length(text) >= 40 AND u.i <= length(text) - 39
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), p AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), l AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM p
+), i AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM l
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 39 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 39 - MIN(pos) + 1 AS BIGINT) AS span_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM i GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+
+@declare(
+    "q_exact_substring_spans",
+    oracle=QEXSUB_ORACLE,
+    description="cross-document duplicated character spans: k-gram positions → doc-frequency ≥ 2 → position rejoin → per-doc island merge — the distributed ExactSubstr dedup of Lee et al. ACL'22 (LLM dedup [ext])",
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.dedup import duplicated_char_spans
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    spans = duplicated_char_spans(docs, "doc_id", "text", k=40, min_docs=2)
+    return spans.orderBy("doc_id", "span_start")
