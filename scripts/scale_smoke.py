@@ -20,7 +20,10 @@ from pyspark.sql import SparkSession
 from jibaro_spark.queries import REGISTRY
 
 SF01 = "/root/testdata/sf0.1"
-SF1 = "/root/repo/.scratch/sf1-synth"
+# Point SPARK_GRAFT_SYNTH_DIR at a different replication (e.g. the
+# 50-shard .scratch/sf5-synth) for a second scaling datapoint.
+SF1 = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/.scratch/sf1-synth")
+REPL = int(os.environ.get("SPARK_GRAFT_SYNTH_REPL", "10"))
 RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 
 QUERIES = [
@@ -75,5 +78,5 @@ tot01 = sum(r["sf0.1"] for r in results.values())
 tot1 = sum(r["sf1"] for r in results.values())
 print(json.dumps({
     "total_sf0.1": round(tot01, 2), "total_sf1": round(tot1, 2),
-    "ratio": round(tot1 / tot01, 2), "replication": 10,
+    "ratio": round(tot1 / tot01, 2), "replication": REPL,
 }))
