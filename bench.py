@@ -178,6 +178,10 @@ HEADLINE = [
     "q_tukey_kramer",
     "q_brown_forsythe",
     "q_holt_winters",
+    # round 38 additions: oracle-pinned monthly DTW twin, ExactSubstr
+    # duplicated-span dedup (k-gram join, pre-fan-out repartition)
+    "q_dtw_monthly_pairs",
+    "q_exact_substring_spans",
 ]
 
 

@@ -950,20 +950,28 @@ def duplicated_char_spans(
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    grams = (
-        df.where(F.length(text_col) >= k)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
-            ).alias("pos"),
-            F.col(text_col).alias("__t"),
-        )
-        .select(
-            id_col,
-            "pos",
-            F.expr(f"substring(__t, pos, {k})").alias("__gram"),
-        )
+    # Build the (pos, gram) structs INSIDE a transform over the
+    # position sequence, then explode the struct array: the document
+    # text is referenced once per document, never carried (and
+    # re-serialized) on every exploded gram row.  The explode fans out
+    # ~len(text) rows per document, so an under-partitioned input
+    # (one small parquet file) must spread BEFORE the fan-out —
+    # deterministic hash partitioning on the id so the two consumers
+    # of `grams` (doc-frequency agg, position rejoin) reuse one
+    # exchange instead of re-exploding from a round-robin shuffle.
+    src = ensure_parallelism(df.select(id_col, text_col), by=id_col)
+    grams = src.where(F.length(text_col) >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k - 1}), "
+                f"i -> struct(i AS pos, substring({text_col}, i, {k}) AS g))"
+            )
+        ).alias("__pg"),
+    ).select(
+        id_col,
+        F.col("__pg.pos").cast("long").alias("pos"),
+        F.col("__pg.g").alias("__gram"),
     )
     dup = (
         grams.groupBy("__gram")
