@@ -301,3 +301,61 @@ def test_zorder3_bijective_property(spark, pts):
     for (x, y, w), z in got.items():
         assert z == py_z3(x, y, w)
     assert len(set(got.values())) == len(got)  # injective on the sample
+
+
+def _py_duplicated_spans(docs: "dict[int, str]", k: int, min_docs: int = 2):
+    """Reference ExactSubstr spans: literal k-gram doc-frequency, then
+    interval union per doc (merge overlap-or-adjacent)."""
+    from collections import defaultdict
+
+    gram_docs: "defaultdict[str, set]" = defaultdict(set)
+    positions: "dict[int, list[int]]" = {}
+    for d, t in docs.items():
+        ps = list(range(1, len(t) - k + 2)) if len(t) >= k else []
+        positions[d] = ps
+        for p in ps:
+            gram_docs[t[p - 1 : p - 1 + k]].add(d)
+    out = {}
+    for d, t in docs.items():
+        hit = [p for p in positions[d] if len(gram_docs[t[p - 1 : p - 1 + k]]) >= min_docs]
+        spans = []
+        for p in hit:
+            if spans and p <= spans[-1][1] - k + 1 + k:  # p <= prev_pos + k
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1), spans[-1][2] + 1)
+            else:
+                spans.append((p, p + k - 1, 1))
+        if spans:
+            out[d] = spans
+    return out
+
+
+@FEW
+@given(
+    data=st.data(),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_duplicated_char_spans_property(spark, data, k):
+    """Random short-alphabet docs (forced gram collisions) vs the
+    pure-Python reference: identical spans, boundaries, gram counts."""
+    from jibaro_spark.operators.dedup import duplicated_char_spans
+
+    texts = data.draw(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=24),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {}
+    for r in duplicated_char_spans(df, "doc_id", "text", k=k).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_dup_grams"])
+        )
+    for d in got:
+        got[d].sort()
+    ref = _py_duplicated_spans(docs, k)
+    assert got == ref, (texts, k, got, ref)
