@@ -381,7 +381,13 @@ def streaming_semantic_dedup(
     """
     from jibaro_spark.operators.similarity import _nearest_cells
 
-    src = events.select(
+    # NULL ids/vectors are not deduplicable rows: a NULL vector has no
+    # cell (NULL grouping key) and would crash the kernel's int()/
+    # asarray coercions — same pre-kernel contract as the bottom-k and
+    # SpaceSaving kernels.
+    src = events.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).alias("__vec"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0]
@@ -510,11 +516,15 @@ def streaming_space_saving(
     """
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
+    # NULL items would reach the kernel as None and crash the
+    # lexicographic tie-breaks (None vs str in the eviction min / the
+    # snapshot sort) — same contract as streaming_bottomk_sample:
+    # NULL is not a countable item.
     src = events.select(
         F.col(group_col).alias("__grp"),
         F.col(item_col).cast("string").alias("__item"),
         F.col(order_col).alias("__ord"),
-    )
+    ).filter(F.col("__item").isNotNull())
     out_schema = (
         f"{group_col} string, {item_col} string, est_count bigint, "
         "max_error bigint"

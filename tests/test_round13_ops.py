@@ -231,3 +231,17 @@ def test_backtest_metrics_in_range(spark):
 def test_round13_no_cartesian(spark, qname):
     plan = REGISTRY[qname].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_space_saving_tolerates_null_items(spark):
+    """NULL items must be dropped before the kernel: they are not
+    countable items, and None would crash the lexicographic eviction
+    tie-break (None vs str) once capacity is hit."""
+    rows = [("g", None, 0), ("g", None, 1)]
+    rows += [("g", f"i{j}", 2 + j) for j in range(6)]
+    rows += [("g", "i0", 50), ("g", None, 51), ("g", "new", 52)]
+    df = spark.createDataFrame(rows, "grp string, item string, ord long")
+    out = streaming_space_saving(df, "grp", "item", "ord", m=4).collect()
+    items = {r["item"] for r in out}
+    assert None not in items
+    assert 0 < len(out) <= 4

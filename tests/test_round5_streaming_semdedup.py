@@ -100,3 +100,25 @@ def test_state_cap_bounds_memory(spark, cents):
     # runs to completion and emits one row per input — the cap only
     # bounds state, never drops output rows
     assert out.count() == corpus.count()
+
+
+def test_null_ids_and_vectors_are_dropped(spark):
+    """NULL id/vector rows are not deduplicable: they must be filtered
+    before the kernel (NULL grouping cell, int()/asarray crashes)."""
+    from jibaro_spark.streaming.windows import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (None, [1.0, 0.0]),
+            (3, None),
+            (4, [0.99, 0.01]),
+        ],
+        "id long, vec array<double>",
+    )
+    out = streaming_semantic_dedup(df, "id", "vec", cents, threshold=0.95).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {1, 4}
+    dup = {r["id"]: r["is_dup"] for r in out}
+    assert dup[1] is False and dup[4] is True
