@@ -286,6 +286,8 @@ def dtw_distance_pairs(
     # C(k,2) ≈ 5×10^9-row pair plan.  Same precedent as
     # ``dedup.edit_distance_join``'s explicit blocking requirement —
     # pass a larger ``max_keys`` to opt in deliberately.
+    # a NULL key is not a series (and None breaks the key sort below)
+    series = series.filter(F.col(key_col).isNotNull())
     n_keys = series.select(key_col).distinct().count()
     if n_keys > max_keys:
         raise ValueError(
