@@ -18,10 +18,15 @@ fallback REAL transactional behavior instead of rm-rf overwrites:
   (the Delta/Iceberg commit protocol shape).
 
 Scale notes: the log is metadata-bounded (one small JSON file per
-commit — replay cost is O(commits), independent of data size; a
-production format adds checkpoints, which `snapshot_files` is shaped
-to accept later).  Data-plane reads stay fully distributed: the
-resolved file list feeds ``spark.read.parquet(*files)``.
+commit), and replay is CHECKPOINTED the way the production formats do
+it: every ``CHECKPOINT_INTERVAL`` commits the committer writes a
+consolidated ``<version>.checkpoint.json`` holding the full live-file
+set, and ``snapshot_files`` replays only the commits SINCE the newest
+checkpoint at-or-below the requested version — O(interval) per read
+instead of O(all commits), which is the difference between a usable
+and an unusable table after 10⁶ streaming micro-batch commits.
+Data-plane reads stay fully distributed: the resolved file list feeds
+``spark.read.parquet(*files)``.
 """
 
 from __future__ import annotations
@@ -36,6 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_jibaro_log"
 _VERSION_WIDTH = 20
+#: A consolidated checkpoint is written every this-many commits
+#: (Delta's default cadence); reads replay at most this many commit
+#: files past the newest covering checkpoint.
+CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflict(RuntimeError):
@@ -50,17 +59,88 @@ def _version_file(table: str, version: int) -> str:
     return os.path.join(_log_path(table), f"{version:0{_VERSION_WIDTH}d}.json")
 
 
+def _checkpoint_file(table: str, version: int) -> str:
+    return os.path.join(
+        _log_path(table), f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+    )
+
+
 def latest_version(table: str) -> int | None:
-    """Highest committed version, or None for a non-log table."""
+    """Highest committed version, or None for a non-log table.
+    Checkpoint files are consolidated snapshots, not commits — only
+    bare ``<digits>.json`` entries count."""
     d = _log_path(table)
     if not os.path.isdir(d):
         return None
     versions = [
-        int(f.split(".")[0])
+        int(f[: -len(".json")])
         for f in os.listdir(d)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
     ]
     return max(versions) if versions else None
+
+
+def _latest_checkpoint_at_or_below(table: str, version: int) -> int | None:
+    """Newest checkpoint whose version is ≤ ``version``, or None."""
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    suffix = ".checkpoint.json"
+    for f in os.listdir(d):
+        if not f.endswith(suffix):
+            continue
+        stem = f[: -len(suffix)]
+        if stem.isdigit() and int(stem) <= version:
+            v = int(stem)
+            best = v if best is None or v > best else best
+    return best
+
+
+def write_checkpoint(table: str, version: int | None = None) -> int:
+    """Write the consolidated live-file snapshot at ``version``
+    (default head) as ``<version>.checkpoint.json`` — one add action
+    per live file, preserving the add metadata.  Atomic
+    create-if-absent (two racing committers produce identical content,
+    so the loser just skips).  Returns the checkpointed version."""
+    head = latest_version(table)
+    if head is None:
+        raise FileNotFoundError(f"no {LOG_DIR} at {table}")
+    v = head if version is None else version
+    live = _replay_live(table, v)
+    tmp = os.path.join(_log_path(table), f"_tmp_{uuid.uuid4().hex[:12]}.json")
+    with open(tmp, "w") as f:
+        for path in sorted(live):
+            f.write(json.dumps({"add": live[path]}) + "\n")
+    target = _checkpoint_file(table, v)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass
+    os.unlink(tmp)
+    return v
+
+
+def _replay_live(table: str, version: int) -> "dict[str, dict]":
+    """Live ``path -> add-metadata`` map at ``version``: start from the
+    newest covering checkpoint (if any), replay the commits after it."""
+    live: dict[str, dict] = {}
+    start = 0
+    ckpt = _latest_checkpoint_at_or_below(table, version)
+    if ckpt is not None:
+        with open(_checkpoint_file(table, ckpt)) as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    live[a["add"]["path"]] = a["add"]
+        start = ckpt + 1
+    for i in range(start, version + 1):
+        for a in _read_actions(table, i):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    return live
 
 
 def _read_actions(table: str, version: int) -> list[dict]:
@@ -70,21 +150,16 @@ def _read_actions(table: str, version: int) -> list[dict]:
 
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
     """Absolute data-file paths of the snapshot at ``version``
-    (default: latest) — the log replay every reader goes through."""
+    (default: latest) — checkpoint-accelerated log replay: at most
+    ``CHECKPOINT_INTERVAL``-ish commit files are read past the newest
+    covering checkpoint, independent of total table history."""
     head = latest_version(table)
     if head is None:
         raise FileNotFoundError(f"no {LOG_DIR} at {table}")
     v = head if version is None else version
     if v > head or v < 0:
         raise ValueError(f"version {v} out of range [0, {head}]")
-    live: dict[str, bool] = {}
-    for i in range(v + 1):
-        for a in _read_actions(table, i):
-            if "add" in a:
-                live[a["add"]["path"]] = True
-            elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
-    return [os.path.join(table, p) for p in sorted(live)]
+    return [os.path.join(table, p) for p in sorted(_replay_live(table, v))]
 
 
 def read_versioned(
@@ -217,6 +292,14 @@ def write_versioned(
             # os.link + unlink is the atomic create-if-absent commit
             os.link(tmp, target)
             os.unlink(tmp)
+            if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+                # consolidate the snapshot so reads replay O(interval)
+                # commits, not O(version); best-effort — a failed or
+                # raced checkpoint only means replay starts earlier
+                try:
+                    write_checkpoint(table, version)
+                except OSError:
+                    pass
             return version
         except FileExistsError:
             os.unlink(tmp)  # lost the race — re-read head and retry

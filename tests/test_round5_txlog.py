@@ -442,3 +442,72 @@ def test_idempotent_batch_writer_distinct_txn_apps(spark, tmp_path):
     assert T.latest_txn_version(table, "ckpt://q1") == 0
     assert T.latest_txn_version(table, "ckpt://q2") == 0
     assert T.latest_txn_version(table, "nope") is None
+
+
+def test_checkpoint_accelerated_replay_is_equivalent(spark, table):
+    """25 commits (interval 10) → checkpoints at v10 and v20; every
+    version's snapshot must equal the checkpoint-free full replay, and
+    reads past a checkpoint must not read the commits it covers."""
+    import glob as _glob
+
+    for i in range(25):
+        T.write_versioned(
+            spark.range(i, i + 1).select(F.col("id").alias("v")), table
+        )
+    ckpts = sorted(_glob.glob(os.path.join(table, T.LOG_DIR, "*.checkpoint.json")))
+    assert [os.path.basename(c) for c in ckpts] == [
+        f"{10:020d}.checkpoint.json",
+        f"{20:020d}.checkpoint.json",
+    ]
+    assert T.latest_version(table) == 24  # checkpoints are not commits
+    # equivalence at a pre-checkpoint, covered, and head version
+    for v in (5, 10, 15, 24):
+        with_ckpt = T.snapshot_files(table, v)
+        assert _vals(T.read_versioned(spark, table, v)) == list(range(v + 1))
+        # full-replay truth: remove checkpoints, resolve again
+        for c in ckpts:
+            os.rename(c, c + ".bak")
+        try:
+            assert T.snapshot_files(table, v) == with_ckpt
+        finally:
+            for c in ckpts:
+                os.rename(c + ".bak", c)
+
+
+def test_checkpoint_reflects_overwrites_and_time_travel(spark, table):
+    for i in range(9):
+        T.write_versioned(
+            spark.range(i, i + 1).select(F.col("id").alias("v")), table
+        )
+    # v9 is an overwrite AND lands on the checkpoint cadence (10th commit
+    # is v9? no — cadence is version % 10 == 0, so force v10 overwrite)
+    T.write_versioned(
+        spark.range(100, 102).select(F.col("id").alias("v")), table
+    )  # v9
+    T.write_versioned(
+        spark.range(200, 203).select(F.col("id").alias("v")),
+        table,
+        mode="overwrite",
+    )  # v10 — checkpointed, post-overwrite
+    assert os.path.exists(
+        os.path.join(table, T.LOG_DIR, f"{10:020d}.checkpoint.json")
+    )
+    assert _vals(T.read_versioned(spark, table)) == [200, 201, 202]
+    # time travel BELOW the checkpoint still works (full replay lane)
+    assert _vals(T.read_versioned(spark, table, 3)) == [0, 1, 2, 3]
+
+
+def test_manual_checkpoint_and_vacuum_interop(spark, table):
+    for i in range(4):
+        T.write_versioned(
+            spark.range(i, i + 1).select(F.col("id").alias("v")), table
+        )
+    v = T.write_checkpoint(table)
+    assert v == 3
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2, 3]
+    # vacuum must not treat the checkpoint as a data file
+    n = T.vacuum_versioned(table, keep_versions=1, min_file_age_s=0)
+    assert os.path.exists(
+        os.path.join(table, T.LOG_DIR, f"{3:020d}.checkpoint.json")
+    )
+    assert _vals(T.read_versioned(spark, table)) == [0, 1, 2, 3]
