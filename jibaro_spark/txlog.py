@@ -100,18 +100,23 @@ def _latest_checkpoint_at_or_below(table: str, version: int) -> int | None:
 def write_checkpoint(table: str, version: int | None = None) -> int:
     """Write the consolidated live-file snapshot at ``version``
     (default head) as ``<version>.checkpoint.json`` — one add action
-    per live file, preserving the add metadata.  Atomic
-    create-if-absent (two racing committers produce identical content,
-    so the loser just skips).  Returns the checkpointed version."""
+    per live file (preserving the add metadata) plus one ``txns``
+    action carrying every app's streaming-transaction watermark, so
+    both readers AND :func:`latest_txn_version` resolve from the
+    checkpoint.  Atomic create-if-absent (two racing committers
+    produce identical content, so the loser just skips).  Returns the
+    checkpointed version."""
     head = latest_version(table)
     if head is None:
         raise FileNotFoundError(f"no {LOG_DIR} at {table}")
     v = head if version is None else version
-    live = _replay_live(table, v)
+    live, txns = _replay_state(table, v)
     tmp = os.path.join(_log_path(table), f"_tmp_{uuid.uuid4().hex[:12]}.json")
     with open(tmp, "w") as f:
         for path in sorted(live):
             f.write(json.dumps({"add": live[path]}) + "\n")
+        if txns:
+            f.write(json.dumps({"txns": txns}) + "\n")
     target = _checkpoint_file(table, v)
     try:
         os.link(tmp, target)
@@ -121,10 +126,14 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     return v
 
 
-def _replay_live(table: str, version: int) -> "dict[str, dict]":
-    """Live ``path -> add-metadata`` map at ``version``: start from the
-    newest covering checkpoint (if any), replay the commits after it."""
+def _replay_state(
+    table: str, version: int
+) -> "tuple[dict[str, dict], dict[str, int]]":
+    """(live ``path -> add-metadata``, ``app -> txn watermark``) at
+    ``version``: start from the newest covering checkpoint (if any),
+    replay only the commits after it."""
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_below(table, version)
     if ckpt is not None:
@@ -132,7 +141,12 @@ def _replay_live(table: str, version: int) -> "dict[str, dict]":
             for line in f:
                 if line.strip():
                     a = json.loads(line)
-                    live[a["add"]["path"]] = a["add"]
+                    if "add" in a:
+                        live[a["add"]["path"]] = a["add"]
+                    elif "txns" in a:
+                        txns.update(
+                            {k: int(w) for k, w in a["txns"].items()}
+                        )
         start = ckpt + 1
     for i in range(start, version + 1):
         for a in _read_actions(table, i):
@@ -140,7 +154,17 @@ def _replay_live(table: str, version: int) -> "dict[str, dict]":
                 live[a["add"]["path"]] = a["add"]
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
-    return live
+            elif "commit" in a:
+                txn = a["commit"].get("txn")
+                if txn:
+                    prev = txns.get(txn["app"])
+                    w = int(txn["version"])
+                    txns[txn["app"]] = w if prev is None or w > prev else prev
+    return live, txns
+
+
+def _replay_live(table: str, version: int) -> "dict[str, dict]":
+    return _replay_state(table, version)[0]
 
 
 def _read_actions(table: str, version: int) -> list[dict]:
@@ -185,16 +209,25 @@ def latest_txn_version(table: str, app: str) -> int | None:
     checking before each micro-batch, the previous batch's commit sits
     at (or near) the head — O(1)-ish per batch instead of the full
     replay's O(total commits), which compounds to O(n²) over a
-    stream's lifetime (ADVICE r5).  A full O(versions) scan happens
-    only when the app has never committed."""
+    stream's lifetime (ADVICE r5).  The backward scan stops at the
+    newest checkpoint, whose ``txns`` action carries every app's
+    consolidated watermark — so even a NEVER-seen app (a fresh
+    stream's first batch against an old table) resolves in
+    O(CHECKPOINT_INTERVAL), not O(table history)."""
     head = latest_version(table)
     if head is None:
         return None
-    for v in range(head, -1, -1):
+    ckpt = _latest_checkpoint_at_or_below(table, head)
+    floor = -1 if ckpt is None else ckpt
+    for v in range(head, floor, -1):
         for a in _read_actions(table, v):
             txn = a.get("commit", {}).get("txn")
             if txn and txn.get("app") == app:
                 return int(txn["version"])
+    if ckpt is not None:
+        _, txns = _replay_state(table, ckpt)
+        if app in txns:
+            return txns[app]
     return None
 
 

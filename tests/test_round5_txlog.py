@@ -511,3 +511,24 @@ def test_manual_checkpoint_and_vacuum_interop(spark, table):
         os.path.join(table, T.LOG_DIR, f"{3:020d}.checkpoint.json")
     )
     assert _vals(T.read_versioned(spark, table)) == [0, 1, 2, 3]
+
+
+def test_txn_watermarks_resolve_from_checkpoint(spark, table):
+    """An app whose last commit is far below the newest checkpoint must
+    resolve its watermark from the checkpoint's consolidated txns map
+    (never a full history scan); absent apps still resolve to None."""
+    df = spark.range(1).select(F.col("id").alias("v"))
+    T.write_versioned(df, table)  # v0
+    T.write_versioned(df, table, txn_app="old", txn_version=7)  # v1
+    for i in range(2, 25):
+        T.write_versioned(df, table, txn_app="s", txn_version=i)
+    assert os.path.exists(
+        os.path.join(table, T.LOG_DIR, f"{20:020d}.checkpoint.json")
+    )
+    assert T.latest_txn_version(table, "s") == 24
+    assert T.latest_txn_version(table, "old") == 7
+    assert T.latest_txn_version(table, "never") is None
+    # the idempotent-skip contract still holds through the checkpoint
+    head = T.latest_version(table)
+    assert T.write_versioned(df, table, txn_app="old", txn_version=5) == head
+    assert T.latest_version(table) == head  # nothing committed
