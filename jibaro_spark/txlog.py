@@ -429,4 +429,12 @@ def compact_versioned(
     else:
         df = df.repartition(n)
         op = "OPTIMIZE"
-    return write_versioned(df, table, mode="overwrite", operation=op)
+    v = write_versioned(df, table, mode="overwrite", operation=op)
+    # the rewrite replaced the whole live set — checkpoint immediately
+    # so readers resolve the compacted snapshot from one file instead
+    # of replaying the pre-compaction adds plus their removes
+    try:
+        write_checkpoint(table, v)
+    except OSError:
+        pass
+    return v
