@@ -959,7 +959,12 @@ def duplicated_char_spans(
     # deterministic hash partitioning on the id so the two consumers
     # of `grams` (doc-frequency agg, position rejoin) reuse one
     # exchange instead of re-exploding from a round-robin shuffle.
-    src = ensure_parallelism(df.select(id_col, text_col), by=id_col)
+    src = ensure_parallelism(
+        # a NULL id cannot contribute doc frequency (countDistinct
+        # skips NULLs) so it must not receive spans either
+        df.select(id_col, text_col).filter(F.col(id_col).isNotNull()),
+        by=id_col,
+    )
     grams = src.where(F.length(text_col) >= k).select(
         F.col(id_col),
         F.explode(

@@ -110,6 +110,8 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     if head is None:
         raise FileNotFoundError(f"no {LOG_DIR} at {table}")
     v = head if version is None else version
+    if v > head or v < 0:
+        raise ValueError(f"version {v} out of range [0, {head}]")
     live, txns = _replay_state(table, v)
     tmp = os.path.join(_log_path(table), f"_tmp_{uuid.uuid4().hex[:12]}.json")
     with open(tmp, "w") as f:
@@ -383,6 +385,13 @@ def vacuum_versioned(
     for v in range(cutoff, head + 1):
         keep.update(os.path.relpath(p, table) for p in snapshot_files(table, v))
     deleted = 0
+    # reclaim tmp files a crashed commit/checkpoint left in the log
+    # dir (never counted as versions, but no reason to keep them)
+    for fname in os.listdir(_log_path(table)):
+        if fname.startswith("_tmp_") and fname.endswith(".json"):
+            full = os.path.join(_log_path(table), fname)
+            if old_enough(full):
+                os.unlink(full)
     for fname in os.listdir(table):
         full = os.path.join(table, fname)
         if fname == LOG_DIR:
