@@ -532,3 +532,31 @@ def test_txn_watermarks_resolve_from_checkpoint(spark, table):
     head = T.latest_version(table)
     assert T.write_versioned(df, table, txn_app="old", txn_version=5) == head
     assert T.latest_version(table) == head  # nothing committed
+
+
+def test_merge_loop_across_checkpoint_boundary(spark, table):
+    """12 sequential MERGE-style overwrites (a curated table's steady
+    state) cross the v10 auto-checkpoint: the post-checkpoint snapshot,
+    time travel below the checkpoint, and history all stay exact."""
+    T.write_versioned(
+        spark.createDataFrame([(1, 0)], "id long, val long"), table
+    )
+    for step in range(1, 13):
+        cur = T.read_versioned(spark, table)
+        merged = cur.withColumn(
+            "val", F.when(F.col("id") == 1, F.lit(step)).otherwise(F.col("val"))
+        )
+        if step % 3 == 0:  # occasionally grow the table too
+            merged = merged.unionByName(
+                spark.createDataFrame([(100 + step, step)], "id long, val long")
+            )
+        T.write_versioned(merged, table, mode="overwrite", operation="MERGE")
+    assert os.path.exists(
+        os.path.join(table, T.LOG_DIR, f"{10:020d}.checkpoint.json")
+    )
+    got = {r["id"]: r["val"] for r in T.read_versioned(spark, table).collect()}
+    assert got[1] == 12 and got[103] == 3 and got[106] == 6 and got[112] == 12
+    # below-checkpoint time travel: after 5 merges, val == 5, one growth row
+    v5 = {r["id"]: r["val"] for r in T.read_versioned(spark, table, 5).collect()}
+    assert v5 == {1: 5, 103: 3}
+    assert [h["operation"] for h in T.history(table)[:3]] == ["MERGE"] * 3
