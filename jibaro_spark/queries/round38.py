@@ -112,7 +112,12 @@ WITH g AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
          substr(text, CAST(u.i AS INTEGER), 40) AS gram
   FROM documents CROSS JOIN UNNEST(range(1, 601)) AS u(i)
-  WHERE length(text) >= 40 AND u.i <= length(text) - 39
+  -- doc_id IS NOT NULL mirrors the Spark kernel's NULL contract
+  -- (duplicated_char_spans drops NULL-id documents up front): without
+  -- it a NULL-id doc with duplicated text would emit island rows here
+  -- that the Spark side never produces (ADVICE r8)
+  WHERE doc_id IS NOT NULL
+    AND length(text) >= 40 AND u.i <= length(text) - 39
 ), dup AS (
   SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 ), p AS (

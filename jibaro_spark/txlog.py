@@ -22,11 +22,17 @@ commit), and replay is CHECKPOINTED the way the production formats do
 it: every ``CHECKPOINT_INTERVAL`` commits the committer writes a
 consolidated ``<version>.checkpoint.json`` holding the full live-file
 set, and ``snapshot_files`` replays only the commits SINCE the newest
-checkpoint at-or-below the requested version — O(interval) per read
-instead of O(all commits), which is the difference between a usable
-and an unusable table after 10⁶ streaming micro-batch commits.
-Data-plane reads stay fully distributed: the resolved file list feeds
-``spark.read.parquet(*files)``.
+checkpoint at-or-below the requested version — O(interval) file
+PARSES per read instead of O(all commits), which is the difference
+between a usable and an unusable table after 10⁶ streaming
+micro-batch commits.  Directory-listing cost is managed the same two
+ways Delta manages it (ADVICE r8): a ``_last_checkpoint`` pointer
+file lets checkpoint resolution skip the log listing entirely on the
+common read-at-head path, and ``vacuum_versioned`` prunes superseded
+checkpoints (every checkpoint below the newest one that still serves
+the retained window) so the log dir holds O(retained) checkpoint
+files, not O(history).  Data-plane reads stay fully distributed: the
+resolved file list feeds ``spark.read.parquet(*files)``.
 """
 
 from __future__ import annotations
@@ -65,6 +71,10 @@ def _checkpoint_file(table: str, version: int) -> str:
     )
 
 
+def _last_checkpoint_pointer(table: str) -> str:
+    return os.path.join(_log_path(table), "_last_checkpoint")
+
+
 def latest_version(table: str) -> int | None:
     """Highest committed version, or None for a non-log table.
     Checkpoint files are consolidated snapshots, not commits — only
@@ -81,10 +91,27 @@ def latest_version(table: str) -> int | None:
 
 
 def _latest_checkpoint_at_or_below(table: str, version: int) -> int | None:
-    """Newest checkpoint whose version is ≤ ``version``, or None."""
+    """Newest checkpoint whose version is ≤ ``version``, or None.
+
+    Fast path: the ``_last_checkpoint`` pointer file (the Delta
+    ``_last_checkpoint`` pattern, ADVICE r8) names the newest
+    checkpoint — when it exists, is intact, and is ≤ ``version``, no
+    directory listing happens at all, which is what keeps the common
+    read-at-head path O(1) in table history.  A missing/corrupt/
+    too-new pointer falls back to the full listing (correct, just
+    slower); a stale-LOW pointer is impossible to return wrongly from
+    the fast path because the fast path only ever returns the pointer
+    itself after verifying its checkpoint file exists."""
     d = _log_path(table)
     if not os.path.isdir(d):
         return None
+    try:
+        with open(_last_checkpoint_pointer(table)) as f:
+            v = int(json.load(f)["version"])
+        if v <= version and os.path.exists(_checkpoint_file(table, v)):
+            return v
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        pass
     best = None
     suffix = ".checkpoint.json"
     for f in os.listdir(d):
@@ -125,6 +152,29 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     except FileExistsError:
         pass
     os.unlink(tmp)
+    # advance the _last_checkpoint pointer (Delta's pattern) so readers
+    # resolve the newest checkpoint without listing the log dir; only
+    # ever move it FORWARD (a racing older checkpointer must not
+    # regress it), and atomically (tmp + rename) so readers never see
+    # a torn pointer.  Best-effort: a failed pointer write only means
+    # readers fall back to the directory listing.
+    try:
+        ptr = _last_checkpoint_pointer(table)
+        cur = None
+        try:
+            with open(ptr) as f:
+                cur = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            pass
+        if cur is None or v > cur:
+            ptmp = os.path.join(
+                _log_path(table), f"_tmp_ptr_{uuid.uuid4().hex[:12]}"
+            )
+            with open(ptmp, "w") as f:
+                json.dump({"version": v}, f)
+            os.replace(ptmp, ptr)
+    except OSError:
+        pass
     return v
 
 
@@ -241,6 +291,7 @@ def write_versioned(
     max_retries: int = 10,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    replace_paths: "list[str] | None" = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version
     (or, for an idempotently-skipped transactional write, the current
@@ -265,9 +316,19 @@ def write_versioned(
     writers of the same batch commit it once; the loser's already-moved
     data files are left as orphans for vacuum (the crash path's
     guarantee, and the same files Delta leaves unreferenced).
+
+    **``mode='replace'``** (targeted rewrite — the DELETE/UPDATE commit
+    shape): logs removes for exactly ``replace_paths`` (snapshot file
+    paths, absolute or table-relative) alongside the adds, leaving
+    every other live file referenced and untouched — what a Delta
+    DELETE commit does after rewriting only the files that held
+    matching rows.  The removed files stay on disk for time travel
+    until vacuumed.
     """
-    if mode not in ("append", "overwrite"):
+    if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"write_versioned: unsupported mode {mode!r}")
+    if (mode == "replace") != (replace_paths is not None):
+        raise ValueError("replace_paths is required by (and only by) mode='replace'")
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
     if txn_app is not None:
@@ -305,6 +366,17 @@ def write_versioned(
                 actions.append(
                     {"remove": {"path": os.path.relpath(p, table)}}
                 )
+        elif mode == "replace":
+            if head is None:
+                raise ValueError(f"mode='replace' on an empty log: {table}")
+            live = set(_replay_live(table, head))
+            for p in replace_paths:
+                rel = os.path.relpath(p, table) if os.path.isabs(p) else p
+                if rel not in live:
+                    raise ValueError(
+                        f"replace_paths entry not in current snapshot: {p}"
+                    )
+                actions.append({"remove": {"path": rel}})
         commit = {
             "version": version,
             "ts": time.time(),
@@ -385,10 +457,32 @@ def vacuum_versioned(
     for v in range(cutoff, head + 1):
         keep.update(os.path.relpath(p, table) for p in snapshot_files(table, v))
     deleted = 0
-    # reclaim tmp files a crashed commit/checkpoint left in the log
-    # dir (never counted as versions, but no reason to keep them)
+    # Prune superseded checkpoints (ADVICE r8): a checkpoint at v
+    # serves reads of versions >= v, so within the retained window
+    # [cutoff, head] only checkpoints >= cutoff plus the single newest
+    # one BELOW cutoff (it covers reads in [cutoff, next-checkpoint))
+    # are ever consulted — everything older is dead weight that makes
+    # the log listing O(total history).  Commit files are kept (tiny,
+    # and they are the history/audit record); only the consolidated
+    # snapshots are pruned.
+    suffix = ".checkpoint.json"
+    ckpts = sorted(
+        int(f[: -len(suffix)])
+        for f in os.listdir(_log_path(table))
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+    )
+    below = [v for v in ckpts if v <= cutoff]
+    if len(below) > 1:
+        for v in below[:-1]:
+            full = _checkpoint_file(table, v)
+            if old_enough(full):
+                os.unlink(full)
+    # reclaim tmp files a crashed commit/checkpoint/pointer write left
+    # in the log dir (never counted as versions, but no reason to keep)
     for fname in os.listdir(_log_path(table)):
-        if fname.startswith("_tmp_") and fname.endswith(".json"):
+        if fname.startswith("_tmp_") and (
+            fname.endswith(".json") or fname.startswith("_tmp_ptr_")
+        ):
             full = os.path.join(_log_path(table), fname)
             if old_enough(full):
                 os.unlink(full)
