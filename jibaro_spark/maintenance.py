@@ -37,12 +37,19 @@ def table_stats(spark: SparkSession, path: str) -> TableStats:
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return TableStats(0, 0)
+    root = fs.makeQualified(p).toString().rstrip("/")
     num, size = 0, 0
     it = fs.listFiles(p, True)
     while it.hasNext():
         f = it.next()
-        name = f.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        full = f.getPath().toString()
+        # skip metadata at ANY depth below the table root: files under
+        # _/.-prefixed directories (_bloom sidecars, _jibaro_log commit
+        # JSONs, checkpoints) are not data and must not count toward
+        # compaction triggers or size targets (only the file's own
+        # basename used to be checked, so sidecar/log files leaked in)
+        rel = full[len(root) + 1 :] if full.startswith(root + "/") else full
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
             continue
         num += 1
         size += f.getLen()
@@ -72,9 +79,34 @@ def compact(
     parameters are captured before the rewrite and each index is
     rebuilt after (VERDICT r8 item 4); a full rebuild is proportionate
     here because compaction itself already rewrote the whole table.
+
+    On a ``jibaro_spark.txlog`` versioned table the rewrite dispatches
+    to :func:`jibaro_spark.txlog.compact_versioned` (an OPTIMIZE
+    commit): the bare-parquet overwrite here would read dead versions'
+    files alongside live ones (duplicated rows) and then destroy the
+    log — the same versioned-table dispatch ``vacuum_if_due``,
+    ``generate_manifest``, and ``delete_by_keys`` perform.  The file
+    count that gates the rewrite is the SNAPSHOT's, not the
+    directory's (which also holds not-yet-vacuumed history).
     """
+    from jibaro_spark import txlog
+
     s = catalog.settings
     path = catalog.path(ref)
+    local = path.replace("file:", "")
+    if txlog.latest_version(local) is not None:
+        files = txlog.snapshot_files(local)
+        if not files or (not force and len(files) <= s.compact_min_files):
+            return False
+        bloom_metas = _bloom_sidecar_metas(spark, local)
+        txlog.compact_versioned(
+            spark, local, target_file_bytes=s.compact_target_file_bytes
+        )
+        for bloom_col, (num_bits, num_hashes) in bloom_metas.items():
+            build_bloom_file_index(
+                spark, local, bloom_col, num_bits=num_bits, num_hashes=num_hashes
+            )
+        return True
     stats = table_stats(spark, path)
     if not force and stats.num_files <= s.compact_min_files:
         return False
@@ -281,6 +313,23 @@ def standard_post_hooks():
     return [run]
 
 
+def _table_base(spark: SparkSession, path: str) -> "tuple[DataFrame, list[str] | None]":
+    """(DataFrame, snapshot file list) for a table path — the
+    versioned-table dispatch shared by the stats/bloom read helpers:
+    on a ``jibaro_spark.txlog`` table the DataFrame reads exactly the
+    current snapshot's files (a whole-directory read would include
+    dead versions' files — duplicated rows); on bare parquet it is a
+    plain directory read and the file list is None (callers glob or
+    use ``inputFiles``)."""
+    from jibaro_spark import txlog
+
+    local = path.replace("file:", "")
+    if txlog.latest_version(local) is not None:
+        files = txlog.snapshot_files(local)
+        return spark.read.parquet(*files), files
+    return spark.read.parquet(path), None
+
+
 def parquet_file_stats(
     path: str, columns: list[str], files: "list[str] | None" = None
 ) -> list[dict]:
@@ -368,15 +417,39 @@ def optimize_zorder(
     :func:`parquet_file_stats`), so min/max skipping serves predicates
     on any of them.
 
-    Returns the number of output files.  Parquet (non-transactional)
-    path only: the rewrite goes through a temp dir + atomic-ish rename
-    swap; on Delta the same layout write carries ``dataChange=false``.
+    Returns the number of output files.  On a txlog-versioned table
+    this dispatches to :func:`jibaro_spark.txlog.compact_versioned`
+    with the Z-order columns (the rewrite becomes an OPTIMIZE ZORDER
+    commit; the rmtree swap below would have destroyed the log and
+    read dead files).  Bare parquet (non-transactional) otherwise: the
+    rewrite goes through a temp dir + atomic-ish rename swap; on Delta
+    the same layout write carries ``dataChange=false``.
     """
+    import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
+    from jibaro_spark import txlog
     from jibaro_spark.operators.relational import layout_zorder
 
+    local = path.replace("file:", "")
+    if txlog.latest_version(local) is not None:
+        files = txlog.snapshot_files(local)
+        size = sum(_os.path.getsize(f) for f in files)
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        bloom_metas = _bloom_sidecar_metas(spark, local)
+        txlog.compact_versioned(
+            spark,
+            local,
+            target_file_bytes=target_file_bytes,
+            zorder_cols=list(key_cols),
+            zorder_bits=bits,
+        )
+        for bloom_col, (num_bits, num_hashes) in bloom_metas.items():
+            build_bloom_file_index(
+                spark, local, bloom_col, num_bits=num_bits, num_hashes=num_hashes
+            )
+        return n_files
     st = table_stats(spark, path)
     # same sidecar contract as compact(): the rmtree below would
     # silently destroy any _bloom index — capture params, rebuild after
@@ -419,8 +492,9 @@ def read_pruned(
     """
     from pyspark.sql import functions as F
 
+    base, snapshot = _table_base(spark, path)
     cols = list(ranges.keys())
-    stats = parquet_file_stats(path, cols)
+    stats = parquet_file_stats(path, cols, files=snapshot)
     keep: list[str] = []
     for row in stats:
         admit = True
@@ -433,7 +507,6 @@ def read_pruned(
                 break
         if admit:
             keep.append(row["file"])
-    base = spark.read.parquet(path)
     if not keep:
         out = base.filter(F.lit(False))
     else:
@@ -471,10 +544,14 @@ def build_bloom_file_index(
     underscore keeps every parquet reader from listing it as data).
 
     Returns the sidecar path.  Rebuild after writes; the index is a
-    snapshot, like any stats manifest.
+    snapshot, like any stats manifest.  On a txlog-versioned table the
+    build scans the current SNAPSHOT's files (a whole-directory read
+    would index dead versions' files — phantom candidates — and their
+    rows would double-count).
     """
     idx_path = f"{path.rstrip('/')}/_bloom/{col}"
-    words = _bloom_words(spark.read.parquet(path), col, num_bits, num_hashes)
+    base, _ = _table_base(spark, path)
+    words = _bloom_words(base, col, num_bits, num_hashes)
     meta = spark.createDataFrame(
         [(num_bits, num_hashes)], "num_bits int, num_hashes int"
     )
@@ -530,12 +607,22 @@ def read_bloom_pruned(
     1-row job (the same JVM xxhash64 the build used — no Python
     reimplementation to drift), and only index rows at those
     ``num_hashes`` word slots are collected (≤ files × num_hashes
-    rows).
+    rows), plus one distinct-file pass over the index (≤ files rows).
+
+    Staleness is handled CONSERVATIVELY, never incorrectly: a current
+    table file with no index entries (appended after the build) is
+    always read — the index can only prune files it covers; and on a
+    txlog-versioned table the file set is the current SNAPSHOT's, so
+    dead versions' index rows can never resurrect their files.
     """
+
+    def _name(f: str) -> str:
+        return f.replace("file:", "").rsplit("/", 1)[-1]
+
     idx_path = f"{path.rstrip('/')}/_bloom/{col}"
     meta = spark.read.parquet(f"{idx_path}/meta").collect()[0]
     num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
-    base = spark.read.parquet(path)
+    base, snapshot = _table_base(spark, path)
     key_type = base.schema[col].dataType
     probe = spark.range(1).select(
         *[
@@ -547,19 +634,21 @@ def read_bloom_pruned(
     ).collect()[0]
     positions = [probe[f"p{i}"] for i in range(num_hashes)]
     slots = {(int(p) // 64, 1 << (int(p) % 64)) for p in positions}
-    idx = (
-        spark.read.parquet(f"{idx_path}/words")
-        .filter(F.col("word_idx").isin([w for w, _ in slots]))
-        .collect()
-    )
+    words = spark.read.parquet(f"{idx_path}/words")
+    idx = words.filter(F.col("word_idx").isin([w for w, _ in slots])).collect()
+    indexed = {
+        _name(r["file"]) for r in words.select("file").distinct().collect()
+    }
     by_file: dict[str, dict[int, int]] = {}
     for r in idx:
-        by_file.setdefault(r["file"], {})[r["word_idx"]] = r["word"]
-    keep = [
-        f
-        for f, ws in by_file.items()
+        by_file.setdefault(_name(r["file"]), {})[r["word_idx"]] = r["word"]
+    hits = {
+        n
+        for n, ws in by_file.items()
         if all(ws.get(w, 0) & bit for w, bit in slots)
-    ]
+    }
+    current = snapshot if snapshot is not None else sorted(set(base.inputFiles()))
+    keep = [f for f in current if _name(f) in hits or _name(f) not in indexed]
     if not keep:
         out = base.filter(F.lit(False))
     else:
@@ -595,7 +684,10 @@ def delete_by_keys(
     no live file is ever ``os.remove``d — vacuum reclaims the replaced
     files once they fall out of retention (VERDICT r8 item 3; the same
     dispatch ``vacuum_if_due``/``generate_manifest`` use).  Candidate
-    targeting there is footer min/max over the SNAPSHOT file list.
+    targeting there uses the ``_bloom`` sidecar when it covers the
+    snapshot (coverage verified by file set — deletes cannot tolerate
+    a stale index's false negatives), else footer min/max over the
+    SNAPSHOT file list.
 
     On bare parquet, candidates are read, anti-filtered, and rewritten
     via a temp dir + atomic-per-file moves; originals are removed
@@ -625,50 +717,10 @@ def delete_by_keys(
 
     base = spark.read.parquet(path)
     all_files = sorted(set(base.inputFiles()))
-    idx_path = f"{path.rstrip('/')}/_bloom/{col}"
     candidates: list[str] = []
-    if os.path.isdir(f"{idx_path.replace('file:', '')}/words"):
-        meta = spark.read.parquet(f"{idx_path}/meta").collect()[0]
-        num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
-        key_type = base.schema[col].dataType
-        vals_df = spark.createDataFrame(
-            [(v,) for v in values], f"__k {key_type.simpleString()}"
-        )
-        pos = vals_df.select(
-            F.col("__k"),
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64(F.col("__k"), F.lit(i)), F.lit(num_bits))
-                        for i in range(num_hashes)
-                    ]
-                )
-            ).alias("__pos"),
-        ).select(
-            "__k",
-            (F.col("__pos") / 64).cast("int").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
-                "__bit"
-            ),
-        )
-        words = spark.read.parquet(f"{idx_path}/words")
-        hits = (
-            pos.join(words, "word_idx")
-            .withColumn("__set", F.col("word").bitwiseAND(F.col("__bit")) != 0)
-            .groupBy("file", "__k")
-            .agg(
-                F.sum(F.col("__set").cast("int")).alias("__nset"),
-                F.count(F.lit(1)).alias("__nslot"),
-            )
-            # all num_hashes probe bits present and set for this key
-            .filter(
-                (F.col("__nslot") == num_hashes) & (F.col("__nset") == num_hashes)
-            )
-            .select("file")
-            .distinct()
-            .collect()
-        )
-        candidates = sorted(r["file"] for r in hits)
+    probed = _bloom_candidates(spark, path, col, values, base.schema[col].dataType)
+    if probed is not None:
+        candidates = probed
     else:
         # stat exactly the table's data files (never sidecar/log
         # parquet a recursive glob would sweep in — ADVICE r8)
@@ -732,6 +784,63 @@ def delete_by_keys(
         "files_rewritten": len(candidates),
         "rows_deleted": int(n_before - n_after),
     }
+
+
+def _bloom_candidates(
+    spark: SparkSession, path: str, col: str, values: list, key_type
+) -> "list[str] | None":
+    """Candidate files for ``values`` per the ``_bloom/<col>`` sidecar
+    probe, or None when no sidecar exists: every key's ``num_hashes``
+    probe positions join the index's (file, word_idx, word) rows, and a
+    file is a candidate iff some key finds ALL its bits present and
+    set — zero false negatives over the files the index covers.  The
+    probe is index-bounded: values × num_hashes rows join word-indexed
+    slots; the collect is at most the candidate file list."""
+    import os
+
+    idx_path = f"{path.rstrip('/')}/_bloom/{col}"
+    if not os.path.isdir(f"{idx_path.replace('file:', '')}/words"):
+        return None
+    meta = spark.read.parquet(f"{idx_path}/meta").collect()[0]
+    num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
+    vals_df = spark.createDataFrame(
+        [(v,) for v in values], f"__k {key_type.simpleString()}"
+    )
+    pos = vals_df.select(
+        F.col("__k"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__k"), F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("__pos"),
+    ).select(
+        "__k",
+        (F.col("__pos") / 64).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+            "__bit"
+        ),
+    )
+    words = spark.read.parquet(f"{idx_path}/words")
+    hits = (
+        pos.join(words, "word_idx")
+        .withColumn("__set", F.col("word").bitwiseAND(F.col("__bit")) != 0)
+        .groupBy("file", "__k")
+        .agg(
+            F.sum(F.col("__set").cast("int")).alias("__nset"),
+            F.count(F.lit(1)).alias("__nslot"),
+        )
+        # all num_hashes probe bits present and set for this key
+        .filter(
+            (F.col("__nslot") == num_hashes) & (F.col("__nset") == num_hashes)
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["file"] for r in hits)
 
 
 def _bloom_sidecar_metas(
@@ -814,23 +923,53 @@ def _delete_by_keys_versioned(
     spark: SparkSession, table: str, col: str, values: list
 ) -> dict:
     """:func:`delete_by_keys` on a ``jibaro_spark.txlog`` versioned
-    table: footer min/max targeting over the current SNAPSHOT's files,
-    then one transactional ``replace`` commit (remove actions for the
-    candidates, add actions for their anti-filtered rewrites) — the
-    Delta DELETE commit shape.  Replaced files stay on disk for time
-    travel until :func:`jibaro_spark.txlog.vacuum_versioned` reclaims
-    them, and readers pinned to older versions are undisturbed."""
+    table: candidate targeting over the current SNAPSHOT's files (the
+    ``_bloom`` sidecar when it COVERS the snapshot — verified by file
+    set, since log commits don't maintain sidecars — else footer
+    min/max), then one transactional ``replace`` commit (remove
+    actions for the candidates, add actions for their anti-filtered
+    rewrites) — the Delta DELETE commit shape.  Replaced files stay on
+    disk for time travel until
+    :func:`jibaro_spark.txlog.vacuum_versioned` reclaims them, and
+    readers pinned to older versions are undisturbed.  Sidecars are
+    reconciled incrementally afterwards (same contract as the bare
+    path): the commit's snapshot diff IS the (removed, added) file
+    sets."""
     from jibaro_spark import txlog
 
     files = txlog.snapshot_files(table)
-    stats = parquet_file_stats(table, [col], files=files)
-    lo, hi = min(values), max(values)
-    candidates: list[str] = []
-    for row in stats:
-        mn, mx = row.get(f"{col}_min"), row.get(f"{col}_max")
-        if mn is None or mx is None or not (mx < lo or mn > hi):
-            candidates.append(row["file"])
-    candidates = sorted(set(candidates))
+    base = spark.read.parquet(*files)
+    by_base = {f.rsplit("/", 1)[-1]: f for f in files}
+    candidates: "list[str] | None" = None
+    probed = _bloom_candidates(spark, table, col, values, base.schema[col].dataType)
+    if probed is not None:
+        # the index is trustworthy for DELETION (false negatives would
+        # leave doomed keys alive) only if every snapshot file is
+        # indexed: commits made after the build are not in the sidecar
+        idx_names = {
+            r["file"].replace("file:", "").rsplit("/", 1)[-1]
+            for r in spark.read.parquet(f"{table}/_bloom/{col}/words")
+            .select("file")
+            .distinct()
+            .collect()
+        }
+        if set(by_base) <= idx_names:
+            candidates = sorted(
+                by_base[n]
+                for n in {
+                    p.replace("file:", "").rsplit("/", 1)[-1] for p in probed
+                }
+                if n in by_base  # index may still carry dead files' rows
+            )
+    if candidates is None:
+        stats = parquet_file_stats(table, [col], files=files)
+        lo, hi = min(values), max(values)
+        candidates = []
+        for row in stats:
+            mn, mx = row.get(f"{col}_min"), row.get(f"{col}_max")
+            if mn is None or mx is None or not (mx < lo or mn > hi):
+                candidates.append(row["file"])
+        candidates = sorted(set(candidates))
     if not candidates:
         return {
             "files_total": len(files),
@@ -838,7 +977,6 @@ def _delete_by_keys_versioned(
             "rows_deleted": 0,
             "version": None,
         }
-    base = spark.read.parquet(*files)
     cand = spark.read.schema(base.schema).parquet(*candidates)
     n_before = cand.count()
     kept = cand.filter((~F.col(col).isin(values)) | F.col(col).isNull())
@@ -850,6 +988,8 @@ def _delete_by_keys_versioned(
         replace_paths=candidates,
         operation=f"DELETE ({col})",
     )
+    new_files = sorted(set(txlog.snapshot_files(table, version)) - set(files))
+    _update_bloom_sidecars(spark, table, base.schema, candidates, new_files)
     return {
         "files_total": len(files),
         "files_rewritten": len(candidates),
