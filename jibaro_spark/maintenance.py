@@ -318,15 +318,22 @@ def _table_base(spark: SparkSession, path: str) -> "tuple[DataFrame, list[str] |
     versioned-table dispatch shared by the stats/bloom read helpers:
     on a ``jibaro_spark.txlog`` table the DataFrame reads exactly the
     current snapshot's files (a whole-directory read would include
-    dead versions' files — duplicated rows); on bare parquet it is a
-    plain directory read and the file list is None (callers glob or
-    use ``inputFiles``)."""
+    dead versions' files — duplicated rows); on a Delta table
+    (jar-gated) the read goes through the Delta snapshot for the same
+    reason — Delta also keeps tombstoned files on disk until vacuum;
+    on bare parquet it is a plain directory read and the file list is
+    None (callers glob or use ``inputFiles``)."""
+    import os
+
     from jibaro_spark import txlog
 
     local = path.replace("file:", "")
     if txlog.latest_version(local) is not None:
         files = txlog.snapshot_files(local)
         return spark.read.parquet(*files), files
+    if os.path.isdir(os.path.join(local, "_delta_log")) and has_delta(spark):
+        df = spark.read.format("delta").load(path)
+        return df, sorted(set(df.inputFiles()))
     return spark.read.parquet(path), None
 
 
