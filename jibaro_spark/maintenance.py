@@ -530,7 +530,7 @@ def build_bloom_file_index(
     spark: SparkSession,
     path: str,
     col: str,
-    num_bits: int = 1 << 16,
+    num_bits: "int | None" = None,
     num_hashes: int = 4,
 ) -> str:
     """Build a per-FILE Bloom-filter index over ``col`` for a parquet
@@ -550,6 +550,19 @@ def build_bloom_file_index(
     words omitted — land in a ``_bloom`` sidecar dir (the leading
     underscore keeps every parquet reader from listing it as data).
 
+    ``num_bits=None`` (the default) SIZES THE FILTER TO THE DATA: a
+    fixed width silently saturates on dense files — 20k keys into the
+    old 2¹⁶-bit default left ~70% of bits set, a ~25% false-positive
+    rate PER KEY per file, so a multi-key probe admitted nearly every
+    file and "pruned" reads/deletes regressed to table scans (measured
+    in ``scripts/delete_scale_demo.py`` before this fix).  Auto-sizing
+    reads per-file row counts from the parquet FOOTERS (no data scan)
+    and allocates ~10 bits per row of the largest file (the standard
+    m = −n·ln p/ln²2 at p≈1%), clamped to [2¹³, 2²⁴] — ≤2 MiB of
+    filter per file, a ~2% overhead on 128 MiB files.  Explicit
+    ``num_bits`` is honored unchanged (rebuilds preserve the original
+    parameters via the sidecar's meta).
+
     Returns the sidecar path.  Rebuild after writes; the index is a
     snapshot, like any stats manifest.  On a txlog-versioned table the
     build scans the current SNAPSHOT's files (a whole-directory read
@@ -557,7 +570,13 @@ def build_bloom_file_index(
     rows would double-count).
     """
     idx_path = f"{path.rstrip('/')}/_bloom/{col}"
-    base, _ = _table_base(spark, path)
+    base, snapshot = _table_base(spark, path)
+    if num_bits is None:
+        rows = parquet_file_stats(
+            path, [], files=snapshot or sorted(set(base.inputFiles()))
+        )
+        max_rows = max((r["num_rows"] for r in rows), default=1)
+        num_bits = 1 << max(13, min(24, math.ceil(math.log2(max(10 * max_rows, 2)))))
     words = _bloom_words(base, col, num_bits, num_hashes)
     meta = spark.createDataFrame(
         [(num_bits, num_hashes)], "num_bits int, num_hashes int"

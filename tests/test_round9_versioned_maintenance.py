@@ -197,3 +197,31 @@ def test_table_stats_ignores_sidecars_and_log(spark, tmp_path):
     table = _versioned(spark, tmp_path, "tsv", commits=2)
     st = table_stats(spark, table)
     assert st.num_files == 4  # 2 commits × 2 files, zero log artifacts
+
+
+def test_bloom_auto_sizing_prevents_saturation(spark, tmp_path):
+    """The old fixed 2^16-bit default saturated on dense files (~25%
+    false positives PER KEY at 20k keys/file), so multi-key probes
+    admitted nearly every file.  Auto-sizing allocates ~10 bits/row of
+    the largest file from footer counts."""
+    out = os.path.join(str(tmp_path), "dense")
+    df = spark.range(0, 160_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(8, "k").write.parquet(out)  # ~20k keys per file
+    build_bloom_file_index(spark, out, "k")
+    meta = spark.read.parquet(os.path.join(out, "_bloom", "k", "meta")).collect()[0]
+    assert meta["num_bits"] >= (1 << 17), "must out-size the dense file"
+    # an 8-key delete rewrites ~8 files + rare FPs — never most of them
+    doomed = [int(160_000 * (i + 0.5) / 8) for i in range(8)]
+    stats = delete_by_keys(spark, out, "k", doomed)
+    assert stats["rows_deleted"] == 8
+    assert stats["files_rewritten"] <= 8 + 2
+    # explicit num_bits is still honored verbatim
+    out2 = os.path.join(str(tmp_path), "explicit")
+    df.limit(1000).write.parquet(out2)
+    build_bloom_file_index(spark, out2, "k", num_bits=1 << 14)
+    meta2 = spark.read.parquet(
+        os.path.join(out2, "_bloom", "k", "meta")
+    ).collect()[0]
+    assert meta2["num_bits"] == 1 << 14
