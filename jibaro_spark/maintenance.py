@@ -745,6 +745,12 @@ def delete_by_keys(
     all_files = sorted(set(base.inputFiles()))
     candidates: list[str] = []
     probed = _bloom_candidates(spark, path, col, values, base.schema[col].dataType)
+    if probed is not None and not _bloom_covers(spark, path, col, all_files):
+        # same coverage rule as the versioned path: a file the index
+        # does not cover (appended after the build) could hold a doomed
+        # key the probe would never flag — a MISSED deletion, not just
+        # lost pruning.  Fall through to footer stats instead.
+        probed = None
     if probed is not None:
         candidates = probed
     else:
@@ -869,6 +875,26 @@ def _bloom_candidates(
     return sorted(r["file"] for r in hits)
 
 
+def _bloom_covers(
+    spark: SparkSession, path: str, col: str, files: "list[str]"
+) -> bool:
+    """True iff the ``_bloom/<col>`` sidecar has index rows for EVERY
+    file in ``files`` (matched on basenames — part files of one table
+    are uuid-unique).  Deletion targeting must check this: the probe
+    has zero false negatives only over files the index covers, and a
+    file written after the build could hold a doomed key the probe
+    would never flag.  One distinct-file pass over the index
+    (index-bounded, ≤ #files rows)."""
+    idx_names = {
+        r["file"].replace("file:", "").rsplit("/", 1)[-1]
+        for r in spark.read.parquet(f"{path.rstrip('/')}/_bloom/{col}/words")
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    return {f.replace("file:", "").rsplit("/", 1)[-1] for f in files} <= idx_names
+
+
 def _bloom_sidecar_metas(
     spark: SparkSession, local: str
 ) -> "dict[str, tuple[int, int]]":
@@ -972,14 +998,7 @@ def _delete_by_keys_versioned(
         # the index is trustworthy for DELETION (false negatives would
         # leave doomed keys alive) only if every snapshot file is
         # indexed: commits made after the build are not in the sidecar
-        idx_names = {
-            r["file"].replace("file:", "").rsplit("/", 1)[-1]
-            for r in spark.read.parquet(f"{table}/_bloom/{col}/words")
-            .select("file")
-            .distinct()
-            .collect()
-        }
-        if set(by_base) <= idx_names:
+        if _bloom_covers(spark, table, col, files):
             candidates = sorted(
                 by_base[n]
                 for n in {

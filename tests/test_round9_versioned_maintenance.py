@@ -225,3 +225,26 @@ def test_bloom_auto_sizing_prevents_saturation(spark, tmp_path):
         os.path.join(out2, "_bloom", "k", "meta")
     ).collect()[0]
     assert meta2["num_bits"] == 1 << 14
+
+
+def test_bare_delete_stale_index_falls_back_not_misses(spark, tmp_path):
+    """Bare-parquet mirror of the versioned stale-index test: a file
+    appended after the index build holds the doomed key — trusting the
+    stale index would find zero candidates and leave it alive."""
+    out = os.path.join(str(tmp_path), "barestale")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(4, "k").write.parquet(out)
+    build_bloom_file_index(spark, out, "k")
+    extra = os.path.join(str(tmp_path), "bextra")
+    spark.range(7000, 7100).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).coalesce(1).write.parquet(extra)
+    part = next(f for f in os.listdir(extra) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(extra, part), os.path.join(out, f"late-{part}"))
+    stats = delete_by_keys(spark, out, "k", [7050])
+    assert stats["rows_deleted"] == 1
+    after = spark.read.parquet(out)
+    assert after.count() == 2099
+    assert after.filter(F.col("k") == 7050).count() == 0
