@@ -142,7 +142,7 @@ def bloom_join(
     fact_key: str,
     dim_key: str,
     how: str = "left_semi",
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: "int | None" = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Exact semi/anti join with bloom prefiltering of the fact side.
@@ -155,11 +155,27 @@ def bloom_join(
     ``left_anti``: bloom-negative fact rows are emitted directly
     (guaranteed non-matches, zero shuffle); only bloom-positive rows
     run the exact anti join.  Identical result to the plain anti join.
+
+    ``num_bits=None`` sizes the filter to the dim side's DISTINCT key
+    count (~10 bits/key at p≈1%, clamped to [2¹³, 2²⁴]) at the cost of
+    one count job: a fixed width saturates when keys outnumber bits/10
+    — every probe passes and the "prefilter" silently degrades to the
+    plain join plus probe overhead (correct either way, by the
+    exactness contract, but the pruning is gone).  The default stays
+    2¹⁶ (fits ≤~6.5k keys) because the count job is not free; pass
+    None when the dim key count is unknown at call time.
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if num_bits is None:
+        import math as _math
+
+        n_keys = dim.select(dim_key).distinct().count()
+        num_bits = 1 << max(
+            13, min(24, _math.ceil(_math.log2(max(10 * n_keys, 2))))
+        )
     words = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
     probe = bloom_might_contain(
         F.col(fact_key), words, num_bits=num_bits, num_hashes=num_hashes

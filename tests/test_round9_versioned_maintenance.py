@@ -248,3 +248,20 @@ def test_bare_delete_stale_index_falls_back_not_misses(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == 2099
     assert after.filter(F.col("k") == 7050).count() == 0
+
+
+def test_bloom_join_auto_sizing(spark):
+    """num_bits=None sizes the join prefilter to the dim's distinct key
+    count; result stays exactly equal to the plain semi/anti join."""
+    from jibaro_spark.operators.bloom import bloom_join
+
+    fact = spark.range(0, 50_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 7).alias("x")
+    )
+    dim = spark.range(0, 20_000, 2).select(F.col("id").alias("dk"))
+    got = bloom_join(fact, dim, "fk", "dk", how="left_semi", num_bits=None)
+    want = fact.join(dim, fact["fk"] == dim["dk"], "left_semi")
+    assert got.count() == want.count() == 10_000
+    got_anti = bloom_join(fact, dim, "fk", "dk", how="left_anti", num_bits=None)
+    want_anti = fact.join(dim, fact["fk"] == dim["dk"], "left_anti")
+    assert got_anti.count() == want_anti.count() == 40_000
