@@ -157,8 +157,9 @@ def append_history_metrics(
     if head is not None:
         # txlog tables have REAL commit history — append the latest
         # commit's metadata (version/operation/num_added), the same
-        # row shape the Delta path gets from DeltaTable.history(1)
-        c = txlog.history(path)[0]
+        # row shape the Delta path gets from DeltaTable.history(1);
+        # limit=1 reads ONE log file, not the whole history per merge
+        c = txlog.history(path, limit=1)[0]
         hist = spark.createDataFrame(
             [
                 {

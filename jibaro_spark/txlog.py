@@ -413,17 +413,26 @@ def write_versioned(
     raise CommitConflict(f"could not commit to {table} after {max_retries} tries")
 
 
-def history(table: str) -> list[dict]:
+def history(table: str, limit: int | None = None) -> list[dict]:
     """Commit metadata, newest first — the reference's history table
-    (``cdc.py:224-247``) derived from the log itself."""
+    (``cdc.py:224-247``) derived from the log itself.
+
+    ``limit`` short-circuits the newest-first scan after that many
+    commits — ``history(t, limit=1)`` reads ONE log file regardless of
+    table age, which is what the per-merge metrics hook needs (Delta's
+    ``history(1)`` makes the same promise); unbounded ``history()`` on
+    a 10⁶-commit stream table would otherwise parse the whole log on
+    every merge."""
     head = latest_version(table)
     if head is None:
         return []
-    out = []
+    out: list[dict] = []
     for v in range(head, -1, -1):
         for a in _read_actions(table, v):
             if "commit" in a:
                 out.append(a["commit"])
+        if limit is not None and len(out) >= limit:
+            return out[:limit]
     return out
 
 

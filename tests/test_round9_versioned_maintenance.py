@@ -265,3 +265,43 @@ def test_bloom_join_auto_sizing(spark):
     got_anti = bloom_join(fact, dim, "fk", "dk", how="left_anti", num_bits=None)
     want_anti = fact.join(dim, fact["fk"] == dim["dk"], "left_anti")
     assert got_anti.count() == want_anti.count() == 40_000
+
+
+def test_history_limit_reads_one_commit_file(spark, tmp_path, monkeypatch):
+    table = _versioned(spark, tmp_path, "hist", commits=6)
+    full = txlog.history(table)
+    assert len(full) == 6 and full[0]["version"] == 5
+    reads = []
+    real = txlog._read_actions
+
+    def spy(t, v):
+        reads.append(v)
+        return real(t, v)
+
+    monkeypatch.setattr(txlog, "_read_actions", spy)
+    top = txlog.history(table, limit=1)
+    assert top == [full[0]]
+    assert reads == [5], "limit=1 must read only the head commit file"
+    reads.clear()
+    assert txlog.history(table, limit=3) == full[:3]
+    assert reads == [5, 4, 3]
+
+
+def test_replace_conflict_with_concurrent_overwrite_raises(spark, tmp_path):
+    """A racer overwrites the table between candidate selection and the
+    replace commit: the doomed file is no longer live, so blindly
+    committing its remove would corrupt the log — the live-set check
+    inside the commit loop must refuse instead."""
+    import pytest as _pytest
+
+    table = _versioned(spark, tmp_path, "race", commits=2)
+    victim = txlog.snapshot_files(table)[0]
+    racer = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    txlog.write_versioned(racer.coalesce(1), table, mode="overwrite")
+    kept = spark.range(0).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    with _pytest.raises(ValueError, match="not in current snapshot"):
+        txlog.write_versioned(
+            kept, table, mode="replace", replace_paths=[victim]
+        )
+    # the failed replace left the table state intact
+    assert txlog.read_versioned(spark, table).count() == 10
