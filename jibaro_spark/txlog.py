@@ -78,10 +78,28 @@ def _last_checkpoint_pointer(table: str) -> str:
 def latest_version(table: str) -> int | None:
     """Highest committed version, or None for a non-log table.
     Checkpoint files are consolidated snapshots, not commits — only
-    bare ``<digits>.json`` entries count."""
+    bare ``<digits>.json`` entries count.
+
+    Fast path (the second half of the ADVICE r8 listing finding, after
+    the ``_last_checkpoint`` pointer fixed checkpoint resolution):
+    commit versions are CONTIGUOUS by construction (every commit is an
+    atomic create of ``head+1``; vacuum never deletes commit files),
+    so from any known-committed floor the head is found by walking
+    forward with ``os.path.exists`` until the first gap — O(commits
+    since the pointer's checkpoint), not O(total log files).  A
+    missing/corrupt pointer falls back to the full listing."""
     d = _log_path(table)
     if not os.path.isdir(d):
         return None
+    try:
+        with open(_last_checkpoint_pointer(table)) as f:
+            v = int(json.load(f)["version"])
+        if v >= 0 and os.path.exists(_version_file(table, v)):
+            while os.path.exists(_version_file(table, v + 1)):
+                v += 1
+            return v
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        pass
     versions = [
         int(f[: -len(".json")])
         for f in os.listdir(d)

@@ -305,3 +305,29 @@ def test_replace_conflict_with_concurrent_overwrite_raises(spark, tmp_path):
         )
     # the failed replace left the table state intact
     assert txlog.read_versioned(spark, table).count() == 10
+
+
+def test_latest_version_pointer_fast_path_no_listing(spark, tmp_path, monkeypatch):
+    table = _versioned(spark, tmp_path, "lvfast", commits=13)  # ckpt at 10
+    assert txlog.latest_version(table) == 12
+    calls = []
+    real = txlog.os.listdir
+
+    def spy(p):
+        calls.append(p)
+        return real(p)
+
+    monkeypatch.setattr(txlog.os, "listdir", spy)
+    assert txlog.latest_version(table) == 12
+    assert calls == [], "pointer fast path must not list the log dir"
+    monkeypatch.undo()
+    # corrupt pointer → listing fallback, same answer
+    ptr = os.path.join(table, txlog.LOG_DIR, "_last_checkpoint")
+    with open(ptr, "w") as f:
+        f.write("{broken")
+    assert txlog.latest_version(table) == 12
+    # fresh commits after the (repaired-later) pointer are still found
+    os.unlink(ptr)
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    txlog.write_versioned(df.coalesce(1), table, mode="append")
+    assert txlog.latest_version(table) == 13
