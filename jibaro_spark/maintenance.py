@@ -738,6 +738,22 @@ def delete_by_keys(
 
     from jibaro_spark import txlog
 
+    if any(v is None for v in values):
+        # ~isin(NULL) is NULL under three-valued logic, so a NULL
+        # "target" can never match and the NULL-keeping filter below
+        # would silently ignore it — reject loudly instead of letting
+        # an erasure request half-succeed
+        raise ValueError(
+            "delete_by_keys cannot target NULL keys (isin semantics); "
+            "rewrite NULL-keyed rows with an explicit isNull filter"
+        )
+    if not values:
+        base = spark.read.parquet(path)
+        return {
+            "files_total": len(set(base.inputFiles())),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
     local_root = path.replace("file:", "")
     if txlog.latest_version(local_root) is not None:
         return _delete_by_keys_versioned(spark, local_root, col, values)

@@ -331,3 +331,17 @@ def test_latest_version_pointer_fast_path_no_listing(spark, tmp_path, monkeypatc
     df = spark.range(1).select(F.col("id").alias("k"), F.lit(0).alias("v"))
     txlog.write_versioned(df.coalesce(1), table, mode="append")
     assert txlog.latest_version(table) == 13
+
+
+def test_delete_empty_and_null_key_lists(spark, tmp_path):
+    import pytest as _pytest
+
+    out = os.path.join(str(tmp_path), "guards")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(2, "k").write.parquet(out)
+    stats = delete_by_keys(spark, out, "k", [])
+    assert stats == {"files_total": 2, "files_rewritten": 0, "rows_deleted": 0}
+    with _pytest.raises(ValueError, match="NULL keys"):
+        delete_by_keys(spark, out, "k", [5, None])
+    assert spark.read.parquet(out).count() == 100
