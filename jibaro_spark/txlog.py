@@ -171,10 +171,13 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         pass
     os.unlink(tmp)
     # advance the _last_checkpoint pointer (Delta's pattern) so readers
-    # resolve the newest checkpoint without listing the log dir; only
-    # ever move it FORWARD (a racing older checkpointer must not
-    # regress it), and atomically (tmp + rename) so readers never see
-    # a torn pointer.  Best-effort: a failed pointer write only means
+    # resolve the newest checkpoint without listing the log dir;
+    # atomic (tmp + rename) so readers never see a torn pointer, and
+    # best-effort monotone: the read-compare-write can race, so a
+    # concurrent older checkpointer may briefly regress it — readers
+    # verify the pointed file exists and only ever lose replay
+    # distance (more commits parsed), never correctness, and the next
+    # checkpoint repairs it.  A failed pointer write only means
     # readers fall back to the directory listing.
     try:
         ptr = _last_checkpoint_pointer(table)
