@@ -345,3 +345,33 @@ def test_delete_empty_and_null_key_lists(spark, tmp_path):
     with _pytest.raises(ValueError, match="NULL keys"):
         delete_by_keys(spark, out, "k", [5, None])
     assert spark.read.parquet(out).count() == 100
+
+
+def test_versioned_delete_entire_file_contents(spark, tmp_path):
+    """Deleting every row of a candidate file commits removes with no
+    (or empty) adds — the snapshot simply shrinks to the other files."""
+    table = os.path.join(str(tmp_path), "wipe")
+    os.makedirs(table, exist_ok=True)
+    a = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    txlog.write_versioned(a.coalesce(1), table, mode="append")
+    txlog.write_versioned(b.coalesce(1), table, mode="append")
+    stats = delete_by_keys(spark, table, "k", list(range(100)))
+    assert stats["rows_deleted"] == 100
+    cur = txlog.read_versioned(spark, table)
+    assert cur.count() == 100
+    assert cur.agg(F.min("k")).collect()[0][0] == 100
+
+
+def test_vacuum_reclaims_replace_deleted_files(spark, tmp_path):
+    table = _versioned(spark, tmp_path, "vrec", commits=2)
+    pre_files = set(txlog.snapshot_files(table))
+    stats = delete_by_keys(spark, table, "k", [10, 500])
+    assert stats["rows_deleted"] == 2
+    replaced = pre_files - set(txlog.snapshot_files(table))
+    assert replaced and all(os.path.exists(f) for f in replaced)
+    txlog.vacuum_versioned(table, keep_versions=1, min_file_age_s=0.0)
+    assert all(not os.path.exists(f) for f in replaced), "replaced files reclaimed"
+    cur = txlog.read_versioned(spark, table)
+    assert cur.count() == 998
+    assert cur.filter(F.col("k").isin([10, 500])).count() == 0
