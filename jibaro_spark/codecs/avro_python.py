@@ -150,6 +150,16 @@ def _read(r: _Reader, dt: T.DataType, nullable: bool):
 
 
 def _write(out: bytearray, v, dt: T.DataType, nullable: bool) -> None:
+    # Arrow→pandas converts integer child arrays holding any null to
+    # float64, so a null integer arrives as NaN, not None.  An integer
+    # field can never legitimately hold NaN — normalize it back to the
+    # null it encodes (float/double NaN is real data and passes through).
+    if (
+        isinstance(v, float)
+        and v != v
+        and isinstance(dt, (T.IntegerType, T.ShortType, T.LongType))
+    ):
+        v = None
     if nullable:
         if v is None:
             out += _zigzag(0)

@@ -198,6 +198,23 @@ def _value_to_msg(msg, value: dict, struct: T.StructType) -> None:
         elif isinstance(dt, T.StructType):
             _value_to_msg(getattr(msg, field.name), v, dt)
         else:
+            # Arrow→pandas converts an integer child array that holds
+            # ANY null to float64 — every row of the batch then carries
+            # floats (123 → 123.0) and NaN where the null was.  Undo
+            # the artifact: NaN means unset; an integral float going
+            # into an integer field is the original int.
+            if isinstance(v, float):
+                if v != v:  # NaN
+                    continue
+                if isinstance(
+                    dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                ):
+                    if not v.is_integer():
+                        raise ValueError(
+                            f"non-integral value {v!r} for integer proto "
+                            f"field {field.name}"
+                        )
+                    v = int(v)
             setattr(msg, field.name, v)
 
 

@@ -48,9 +48,21 @@ def dedup_latest(
     Parity: reference ``cdc.py:132-142`` (ordering column there is the
     Kafka ``timestamp``; callers here pass any ordering columns, with
     trailing tiebreakers for determinism).
+
+    NULL ordering is pinned to the SQL-engine convention (NULLs sort
+    LARGEST: ascending → last, descending → first — DuckDB/Postgres
+    defaults) instead of Spark's NULL-smallest default, so a NULL in
+    an ordering column picks the same representative row here and in
+    any plain-SQL twin of the dedup (NULL-fuzz sweep: a NULL-id
+    duplicate used to win the group under Spark's NULLS FIRST while
+    the oracle kept the real id).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ordering = [c.desc() for c in cols] if descending else cols
+    ordering = (
+        [c.desc_nulls_first() for c in cols]
+        if descending
+        else [c.asc_nulls_last() for c in cols]
+    )
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn(_ROW_NUM, F.row_number().over(w))

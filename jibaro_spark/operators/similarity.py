@@ -441,11 +441,21 @@ def _block_pair_replicate(
     ``num_blocks`` blocks and replicate it to every unordered block
     pair its block participates in (columns ``__id, __vec, __b, __p,
     __q``) — the memory-bounding fan-out both the all-pairs and the
-    cell-partitioned exact kernels group on."""
-    base = df.select(
-        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec")
-    ).withColumn(
-        "__b", F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
+    cell-partitioned exact kernels group on.
+
+    NULL ids/vectors are dropped up front: a NULL embedding has no
+    similarity to anything, and a None inside the Arrow batch would
+    crash the numpy block kernel (inhomogeneous array) for every row
+    sharing its block."""
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+        .withColumn(
+            "__b", F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
+        )
     )
     pair_structs = F.transform(
         F.sequence(F.lit(0), F.lit(num_blocks - 1)),
@@ -590,9 +600,9 @@ def embedding_near_duplicates(
     :func:`embedding_near_duplicates_exact` (see its docstring for the
     pruning argument)."""
     rows = num_planes // bands
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    )
+    base = ensure_parallelism(
+        df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     sig = lsh_signature(F.col("__vec"), dim, num_planes)
     # ids-only band join; vectors join back to deduplicated pairs (the
     # band shuffle never carries the dim×4B arrays — see knn_lsh note)

@@ -70,7 +70,15 @@ def language_id(col: Column) -> Column:
 
 def quality_features(col: Column) -> dict[str, Column]:
     """Deterministic quality-signal columns (single IEEE divisions only,
-    so Spark and any oracle engine agree bit-for-bit)."""
+    so Spark and any oracle engine agree bit-for-bit).
+
+    ``try_divide`` instead of ``/``: a zero-token or zero-char document
+    (empty/whitespace text — absent from the sf fixtures but real in
+    any crawled corpus) must yield NULL features, not crash the job
+    under ANSI mode.  NULL is also exactly what SQL engines produce
+    for x/0 (DuckDB returns NULL), so the oracle twin agrees without
+    special-casing; results on non-degenerate text are bit-identical.
+    """
     toks = tokens(col)
     n_tok = F.size(toks).cast("double")
     n_char = F.length(col).cast("double")
@@ -79,10 +87,10 @@ def quality_features(col: Column) -> dict[str, Column]:
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
     return {
         "n_tokens": n_tok.cast("long"),
-        "avg_token_len": (n_char - (n_tok - 1)) / n_tok,
-        "alpha_ratio": n_alpha / n_char,
-        "punct_ratio": n_punct / n_char,
-        "uniq_token_ratio": n_uniq / n_tok,
+        "avg_token_len": F.try_divide(n_char - (n_tok - 1), n_tok),
+        "alpha_ratio": F.try_divide(n_alpha, n_char),
+        "punct_ratio": F.try_divide(n_punct, n_char),
+        "uniq_token_ratio": F.try_divide(n_uniq, n_tok),
     }
 
 

@@ -130,13 +130,17 @@ SELECT vec_id,
                             i -> CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END)), 6) AS dot_alt,
        label
 FROM embeddings
+WHERE embedding IS NOT NULL
 ORDER BY vec_id
 """
 
 
 @declare("q_embedding_norms", oracle=QNORM_ORACLE, description="vector L2 norms + alternating-sign dot via native array aggregate (J6 support)")
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # NULL-embedding rows have no norms on either side (NULL-fuzz sweep)
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
     # l2_norm is uniformly 1.0 (fixture vectors are unit-normalized —
     # itself a verified property); dot_alt VARIES per vector, so the
     # hash check exercises real dot-product values too.
@@ -317,7 +321,11 @@ ORDER BY id_a, id_b
 
 @declare("q_ngram_jaccard_pairs", oracle=QNGRAM_ORACLE, description="exact n-gram Jaccard over inverted-index candidates (dedup [ext])")
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL text has no shingles: without the filter its ''-shingle would
+    # pair it with genuinely-empty docs (NULL-fuzz sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     return dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.3
     ).orderBy("id_a", "id_b")
@@ -388,7 +396,9 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QBPE_ORACLE = f"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text), '([a-z]{{1,4}}|[0-9]|[^a-z0-9\\s])', 1)) AS n_bpe_tokens,
-       len({_TOKS}) AS n_ws_tokens
+       -- empty/whitespace text has ZERO tokens (split('') yields ['']
+       -- in SQL — mirror the Spark token_count contract)
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_ws_tokens
 FROM documents
 ORDER BY doc_id
 """
@@ -411,7 +421,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 QROLLFP_ORACLE = """
 WITH norm AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), sk AS (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(list_transform(
@@ -435,7 +445,10 @@ ORDER BY doc_id
     description="winnowing rolling-hash document sketch (md5 k-gram mode — cross-engine verifiable; xxhash64 fast path in tests)",
 )
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL text sketches to nothing — dropped on both sides
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     # Scalar projection of the sketch (the driver's canonicalizer can't
     # sort array cells); the array itself is covered in test_units.
     # md5 hasher: hex-string k-gram hashes DuckDB reproduces
@@ -526,7 +539,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.graph import dedup_clusters
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
+    # the cluster UNIVERSE keeps every doc (NULL-text docs are
+    # singletons), but pair generation is over text-bearing docs only:
+    # a NULL text's ''-shingle must not link it to empty docs
+    pairs = dd.ngram_jaccard_pairs(
+        docs.filter(F.col("text").isNotNull()),
+        "doc_id", "text", shingle_n=3, threshold=0.3,
+    )
     clustered = dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
     )
@@ -696,6 +715,7 @@ WITH t AS (
   SELECT doc_id,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), c AS (
   SELECT doc_id, n_tokens,
          SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
@@ -717,7 +737,13 @@ ORDER BY doc_id
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import partitioned_prefix_sum
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # packing order is doc_id — a NULL id has no position in it, and a
+    # NULL text has no token count; both are out of the packing frame
+    # on both sides (greedy packing is order-sensitive, so ONE stray
+    # row would shift every later sequence id)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     toks = docs.select(
         "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
@@ -818,6 +844,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QREP_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_NORM} AS nt, {_TOKS} AS w FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), g AS (
   SELECT doc_id, LENGTH(nt) AS len,
          unnest(list_transform(generate_series(0, greatest(len(w)-1,1)-1),
@@ -851,7 +878,11 @@ ORDER BY s.doc_id
     description="Gopher-style duplicate/top-bigram repetition quality signals (training pipeline [ext])",
 )
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # repetition signals are per-identified-document over real text:
+    # NULL ids (SQL joins drop them) and NULL text carry no signal
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     return (
         tx.repetition_stats(docs, "doc_id", "text", n=2)
         .select(
@@ -965,6 +996,7 @@ WITH a AS (
   SELECT vec_id, embedding,
          COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS amax
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), q AS (
   SELECT vec_id, amax,
          CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
@@ -988,7 +1020,10 @@ ORDER BY vec_id
     description="symmetric int8 embedding quantization summaries (ANN scale path [ext])",
 )
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # NULL embeddings quantize to nothing on either side
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
     return (
         sim.quantize_int8(emb, "vec_id", "embedding")
         .select(
@@ -1129,7 +1164,7 @@ WITH t AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
             i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), s AS (
   SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
   FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i
@@ -1146,7 +1181,10 @@ FROM s GROUP BY doc_id ORDER BY doc_id
     description="MinHash signatures, md5 verifiable mode — slot-wise cross-engine equality (dedup [ext])",
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # a NULL text has no shingles hence no signature — on either side
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id", dd.minhash_signature_md5(F.col("text")).alias("sig_md5")
     ).orderBy("doc_id")
@@ -1159,7 +1197,7 @@ WITH t AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-1,1)-1),
             i -> array_to_string(list_slice({_TOKS}, i+1, i+2), ' '))) AS sh
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), b AS (
   SELECT doc_id, p.range AS pos,
          SUM(CASE WHEN (CAST(('0x' || substr(md5(u.g), CAST(p.range//4 AS BIGINT)+1, 1)) AS INTEGER)
@@ -1180,7 +1218,10 @@ FROM b GROUP BY doc_id ORDER BY doc_id
     description="SimHash fingerprints, md5 verifiable mode — bit-wise cross-engine equality (dedup [ext])",
 )
 def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # a NULL text has no shingles hence no fingerprint — on either side
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id", dd.simhash_md5_bits(F.col("text")).alias("simhash_bits")
     ).orderBy("doc_id")
@@ -1420,14 +1461,17 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the IVF recall tests); the assignment step is the part that touches
 # all 100 TB, so it is the part the oracle pins.
 QKMA_ORACLE = """
-WITH c AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+WITH eb AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM eb ORDER BY vec_id LIMIT 8
 ), d AS (
   SELECT e.vec_id, c.cid,
          round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), 6) AS d2
-  FROM embeddings e CROSS JOIN c
+  FROM eb e CROSS JOIN c
 ), a AS (
   SELECT vec_id, cid, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -1448,7 +1492,12 @@ ORDER BY cid
     description="nearest-centroid assignment (k-means kernel, broadcast codebook): per-cluster sizes + exact distance mass (clustering [ext])",
 )
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # a NULL embedding would NULL every distance and collapse the
+    # assignment (NULL-fuzz sweep) — vectors without id or embedding
+    # are outside the clustering frame on both sides
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
     cents = (
         emb.orderBy("vec_id")
         .limit(8)
@@ -1480,6 +1529,7 @@ _HEX13_U_SQL = """
 QPSAMPLE_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+  WHERE doc_id IS NOT NULL
 ), p AS (
   SELECT doc_id, n_tokens,
          ({_HEX13_U_SQL}) / CAST(n_tokens AS DOUBLE) AS priority
@@ -1498,7 +1548,10 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import priority_sample
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # identity keys the md5 uniform, weight must be positive — NULL ids
+    # (whose NULL priority sorts OPPOSITE ways in Spark and SQL) and
+    # token-free docs are out of the sampling frame on both sides
     weighted = docs.select(
         "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
+    ).filter(F.col("doc_id").isNotNull() & (F.col("n_tokens") > 0))
     return priority_sample(weighted, "doc_id", "n_tokens", 50)

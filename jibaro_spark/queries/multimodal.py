@@ -38,6 +38,10 @@ def _with_content(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit(_MAGIC_PNG))
         .otherwise(F.lit(_MAGIC_ID3))
     )
+    # the synthetic content derives from BOTH doc_id (magic/kind) and
+    # text (payload) — docs missing either have no content on either
+    # side (NULL-fuzz sweep; every oracle carries the matching WHERE)
+    docs = docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         F.concat(magic, F.encode("text", "UTF-8")).alias("content"),
@@ -56,6 +60,7 @@ WITH c AS (
                WHEN doc_id % 3 = 1 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
                ELSE 'ID3'::BLOB END) || encode(text) AS content
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 )
 SELECT doc_id,
        octet_length(content) AS n_bytes,
@@ -107,6 +112,7 @@ WITH c AS (
          octet_length(encode(text))
            + CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 8 END AS n
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 )
 SELECT doc_id,
        n % 64 + 1 AS dec_width,
@@ -139,6 +145,7 @@ WITH plan AS (
               THEN range(0, CAST(n_chars AS BIGINT) * 40, 1000)
               ELSE [] END AS frame_ts_ms
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 )
 SELECT doc_id,
        len(frame_ts_ms) AS n_frames,

@@ -291,8 +291,10 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The md5 slot-minima aggregation is the dominant subtree and has
     # THREE consumers (banding + the two signature join-backs);
     # localCheckpoint pins it to one computation (the containment-join
-    # discipline, BASELINE.md round-7 note).
-    sig = docs.select(
+    # discipline, BASELINE.md round-7 note).  Signatures exist only
+    # for text-bearing docs (the oracle's unnest drops NULL text; the
+    # cluster universe below still covers every doc).
+    sig = docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
     ).localCheckpoint(eager=True)

@@ -283,7 +283,7 @@ QHL_ORACLE = """
 WITH toks AS (
   SELECT doc_id, t AS tok
   FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
-  WHERE length(t) >= 2
+  WHERE length(t) >= 2 AND doc_id IS NOT NULL
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
 ), ranked AS (
@@ -316,7 +316,11 @@ FROM cuts c ORDER BY c.decile
     description="Heaps'-law vocabulary growth at doc-count deciles: token first occurrence + exact cutoffs, V(n) vs tokens seen — the corpus-diversity curve behind dedup/mixture decisions (text [ext])",
 )
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # the decile axis is doc_id order — a NULL id has no position in it
+    # (and sorts opposite ways in Spark vs SQL windows)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id").isNotNull()
+    )
     toks = (
         docs.select(
             "doc_id",

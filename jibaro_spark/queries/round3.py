@@ -616,7 +616,7 @@ _XDUP_N = 8
 
 QXDUP_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id, {_TOKS} AS ts FROM documents
+  SELECT doc_id, {_TOKS} AS ts FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(ts) - {_XDUP_N - 1}, 1)),
@@ -644,7 +644,10 @@ ORDER BY sh.doc_id
 def q_crossdoc_shingle_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.dedup import shingles
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL text shingles to nothing on either side (NULL-fuzz sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     # The interpreted shingle HOF is the dominant cost and (doc_id, s)
     # feeds both the occurrence count and the per-doc join — physical
     # plans otherwise run the Generate TWICE (once per consumer, the

@@ -338,14 +338,20 @@ WITH d AS (
 ), lex AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
   FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)
+), eb AS (
+  -- NULL embeddings filtered in their own CTE, BEFORE the cross join:
+  -- DuckDB's vectorized list_dot_product validates the whole scan
+  -- chunk's child vector, so a NULL list in the same chunk crashes it
+  -- even when the row is filtered in the consuming SELECT
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ), qv AS (
-  SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+  SELECT embedding AS q FROM eb WHERE vec_id = {_RRF_QVEC_ID}
 ), cos AS (
   SELECT e.vec_id AS doc_id,
          ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qv.q AS DOUBLE[]))
                / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
                   * SQRT(list_dot_product(CAST(qv.q AS DOUBLE[]), CAST(qv.q AS DOUBLE[])))), 6) AS c
-  FROM embeddings e CROSS JOIN qv
+  FROM eb e CROSS JOIN qv
   WHERE e.vec_id <> {_RRF_QVEC_ID}
 ), sem AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
@@ -424,7 +430,9 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q")
     )
     cos = (
-        emb.filter(F.col("vec_id") != _RRF_QVEC_ID)
+        emb.filter(
+            (F.col("vec_id") != _RRF_QVEC_ID) & F.col("embedding").isNotNull()
+        )
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -601,9 +609,13 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # across batches (tests/test_round5_streaming_semdedup.py).
 QSSD_ORACLE = """
 WITH corpus AS (
+  -- the stateful kernel drops NULL ids/vectors (r8 NULL hardening) —
+  -- the oracle's admission frame must match
   SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
   UNION ALL
-  SELECT vec_id + 7000 AS vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+  SELECT vec_id + 7000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 3 = 0 AND embedding IS NOT NULL
 ), m AS (
   SELECT c.vec_id,
          (SELECT MIN(o.vec_id) FROM corpus o
@@ -798,10 +810,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.upper("text"), F.lit("  ")).alias("text"),
         )
     )
+    # explicit SQL-convention null ordering (NULLs largest): Spark's
+    # bare desc/asc defaults sort NULLs the opposite way, which flips
+    # the kept representative when a length or id is NULL
     kept = dedup_exact(
         corpus,
         content_cols=["text"],
-        keep_by=[F.length("text").desc(), F.col("doc_id").asc()],
+        keep_by=[
+            F.length("text").desc_nulls_first(),
+            F.col("doc_id").asc_nulls_last(),
+        ],
     )
     return kept.select(
         "doc_id", F.length("text").cast("long").alias("text_len")
@@ -989,6 +1007,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QAVRO_RT_ORACLE = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
+WHERE doc_id IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -1007,7 +1026,13 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from jibaro_spark.codecs.confluent import payload_of, schema_id_of, wire_encode
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # the record key is non-nullable by contract (the Kafka-message
+    # shape this codec serves) — keyless documents are out of scope,
+    # mirrored by the oracle's WHERE; NULL lang/n_chars roundtrip fine
+    # through the Avro union encoding
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id").isNotNull()
+    )
     rec = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), nullable=False),
@@ -1315,19 +1340,22 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = tokens(F.col("text"))
+    # try_divide: empty/whitespace docs yield NULL ratios (matching the
+    # oracle's SQL x/0 → NULL), which NULL the row's z/p and drop it
+    # from every gradient sum on both sides — never an ANSI crash
     f = docs.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        (
-            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
-            / F.length("text").cast("double")
+        F.try_divide(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double"),
+            F.length("text").cast("double"),
         ).alias("alpha_ratio"),
-        (
-            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double")
-            / F.length("text").cast("double")
+        F.try_divide(
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double"),
+            F.length("text").cast("double"),
         ).alias("punct_ratio"),
-        (
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double")
+        F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"),
+            F.size(toks).cast("double"),
         ).alias("uniq_token_ratio"),
         (F.size(toks).cast("double") / F.lit(1000.0)).alias("ntk"),
     )

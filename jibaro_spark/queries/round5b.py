@@ -466,6 +466,7 @@ QAUC_ORACLE = """
 WITH s AS (
   SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
   FROM documents
+  WHERE n_chars IS NOT NULL
 ), g AS (
   SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS npos
   FROM s GROUP BY score
@@ -495,7 +496,9 @@ FROM t
 )
 def q_auc_nchars_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    s = docs.select(
+    # an unscored doc (NULL n_chars) has no rank — and the NULL score
+    # group sorts opposite ways in Spark vs SQL midrank windows
+    s = docs.filter(F.col("n_chars").isNotNull()).select(
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
@@ -600,6 +603,7 @@ WITH s AS (
   SELECT doc_id, n_chars AS score,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
   FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
 ), d AS (
   SELECT score, y, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM s
 )
@@ -619,7 +623,11 @@ FROM d GROUP BY decile ORDER BY decile
 )
 def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    s = docs.select(
+    # unscored/unidentified docs have no decile (and NULLs sort opposite
+    # ways in the two engines' NTILE orderings)
+    s = docs.filter(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),

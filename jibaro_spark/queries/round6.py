@@ -29,6 +29,7 @@ from jibaro_spark.queries.registry import declare, load_tables
 QPROTO_RT_ORACLE = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
+WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -47,7 +48,15 @@ def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_protobuf_python,
     )
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # proto3 scalars cannot represent NULL (absent encodes as ""/0),
+    # so decode(encode(x)) == x only holds for fully non-null rows —
+    # filter them on BOTH sides (the oracle's WHERE mirrors this);
+    # the Avro twin keeps nullable lang/n_chars via union encoding
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
     rec = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), nullable=False),
@@ -531,15 +540,18 @@ def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that bounds Σ df² at scale); every float sum is round-then-decimal
 # so the DuckDB replay is exact.
 QSPARSE_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, source, unnest({_R6_TOKS}) AS t FROM documents
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), toks AS (
+  SELECT doc_id, source, unnest({_R6_TOKS}) AS t FROM corpus
 ), tf AS (
   SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS tf
   FROM toks GROUP BY doc_id, source, t
 ), dfq AS (
   SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t
 ), n AS (
-  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM corpus
 ), w AS (
   SELECT tf.doc_id, tf.source, tf.t,
          CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
@@ -573,7 +585,12 @@ ORDER BY id_a, id_b
 def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.textops import tfidf_cosine_pairs
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # the IDF denominator is the corpus size — define the corpus as
+    # identified, text-bearing docs on BOTH sides, or a single NULL row
+    # shifts ln(n/df) for every term (NULL-fuzz sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     return (
         tfidf_cosine_pairs(
             docs, "doc_id", "text", group_col="source", min_cosine=0.35

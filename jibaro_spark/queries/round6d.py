@@ -379,6 +379,7 @@ SELECT e.vec_id, g.j,
              / SQRT({_RP_K}.0), 6) AS y
 FROM embeddings e
 CROSS JOIN generate_series(0, {_RP_K - 1}) AS g(j)
+WHERE e.embedding IS NOT NULL
 ORDER BY e.vec_id, g.j
 """
 
@@ -389,7 +390,10 @@ ORDER BY e.vec_id, g.j
     description=f"matrix-free JL random projection to {_RP_K} dims — md5-derived ±1 signs, ordered-fold dot (similarity [ext])",
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # NULL embeddings have no projection on either side (NULL-fuzz sweep)
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
     rows = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),

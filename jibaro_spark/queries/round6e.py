@@ -442,7 +442,9 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QKW_ORACLE = """
 WITH g AS (
   SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t
-  FROM documents GROUP BY lang, n_chars
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang, n_chars
 ), vt AS (
   SELECT v, CAST(SUM(t) AS BIGINT) AS tv FROM g GROUP BY v
 ), c AS (
@@ -486,6 +488,10 @@ ORDER BY p.lang
 )
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # rank tests are over (group, value) observations: rows missing
+    # either are not observations (NULL values also sort opposite ways
+    # in the two engines' midrank windows)
+    docs = docs.filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
     g = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("t")
     )

@@ -758,7 +758,10 @@ ORDER BY id_a, id_b
 def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.dedup import minhash_slots_md5
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL text has no signature (NULL-fuzz sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     sig = docs.select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
@@ -1758,7 +1761,10 @@ ORDER BY id_a, id_b
 def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.dedup import simhash_md5_bits
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL text has no fingerprint (NULL-fuzz sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     sig = docs.select(
         F.col("doc_id").alias("__id"),
         simhash_md5_bits(F.col("text")).alias("bits"),

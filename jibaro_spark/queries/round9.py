@@ -644,7 +644,10 @@ ORDER BY id_a, id_b
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.dedup import ngram_containment_pairs
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL text has no shingles (NULL-fuzz sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     return ngram_containment_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5
     ).orderBy("id_a", "id_b")

@@ -1,0 +1,208 @@
+"""NULL-fuzz differential sweep (the ADVICE r8 QEXSUB finding, swept
+as a CLASS): the sf fixtures contain no NULL/empty documents, so a
+Spark-kernel-vs-oracle divergence in NULL handling passes every driver
+round silently.  This harness builds a MUTATED fixture — the sf0.001
+tables verbatim, plus documents rows with NULL doc_id (duplicated
+text), NULL text, empty text, and whitespace-only text, and embeddings
+rows with NULL id / NULL vector — then re-runs every documents/
+embeddings-reading registered query through the driver's own
+hash-compare on that fixture.
+
+A query that CRASHES or hash-diverges here encodes different NULL
+contracts on its two sides — exactly the latent class the r8 advisor
+caught once by reading.  Queries are exercised at sf0.001 (speed; the
+point is the NULL rows, not volume).
+
+Usage: python scripts/null_fuzz_contract.py [names...]
+Prints per-query status + one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+import __spark_entry__ as E  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("null_fuzz_contract")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def build_fixture() -> str:
+    keep = os.environ.get("NULLFUZZ_DIR")
+    if keep and os.path.isdir(keep) and os.path.exists(
+        os.path.join(keep, "documents.parquet")
+    ):
+        return keep
+    out = keep or tempfile.mkdtemp(prefix="nullfuzz_sf_")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "documents":
+            docs = spark.read.parquet(src)
+            some_text = docs.select("text").filter(
+                F.length("text") > 200
+            ).first()["text"]
+            extras = spark.createDataFrame(
+                [
+                    (None, some_text),  # NULL id, text duplicated from corpus
+                    (10_000_001, None),  # NULL text
+                    (10_000_002, ""),  # empty text
+                    (10_000_003, "   \n\t  "),  # whitespace-only text
+                ],
+                "doc_id bigint, text string",
+            )
+            # non-core columns (lang, ts, ...) become NULL on the
+            # injected rows — more NULL surface, deliberately
+            full = docs.unionByName(
+                extras.select(
+                    *[
+                        extras[c].cast(docs.schema[c].dataType).alias(c)
+                        if c in extras.columns
+                        else F.lit(None).cast(docs.schema[c].dataType).alias(c)
+                        for c in docs.columns
+                    ]
+                )
+            )
+            full.coalesce(1).write.parquet(dst)
+        elif t == "embeddings":
+            emb = spark.read.parquet(src)
+            extras = spark.createDataFrame(
+                [tuple(None for _ in emb.columns)], emb.schema
+            )
+            emb.unionByName(extras).coalesce(1).write.parquet(dst)
+        else:
+            shutil.copyfile(src, dst)
+    return out
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(round(v, 6))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return repr(v)
+
+
+def hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+def module_reads_doc_tables(fn) -> bool:
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except OSError:
+        return False
+    return '"documents"' in src or '"embeddings"' in src or "'documents'" in src
+
+
+def main() -> None:
+    fixture = build_fixture()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(fixture, f"{t}.parquet")
+        # Spark writes the mutated tables as directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    only = set(sys.argv[1:])
+    targets = {
+        n: fn
+        for n, fn in qs.items()
+        if (not only or n in only) and module_reads_doc_tables(fn)
+    }
+    fails, crashes, checked = [], [], 0
+    for i, (name, fn) in enumerate(sorted(targets.items())):
+        t0 = time.time()
+        try:
+            df = fn(spark, fixture)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            crashes.append(name)
+            print(f"[{i+1}/{len(targets)}] {name}: SPARK CRASH {ex}", flush=True)
+            continue
+        if name not in oracles:
+            print(
+                f"[{i+1}/{len(targets)}] {name}: rows-only {len(rows)} "
+                f"[{time.time()-t0:.1f}s]",
+                flush=True,
+            )
+            checked += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols, d_rows = list(rel.columns), rel.fetchall()
+        except Exception as ex:
+            crashes.append(name)
+            print(f"[{i+1}/{len(targets)}] {name}: ORACLE CRASH {ex}", flush=True)
+            continue
+        ok = (
+            sorted(cols) == sorted(d_cols)
+            and len(rows) == len(d_rows)
+            and hash_rows(cols, rows) == hash_rows(d_cols, d_rows)
+        )
+        checked += 1
+        if not ok:
+            fails.append(name)
+        print(
+            f"[{i+1}/{len(targets)}] {name}: "
+            f"{'OK' if ok else f'NULL-DIVERGENCE rows={len(rows)}/{len(d_rows)}'}"
+            f" [{time.time()-t0:.1f}s]",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "targets": len(targets),
+                "checked": checked,
+                "divergent": fails,
+                "crashed": crashes,
+            }
+        ),
+        flush=True,
+    )
+    if not os.environ.get("NULLFUZZ_DIR"):
+        shutil.rmtree(fixture, ignore_errors=True)
+    sys.exit(1 if (fails or crashes) else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""NULL-fuzz contract guard (compact form of
+``scripts/null_fuzz_contract.py``, which sweeps all 95 document/
+embedding queries): the sf fixtures contain no NULL/empty documents,
+so a Spark-vs-oracle divergence in NULL handling is invisible to every
+driver round.  This fixture injects the degenerate rows — NULL doc_id
+with DUPLICATED text (it must not win dedup groups or form pairs),
+NULL text, empty text, whitespace-only text, and an all-NULL embedding
+row — and asserts hash-identical results for one representative query
+per fixed family.
+
+The round-9 sweep this pins fixed: ANSI divide-by-zero crashes on
+zero-token docs (textops), NULL vectors crashing the numpy block
+kernel, the proto codec's whole-batch float poisoning, Spark-vs-SQL
+NULL *ordering* flips in dedup windows/NTILE/midranks, and ''-shingle
+pairing of NULL-text with genuinely-empty docs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jibaro_spark.queries import REGISTRY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# one per fixed family: signature, exact dedup (NULL ordering), pair
+# generation (''-shingle), packing (order-sensitive), quality (ANSI
+# division), embedding kernel, midranks, codec chain
+FAMILY_QUERIES = [
+    "q_minhash_signature",
+    "q_dedup_exact_docs",
+    "q_dedup_keep_best",
+    "q_ngram_jaccard_pairs",
+    "q_sequence_packing",
+    "q_text_quality_score",
+    "q_kmeans_assign",
+    "q_auc_nchars_en",
+    "q_avro_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("nullfuzz"))
+    import shutil
+
+    for t in TABLES:
+        sp = os.path.join(src, f"{t}.parquet")
+        dp = os.path.join(out, f"{t}.parquet")
+        if t == "documents":
+            docs = spark.read.parquet(sp)
+            dup_text = docs.select("text").filter(F.length("text") > 200).first()[
+                "text"
+            ]
+            extras = spark.createDataFrame(
+                [
+                    (None, dup_text),
+                    (10_000_001, None),
+                    (10_000_002, ""),
+                    (10_000_003, "   \n\t  "),
+                ],
+                "doc_id bigint, text string",
+            )
+            docs.unionByName(
+                extras.select(
+                    *[
+                        extras[c].cast(docs.schema[c].dataType).alias(c)
+                        if c in extras.columns
+                        else F.lit(None).cast(docs.schema[c].dataType).alias(c)
+                        for c in docs.columns
+                    ]
+                )
+            ).coalesce(1).write.parquet(dp)
+        elif t == "embeddings":
+            emb = spark.read.parquet(sp)
+            extras = spark.createDataFrame(
+                [tuple(None for _ in emb.columns)], emb.schema
+            )
+            emb.unionByName(extras).coalesce(1).write.parquet(dp)
+        else:
+            shutil.copyfile(sp, dp)
+    return out
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(round(v, 6))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return repr(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", FAMILY_QUERIES)
+def test_null_fuzz_family(spark, fuzz_dir, name):
+    dq = REGISTRY[name]
+    df = dq.fn(spark, fuzz_dir)
+    cols, rows = df.columns, [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            p = os.path.join(fuzz_dir, f"{t}.parquet")
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        rel = con.sql(dq.oracle)
+        d_cols, d_rows = list(rel.columns), rel.fetchall()
+    finally:
+        con.close()
+    assert sorted(cols) == sorted(d_cols)
+    assert len(rows) == len(d_rows), f"{name}: {len(rows)} vs {len(d_rows)}"
+    assert _canon(cols, rows) == _canon(d_cols, d_rows), name
