@@ -49,17 +49,21 @@ def dedup_latest(
     Kafka ``timestamp``; callers here pass any ordering columns, with
     trailing tiebreakers for determinism).
 
-    NULL ordering is pinned to the SQL-engine convention (NULLs sort
-    LARGEST: ascending → last, descending → first — DuckDB/Postgres
-    defaults) instead of Spark's NULL-smallest default, so a NULL in
-    an ordering column picks the same representative row here and in
-    any plain-SQL twin of the dedup (NULL-fuzz sweep: a NULL-id
-    duplicate used to win the group under Spark's NULLS FIRST while
-    the oracle kept the real id).
+    NULL ordering is pinned to NULLS LAST in BOTH directions (DuckDB's
+    default for ascending AND descending — verified empirically; note
+    this differs from the Postgres NULL-largest convention) instead of
+    Spark's NULL-smallest default, so a NULL in an ordering column
+    picks the same representative row here and in the SQL twin of the
+    dedup (NULL-fuzz sweep: a NULL-id duplicate used to win ascending
+    groups under Spark's NULLS FIRST, and a NULL-timestamp event used
+    to win "latest" under Spark's descending NULLS LAST... which is
+    what DuckDB does too — but Spark desc IS nulls-last already; the
+    ascending case was the flip).  Explicit on both directions so the
+    contract survives engine-default changes.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     ordering = (
-        [c.desc_nulls_first() for c in cols]
+        [c.desc_nulls_last() for c in cols]
         if descending
         else [c.asc_nulls_last() for c in cols]
     )

@@ -29,6 +29,7 @@ WITH ordered AS (
   SELECT user_id, ts, event_id,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
@@ -54,7 +55,11 @@ ORDER BY user_id, session_seq
 
 @declare("q_sessionize_events", oracle=QSESS_ORACLE, description="gap-based sessionization via lag + cumulative sum windows (W3 [ext])")
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence (see q_markov_transitions): no timestamp or user →
+    # no position on a per-user timeline, on either side
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")

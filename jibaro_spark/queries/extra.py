@@ -227,6 +227,7 @@ SELECT user_id, event_id,
        ROUND(value - LAG(value, 1, 0.0) OVER w, 6) AS delta_prev,
        LEAD(event_type, 1, 'none') OVER w AS next_type
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """
@@ -238,7 +239,12 @@ ORDER BY user_id, event_id
     description="lag/lead analytic windows over event streams (W3 [ext])",
 )
 def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: an event without a timestamp or user has no
+    # position on a per-user timeline (and NULLs sort opposite ways in
+    # Spark vs SQL windows) — same contract as q_markov_transitions
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",

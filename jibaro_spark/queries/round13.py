@@ -52,6 +52,9 @@ WITH e AS (
            AS dow,
          event_type
   FROM events
+  -- the stateful kernel drops NULL group keys and NULL items (r8
+  -- NULL hardening) — the batch twin's frame must match
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
 )
 SELECT dow, event_type,
        CAST(COUNT(*) AS BIGINT) AS est_count,
@@ -69,7 +72,9 @@ ORDER BY dow, event_type
 def q_space_saving_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.streaming.windows import streaming_space_saving
 
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     src = ev.select(
         F.expr("cast((unix_micros(ts) div 86400000000 + 4) % 7 as string)").alias(
             "dow"

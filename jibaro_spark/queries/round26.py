@@ -209,7 +209,9 @@ QNB_ORACLE = """
 WITH hourly AS (
   SELECT event_type AS etype, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
          CAST(COUNT(*) AS BIGINT) AS y
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ), g AS (
   SELECT etype, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(y AS HUGEINT)) AS BIGINT) AS s,
@@ -235,7 +237,10 @@ FROM fit ORDER BY etype
     description="Negative-binomial method-of-moments fit (r = m²/(v−m), p = m/v) of hourly arrival counts per event type — the count-model companion of q_fano_burstiness (count models [ext])",
 )
 def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: no ts → no hour bucket; no type → no series
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     hourly = ev.groupBy(
         F.col("event_type").alias("etype"),
         F.date_trunc("hour", F.col("ts")).alias("h"),
@@ -246,9 +251,13 @@ def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
     )
     m = F.col("s").cast("double") / F.col("n")
-    v = (
-        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
-    ) / (F.col("n") - 1)
+    # try_divide: a 1-hour series has an undefined sample variance —
+    # NULL (SQL's x/0), never an ANSI crash
+    v = F.try_divide(
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n"),
+        (F.col("n") - 1).cast("double"),
+    )
     return g.select(
         "etype",
         F.col("n").alias("n_hours"),

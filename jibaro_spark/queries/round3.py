@@ -954,6 +954,7 @@ WITH w AS (
          CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER tw AS DOUBLE) AS s1,
          CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER tw AS DOUBLE) AS s2
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
 )
@@ -977,7 +978,10 @@ ORDER BY event_id
     description="trailing-window z-score anomaly signal per user (streaming-adjacent analytics [ext])",
 )
 def q_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: no ts/user → no position in the trailing window
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     tw = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1161,6 +1165,7 @@ SELECT event_id, user_id,
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ORDER BY event_id
 """
 
@@ -1171,7 +1176,10 @@ ORDER BY event_id
     description="last-non-null forward fill over per-user ordered history (W3 [ext])",
 )
 def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: carry-forward is ts-ordered per user
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
     w = (
         Window.partitionBy("user_id")

@@ -28,6 +28,7 @@ QBK_ORACLE = """
 WITH items AS (
   SELECT DISTINCT event_type AS etype, CAST(user_id AS VARCHAR) AS uid
   FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
 ), pri AS (
   SELECT etype, uid, md5(uid) AS priority,
          ROW_NUMBER() OVER (PARTITION BY etype ORDER BY md5(uid), uid) AS rk
@@ -45,7 +46,11 @@ ORDER BY etype, rank
     description="Deterministic bottom-k (KMV) distinct-user sample per event type — md5 priorities make the sample order/duplicate-insensitive, so batch SQL, the Spark plan, and the streaming applyInPandasWithState sketch all agree exactly (sampling [ext])",
 )
 def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # a NULL user is not a sampleable member and a NULL type is not a
+    # group (NULL md5 priorities also rank opposite ways cross-engine)
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     items = ev.select(
         F.col("event_type").alias("etype"),
         F.col("user_id").cast("string").alias("uid"),

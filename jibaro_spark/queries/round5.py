@@ -157,7 +157,7 @@ QCONC_ORACLE = """
 WITH iv AS (
   SELECT event_type, CAST(ts AS TIMESTAMP) AS s,
          CAST(ts AS TIMESTAMP) + (event_id % 7 + 1) * INTERVAL 1 MINUTE AS e
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ), pts AS (
   SELECT event_type, s AS t, 1 AS d FROM iv
   UNION ALL
@@ -187,8 +187,10 @@ ORDER BY r.event_type
 def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    # a NULL event_id has an undefined interval length (its NULL end
+    # boundary sorts opposite ways in the two engines' sweeps)
     ev = load_tables(spark, sf_dir, "events")["events"].filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
     )
     iv = ev.select(
         "event_type",
@@ -658,10 +660,10 @@ def q_streaming_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QASOF_FWD_ORACLE = """
 WITH purchases AS (
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), clicks AS (
   SELECT event_id AS click_id, user_id, ts AS click_ts
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 ), ranked AS (
   SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
          ROW_NUMBER() OVER (PARTITION BY p.purchase_id
@@ -741,7 +743,12 @@ ORDER BY purchase_id
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import asof_join
 
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: an event without a timestamp cannot be an as-of
+    # match candidate (its |delta-t| is NULL, which ranks opposite ways
+    # in the two engines)
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -810,14 +817,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.upper("text"), F.lit("  ")).alias("text"),
         )
     )
-    # explicit SQL-convention null ordering (NULLs largest): Spark's
-    # bare desc/asc defaults sort NULLs the opposite way, which flips
-    # the kept representative when a length or id is NULL
+    # explicit DuckDB-convention null ordering (NULLS LAST in both
+    # directions): Spark's bare asc default sorts NULLs first, which
+    # flips the kept representative when an id is NULL
     kept = dedup_exact(
         corpus,
         content_cols=["text"],
         keep_by=[
-            F.length("text").desc_nulls_first(),
+            F.length("text").desc_nulls_last(),
             F.col("doc_id").asc_nulls_last(),
         ],
     )

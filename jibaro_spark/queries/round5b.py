@@ -667,7 +667,8 @@ WITH u AS (
          MAX(epoch_us(ts)) AS last_us,
          CAST(COUNT(*) AS BIGINT) AS frequency,
          SUM(CAST(value AS DECIMAL(18,4))) AS monetary
-  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
 ), g AS (
   SELECT MAX(last_us) AS horizon_us FROM u
 ), r AS (
@@ -697,9 +698,10 @@ FROM q ORDER BY user_id
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
-    # RFM is defined over timestamped events; a null-ts user would get
-    # a null recency whose NTILE placement differs across engines
-    events = events.filter(F.col("ts").isNotNull())
+    # RFM is defined over timestamped events OF A USER; a null-ts user
+    # would get a null recency whose NTILE placement differs across
+    # engines, and a NULL user is not a segmentable identity
+    events = events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     us = F.unix_micros(F.col("ts"))
     u = events.groupBy("user_id").agg(
         F.max(us).alias("last_us"),

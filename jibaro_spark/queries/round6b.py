@@ -471,7 +471,9 @@ WITH daily AS (
   SELECT event_type AS etype,
          CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS dn,
          COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ), w AS (
   SELECT etype, dn, cnt,
          ROW_NUMBER() OVER (PARTITION BY etype ORDER BY dn) AS rn,
@@ -496,7 +498,10 @@ ORDER BY etype, dn
     description="exact 7-row rolling median and max of per-type daily event counts — order-statistic smoothing over keyed windows, full windows only (timeseries [ext])",
 )
 def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: no ts → no day; no type → no series
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     daily = events.groupBy(
         F.col("event_type").alias("etype"),
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),

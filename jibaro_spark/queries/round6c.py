@@ -209,7 +209,9 @@ WITH daily AS (
   SELECT event_type AS etype,
          CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS dn,
          COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ), masked AS (
   SELECT etype, dn, CASE WHEN dn % 5 = 2 THEN NULL ELSE cnt END AS v FROM daily
 ), anch AS (
@@ -248,7 +250,10 @@ ORDER BY etype, dn
     description="linear interpolation of synthesized gaps in per-type daily counts — ignore-nulls window anchors, two-anchor blend, edge fallback (timeseries [ext])",
 )
 def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence: no ts → no day; no type → no series
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     daily = events.groupBy(
         F.col("event_type").alias("etype"),
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
@@ -434,6 +439,7 @@ WITH seq AS (
          LEAD(event_type, 2) OVER (
            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS c
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
 FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
@@ -448,7 +454,10 @@ ORDER BY a, b, c
     description="per-user event-type trigram counts — sequential pattern mining via user-keyed lead windows (sequence [ext])",
 )
 def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence (see q_markov_transitions)
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         F.col("event_type").alias("a"),

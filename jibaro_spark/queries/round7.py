@@ -550,6 +550,7 @@ WITH seq AS (
   SELECT event_type AS dst,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), tr AS (
   SELECT src, dst, COUNT(*) AS nij FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
 ), tot AS (
@@ -574,7 +575,10 @@ ORDER BY tr.src
     description="Shannon entropy of each event type's next-event distribution (decimal-accumulated terms, order-independent) (sequence [ext])",
 )
 def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # timeline fence (see q_markov_transitions)
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("dst"),

@@ -99,6 +99,35 @@ def build_fixture() -> str:
                 [tuple(None for _ in emb.columns)], emb.schema
             )
             emb.unionByName(extras).coalesce(1).write.parquet(dst)
+        elif t == "events":
+            # mutate via pyarrow so the physical timestamp type is
+            # preserved byte-for-byte (load_tables dispatches on it)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(src)
+            nulls = {
+                "event_id": [10_000_101, 10_000_102, 10_000_103, None],
+                "ts": [None, "2024-01-02T00:00:00", "2024-01-02T00:00:01",
+                       "2024-01-02T00:00:02"],
+                "user_id": [7, None, 7, 7],
+                "event_type": ["click", "click", None, "click"],
+                "value": [1.0, 1.0, None, 1.0],
+                "props": ['{"k": 1}', '{"k": 1}', None, '{"k": 1}'],
+            }
+            arrays = []
+            for field in tab.schema:
+                vals = nulls.get(field.name, [None] * 4)
+                if pa.types.is_timestamp(field.type):
+                    import datetime as _dt
+
+                    vals = [
+                        None if v is None else _dt.datetime.fromisoformat(v)
+                        for v in vals
+                    ]
+                arrays.append(pa.array(vals, type=field.type))
+            extra = pa.table(arrays, schema=tab.schema)
+            pq.write_table(pa.concat_tables([tab, extra]), dst)
         else:
             shutil.copyfile(src, dst)
     return out
@@ -129,7 +158,12 @@ def module_reads_doc_tables(fn) -> bool:
         src = inspect.getsource(fn)
     except OSError:
         return False
-    return '"documents"' in src or '"embeddings"' in src or "'documents'" in src
+    return (
+        '"documents"' in src
+        or '"embeddings"' in src
+        or "'documents'" in src
+        or '"events"' in src
+    )
 
 
 def main() -> None:

@@ -34,7 +34,9 @@ TABLES = (
 
 # one per fixed family: signature, exact dedup (NULL ordering), pair
 # generation (''-shingle), packing (order-sensitive), quality (ANSI
-# division), embedding kernel, midranks, codec chain
+# division), embedding kernel, midranks, codec chain; plus the event
+# families (timeline fence, latest-per-key NULL ordering, sweep-line
+# boundaries, stateful-sketch frame, 1-group sample variance)
 FAMILY_QUERIES = [
     "q_minhash_signature",
     "q_dedup_exact_docs",
@@ -45,6 +47,11 @@ FAMILY_QUERIES = [
     "q_kmeans_assign",
     "q_auc_nchars_en",
     "q_avro_roundtrip",
+    "q_lag_lead_events",
+    "q_latest_event_per_user",
+    "q_interval_concurrency",
+    "q_space_saving_batch",
+    "q_negbin_fit",
 ]
 
 
@@ -87,6 +94,35 @@ def fuzz_dir(spark, tmp_path_factory):
                 [tuple(None for _ in emb.columns)], emb.schema
             )
             emb.unionByName(extras).coalesce(1).write.parquet(dp)
+        elif t == "events":
+            # pyarrow so the physical timestamp type is preserved
+            import datetime as _dt
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(sp)
+            nulls = {
+                "event_id": [10_000_101, 10_000_102, 10_000_103, None],
+                "ts": [None, "2024-01-02T00:00:00", "2024-01-02T00:00:01",
+                       "2024-01-02T00:00:02"],
+                "user_id": [7, None, 7, 7],
+                "event_type": ["click", "click", None, "click"],
+                "value": [1.0, 1.0, None, 1.0],
+                "props": ['{"k": 1}', '{"k": 1}', None, '{"k": 1}'],
+            }
+            arrays = []
+            for field in tab.schema:
+                vals = nulls.get(field.name, [None] * 4)
+                if pa.types.is_timestamp(field.type):
+                    vals = [
+                        None if v is None else _dt.datetime.fromisoformat(v)
+                        for v in vals
+                    ]
+                arrays.append(pa.array(vals, type=field.type))
+            pq.write_table(
+                pa.concat_tables([tab, pa.table(arrays, schema=tab.schema)]), dp
+            )
         else:
             shutil.copyfile(sp, dp)
     return out
