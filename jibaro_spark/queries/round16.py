@@ -201,6 +201,8 @@ WITH b AS (
                * 5 // 12000000, 4) AS s,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
   FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IS NOT NULL
 ), cells AS (
   SELECT ls, s, COUNT(*) AS n, SUM(r) AS rr FROM b GROUP BY ls, s
 ), m AS (
@@ -231,6 +233,14 @@ FROM m ORDER BY ls
 )
 def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): the trend axis needs a
+    # defined group, score, and outcome — and an all-zero-outcome NULL
+    # group would divide by Var(T)=0 under ANSI
+    li = li.filter(
+        F.col("l_linestatus").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
     b = li.select(
         F.col("l_linestatus").alias("ls"),
         F.expr(

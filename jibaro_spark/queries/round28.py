@@ -142,15 +142,19 @@ def q_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groups = BUILDING vs rest.
 
 QOAX_ORACLE = """
-WITH natx AS (
+WITH cust AS (
+  SELECT * FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    AND c_acctbal IS NOT NULL
+), natx AS (
   SELECT c_nationkey AS nk,
          ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT c_mktsegment), 6) AS x
-  FROM customer GROUP BY c_nationkey
+  FROM cust GROUP BY c_nationkey
 ), pts AS (
   SELECT CAST(c.c_mktsegment = 'BUILDING' AS INT) AS grp,
          CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS y,
          n.x
-  FROM customer c JOIN natx n ON n.nk = c.c_nationkey
+  FROM cust c JOIN natx n ON n.nk = c.c_nationkey
 ), mom AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(y AS HUGEINT)) AS BIGINT) AS sy,
@@ -187,6 +191,14 @@ FROM wide CROSS JOIN beta b
 )
 def q_oaxaca_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, "customer")["customer"]
+    # NULL contract (relational fuzz sweep): grp/y/regressor all need
+    # defined inputs — a NULL-mktsegment nation group would make
+    # COUNT(DISTINCT)=0 and divide by zero under ANSI
+    cust = cust.filter(
+        F.col("c_nationkey").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+        & F.col("c_acctbal").isNotNull()
+    )
     natx = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
         F.round(
             F.count(F.lit(1)).cast("double") / F.countDistinct("c_mktsegment"), 6

@@ -427,6 +427,7 @@ SELECT c_custkey, c_mktsegment, c_acctbal,
          OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_bal
 FROM customer
+WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
 """
@@ -439,6 +440,11 @@ ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
 )
 def q_window_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, "customer")["customer"]
+    # NULL contract (relational fuzz sweep): the window's ordering axis
+    # must be defined — Spark and SQL sort NULLs to opposite ends
+    cust = cust.filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
+    )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
@@ -690,6 +696,7 @@ SELECT o_orderpriority,
        array_to_string(list_slice(list(CAST(o_totalprice AS DECIMAL(18,2))
                                        ORDER BY o_totalprice DESC), 1, 3), ',') AS top3_totals
 FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -702,6 +709,12 @@ ORDER BY o_orderpriority
 )
 def q_collect_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): Spark's collect_list/set
+    # silently skip NULLs while SQL list() keeps them — collect only
+    # defined values, declared on both sides
+    orders = orders.filter(
+        F.col("o_orderstatus").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     top3 = F.concat_ws(
         ",",
         F.transform(
@@ -1021,6 +1034,7 @@ SELECT l_returnflag,
        ROUND(quantile_disc(l_extendedprice, 0.50), 6) AS p50_disc,
        ROUND(quantile_disc(l_extendedprice, 0.90), 6) AS p90_disc
 FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -1033,6 +1047,11 @@ ORDER BY l_returnflag
 )
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): quantiles of defined
+    # values per defined group, declared identically in the oracle
+    li = li.filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     q = exact_quantiles_bucketed(
         li.select("l_returnflag", "l_extendedprice"),
         ["l_returnflag"],
@@ -1209,6 +1228,7 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
 FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
 GROUP BY l_returnflag, bucket
 ORDER BY l_returnflag, bucket
 """
@@ -1221,6 +1241,11 @@ ORDER BY l_returnflag, bucket
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): a NULL value has no bucket
+    # (SQL GREATEST skips NULLs and would clamp it to bucket 0)
+    li = li.filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     return (
         li.groupBy(
             "l_returnflag",

@@ -522,8 +522,12 @@ def q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surviving order, insert a clone (+1000000 key, +7.5 price) for every
 # 9th surviving order.
 QINCAGG_ORACLE = """
-WITH surviving AS (
-  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+WITH fact AS (
+  SELECT * FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_totalprice IS NOT NULL
+), surviving AS (
+  SELECT * FROM fact WHERE o_orderkey % 13 <> 0
 ), repriced AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 5 = 0
@@ -556,6 +560,15 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.cdc import incremental_agg_apply
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the CDC identity/measure
+    # columns must be defined — a NULL orderkey escapes both the delete
+    # and survive modulo filters under three-valued logic, leaving the
+    # maintained rollup and the from-scratch oracle disagreeing
+    orders = orders.filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     base_agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_spend"),
@@ -855,12 +868,15 @@ WITH l AS (
   FROM l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
     ON l.fk_key = o.o_orderkey
   UNION ALL
+  -- NULL counts as a violation (operators/dq.expect contract: an
+  -- unexpected NULL inside a range check is a data problem, not a
+  -- pass) — the pass-check ELSE 1 shape encodes that, NOT(…) doesn't
   SELECT 'price_positive', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN NOT (price > 0) THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN price > 0 THEN 0 ELSE 1 END) AS BIGINT)
   FROM l
   UNION ALL
   SELECT 'qty_in_1_50', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN NOT (qty BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN qty BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT)
   FROM l
 )
 SELECT rule, n_rows, n_violations, (n_violations = 0) AS pass
@@ -1168,6 +1184,7 @@ WITH b AS (
   SELECT o_totalprice,
          NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
   FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
 )
 SELECT CAST(bin AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1186,6 +1203,11 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import ntile_exact
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the bin axis must be
+    # defined — NULLs sort to opposite ends of the two engines' orders
+    orders = orders.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
     # distributed NTILE (range-repartition + per-partition offsets) —
     # the native ntile window would funnel the table into ONE task
     binned = ntile_exact(

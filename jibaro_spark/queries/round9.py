@@ -1080,7 +1080,9 @@ WITH d AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                        THEN 1 ELSE 0 END) AS BIGINT) AS npos
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
 ), c AS (
   SELECT grp, v,
          SUM(n) OVER (PARTITION BY grp ORDER BY v
@@ -1128,6 +1130,12 @@ ORDER BY grp
 )
 def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL threshold value has
+    # no position on the split axis (and sorts opposite ways in the
+    # Spark vs SQL cumulative windows); a NULL group is not a stump
+    o = o.filter(
+        F.col("o_orderstatus").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     d = o.groupBy(
         F.col("o_orderstatus").alias("grp"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
@@ -1190,6 +1198,7 @@ WITH per_cust AS (
          CAST(COUNT(o.o_orderkey) AS BIGINT) AS x2,
          CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(28,2)) AS y
   FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey IS NOT NULL AND c.c_acctbal IS NOT NULL
   GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
 ), s AS (
   SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1220,6 +1229,7 @@ SELECT nk AS nationkey, n,
               + (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y) / cyy, 6)
          AS r2
 FROM m
+WHERE c11 * c22 - c12 * c12 <> 0 AND cyy <> 0
 ORDER BY nationkey
 """
 
@@ -1232,7 +1242,12 @@ ORDER BY nationkey
 def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders")
     per_cust = (
+        # NULL contract (relational fuzz sweep): the regression needs a
+        # defined group and regressor; degenerate groups (zero design
+        # variance — e.g. a single-customer nation) are filtered below
+        # rather than divided by det=0 under ANSI
         t["customer"]
+        .filter(F.col("c_nationkey").isNotNull() & F.col("c_acctbal").isNotNull())
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
         .groupBy("c_nationkey", "c_custkey", "c_acctbal")
         .agg(
@@ -1273,6 +1288,7 @@ def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = c11 * c22 - c12 * c12
     b1 = (c22 * c1y - c12 * c2y) / det
     b2 = (c11 * c2y - c12 * c1y) / det
+    s = s.filter((det != 0) & (cyy != 0))
     return s.select(
         F.col("nk").alias("nationkey"),
         "n",

@@ -13,7 +13,18 @@ contracts on its two sides — exactly the latent class the r8 advisor
 caught once by reading.  Queries are exercised at sf0.001 (speed; the
 point is the NULL rows, not volume).
 
-Usage: python scripts/null_fuzz_contract.py [names...]
+Fixture classes (``NULLFUZZ_CLASS`` env var):
+
+* ``docs`` (default) — mutate documents/embeddings/events (the two
+  round-9 sweeps); relational tables copied verbatim.
+* ``relational`` — mutate the seven TPC-H tables instead: a consistent
+  injected sub-graph (order 90000002 → customer 90000003 → nation 91,
+  lineitems with NULL measures / NULL keys / NULL dates) plus one
+  all-NULL row per table; documents/embeddings/events copied verbatim.
+  Targets become every registered query whose source reads a
+  relational table.
+
+Usage: [NULLFUZZ_CLASS=relational] python scripts/null_fuzz_contract.py [names...]
 Prints per-query status + one JSON summary line.
 """
 
@@ -38,6 +49,91 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+RELATIONAL = "region nation customer supplier part orders lineitem".split()
+CLS = os.environ.get("NULLFUZZ_CLASS", "docs")
+
+
+def _append_rows(src: str, dst: str, rows: "list[dict]") -> None:
+    """Copy parquet ``src`` to ``dst`` with ``rows`` appended, via
+    pyarrow so every physical type (int96/us timestamps, int32 vs
+    int64) is preserved byte-for-byte — the same trick the events lane
+    uses.  Columns a row omits become NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(src)
+    arrays = []
+    for field in tab.schema:
+        vals = [r.get(field.name) for r in rows]
+        arrays.append(pa.array(vals, type=field.type))
+    extra = pa.table(arrays, schema=tab.schema)
+    pq.write_table(pa.concat_tables([tab, extra]), dst)
+
+
+# The injected relational sub-graph: orders 90000002 (NULL measures on
+# its lineitems) and 90000007 (NULL custkey), customer 90000003 in the
+# NULL-regionkey nation 91, part/supplier with NULL attributes, and an
+# all-NULL row per table.  Valid timestamps sit inside the fixture's
+# date domain so date fences don't trivially prune every injected row.
+_TS = datetime(2024, 3, 15, 12, 0, 0)
+RELATIONAL_ROWS = {
+    "region": [{}],
+    "nation": [
+        {"n_nationkey": 91, "n_name": "NULLLAND", "n_regionkey": None},
+        {},
+    ],
+    "customer": [
+        {"c_custkey": 90000003, "c_name": "Customer#NULL1", "c_nationkey": 91},
+        {"c_custkey": 90000004, "c_acctbal": 1234.56, "c_mktsegment": "BUILDING"},
+        {},
+    ],
+    "supplier": [
+        {"s_suppkey": 90000005, "s_name": "Supplier#NULL"},
+        {},
+    ],
+    "part": [
+        {"p_partkey": 90000006},
+        {},
+    ],
+    "orders": [
+        {"o_orderkey": 90000002, "o_custkey": 90000003, "o_orderstatus": "O"},
+        {
+            "o_orderkey": 90000007,
+            "o_totalprice": 999.99,
+            "o_orderdate": _TS,
+            "o_orderpriority": "1-URGENT",
+        },
+        {},
+    ],
+    "lineitem": [
+        {  # valid keys into the injected order/part/supplier, NULL measures
+            "l_orderkey": 90000002,
+            "l_partkey": 90000006,
+            "l_suppkey": 90000005,
+            "l_linenumber": 1,
+            "l_returnflag": "N",
+            "l_linestatus": "O",
+            "l_shipdate": _TS,
+        },
+        {  # NULL keys/flags/date, valid measures
+            "l_quantity": 17.0,
+            "l_extendedprice": 1000.0,
+            "l_discount": 0.05,
+            "l_tax": 0.02,
+        },
+        {  # valid keys+measures, NULL flags+shipdate
+            "l_orderkey": 90000002,
+            "l_partkey": 90000006,
+            "l_suppkey": 90000005,
+            "l_linenumber": 2,
+            "l_quantity": 5.0,
+            "l_extendedprice": 500.0,
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+        },
+        {},
+    ],
+}
 
 import __spark_entry__ as E  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
@@ -57,12 +153,30 @@ spark.sparkContext.setLogLevel("ERROR")
 
 def build_fixture() -> str:
     keep = os.environ.get("NULLFUZZ_DIR")
-    if keep and os.path.isdir(keep) and os.path.exists(
-        os.path.join(keep, "documents.parquet")
+    marker = os.path.join(keep, ".fuzzclass") if keep else None
+    if (
+        keep
+        and os.path.isdir(keep)
+        and os.path.exists(os.path.join(keep, "documents.parquet"))
+        and marker
+        and os.path.exists(marker)
+        and open(marker).read().strip() == CLS
     ):
         return keep
     out = keep or tempfile.mkdtemp(prefix="nullfuzz_sf_")
     os.makedirs(out, exist_ok=True)
+    if CLS == "relational":
+        for t in TABLES:
+            src = os.path.join(SRC, f"{t}.parquet")
+            dst = os.path.join(out, f"{t}.parquet")
+            if t in RELATIONAL_ROWS:
+                _append_rows(src, dst, RELATIONAL_ROWS[t])
+            else:
+                shutil.copyfile(src, dst)
+        if keep:
+            with open(marker, "w") as f:
+                f.write(CLS)
+        return out
     for t in TABLES:
         src = os.path.join(SRC, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
@@ -130,6 +244,9 @@ def build_fixture() -> str:
             pq.write_table(pa.concat_tables([tab, extra]), dst)
         else:
             shutil.copyfile(src, dst)
+    if keep:
+        with open(marker, "w") as f:
+            f.write(CLS)
     return out
 
 
@@ -158,6 +275,8 @@ def module_reads_doc_tables(fn) -> bool:
         src = inspect.getsource(fn)
     except OSError:
         return False
+    if CLS == "relational":
+        return any(f'"{t}"' in src or f"'{t}'" in src for t in RELATIONAL)
     return (
         '"documents"' in src
         or '"embeddings"' in src
