@@ -80,6 +80,7 @@ SELECT l_returnflag,
        ROUND(MIN(l_extendedprice), 6) AS lo,
        ROUND(MAX(l_extendedprice), 6) AS hi
 FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -94,6 +95,11 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import exact_quantiles_bucketed
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): quantiles of defined
+    # values per defined group, declared identically in the oracle
+    li = li.filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     # histogram-refinement exact quantiles: prices are near-unique, so
     # the count-based exact_quantiles degrades to a full per-group
     # window sort (measured 2.3 s at sf0.1; builtin percentile 3.5 s);
@@ -260,6 +266,7 @@ QNTILE_ORACLE = """
 SELECT c_custkey,
        NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile
 FROM customer
+WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
 ORDER BY c_custkey
 """
 
@@ -273,6 +280,12 @@ def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import ntile_exact
 
     cust = load_tables(spark, sf_dir, "customer")["customer"]
+    # NULL contract (relational fuzz sweep): the quartile axis must be
+    # defined — a NULL balance negates to NULL and sorts to opposite
+    # ends of the two engines' orders
+    cust = cust.filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
+    )
     # distributed NTILE (range-repartition + per-partition offsets,
     # operators/relational.ntile_exact) — the native ntile window
     # would move the whole customer table into one task.  DESC order
@@ -823,6 +836,7 @@ _KMV_U_SQL = """
 QKMV_ORACLE = f"""
 WITH d AS (
   SELECT DISTINCT o_orderpriority AS grp, o_custkey AS key FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
 ), h AS (
   SELECT grp, md5(CAST(key AS VARCHAR)) AS h,
          row_number() OVER (PARTITION BY grp ORDER BY md5(CAST(key AS VARCHAR))) AS rn
@@ -848,6 +862,11 @@ ORDER BY ex.grp
 )
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL key hashes to a
+    # NULL md5 that sorts to opposite ends of the two engines' bottom-k
+    orders = orders.filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_custkey").isNotNull()
+    )
     d = orders.select(
         F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("key")
     ).distinct()

@@ -43,6 +43,7 @@ WITH ranked AS (
   SELECT c_custkey,
          ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
   FROM customer
+  WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL
 )
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(b.rn - a.rn AS BIGINT) AS rank_dist
@@ -61,6 +62,10 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.dedup import sorted_neighborhood_pairs
 
     c = load_tables(spark, sf_dir, "customer")["customer"]
+    # NULL contract (relational fuzz sweep): the sort key must be
+    # defined — a NULL name sorts to opposite ends of the two engines'
+    # global rank and shifts every window-w neighborhood
+    c = c.filter(F.col("c_name").isNotNull() & F.col("c_custkey").isNotNull())
     pairs = sorted_neighborhood_pairs(
         c.select(F.col("c_custkey"), "c_name"), "c_custkey", ["c_name"], _SN_W
     )

@@ -21,14 +21,18 @@ from pyspark.sql import functions as F
 from jibaro_spark.queries.registry import declare, load_tables
 
 QCROSTON_ORACLE = """
-WITH RECURSIVE bounds AS (
+WITH RECURSIVE od AS (
+  SELECT * FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderkey IS NOT NULL
+), bounds AS (
   SELECT date_diff('day', DATE '1970-01-01', MIN(CAST(o_orderdate AS DATE))) AS d0,
          LEAST(date_diff('day', DATE '1970-01-01', MAX(CAST(o_orderdate AS DATE))),
                date_diff('day', DATE '1970-01-01', MIN(CAST(o_orderdate AS DATE))) + 399)
            AS d1
-  FROM orders
+  FROM od
 ), pr AS (
-  SELECT DISTINCT o_orderpriority AS priority FROM orders
+  SELECT DISTINCT o_orderpriority AS priority FROM od
 ), cal AS (
   SELECT pr.priority, CAST(b.d0 + g.i AS BIGINT) AS dn
   FROM pr CROSS JOIN bounds b
@@ -38,7 +42,7 @@ WITH RECURSIVE bounds AS (
   SELECT o_orderpriority AS priority,
          date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn,
          CAST(COUNT(*) AS DOUBLE) AS x
-  FROM orders CROSS JOIN bounds b
+  FROM od CROSS JOIN bounds b
   WHERE o_orderkey % 50 = 0
     AND date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) <= b.d1
   GROUP BY 1, 2
@@ -81,6 +85,15 @@ def q_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.sequential import croston
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the calendar needs a
+    # defined priority/date/key — a NULL-priority lane would zero-fill
+    # in the kernel but never extend the oracle's equality-joined
+    # recursion past its first row
+    orders = orders.filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_orderkey").isNotNull()
+    )
     dn_expr = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
     )
@@ -152,11 +165,17 @@ _ER_SQL_MD5 = (
 )
 
 QER_ORACLE = f"""
-WITH RECURSIVE a AS (
+WITH RECURSIVE cust AS (
+  -- identity and block key must be defined (NULL compare fields are
+  -- fine: both engines score them as non-matches); a NULL id would
+  -- form a cluster the SQL equality join can never label
+  SELECT * FROM customer
+  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+), a AS (
   SELECT c_custkey AS id, c_name AS name,
          CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
          c_mktsegment AS seg, c_nationkey AS nat, 'a' AS side
-  FROM customer
+  FROM cust
 ), b AS (
   SELECT c_custkey + 1000000 AS id,
          CASE WHEN {_ER_SQL_MD5.format(salt='n')} = 0
@@ -167,7 +186,7 @@ WITH RECURSIVE a AS (
          CASE WHEN {_ER_SQL_MD5.format(salt='s')} = 0
               THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
          c_nationkey AS nat, 'b' AS side
-  FROM customer
+  FROM cust
 ), records AS (
   SELECT * FROM a UNION ALL SELECT * FROM b
 ), scored AS (
@@ -210,6 +229,13 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.linkage import FieldComparator, fellegi_sunter_join
 
     cust = load_tables(spark, sf_dir, "customer")["customer"]
+    # NULL contract (relational fuzz sweep): identity and block key
+    # must be defined — a NULL id forms a cluster the oracle's equality
+    # join can never label; NULL compare fields stay (both engines
+    # score them as non-matches)
+    cust = cust.filter(
+        F.col("c_custkey").isNotNull() & F.col("c_nationkey").isNotNull()
+    )
 
     def md5_mod(salt: str):
         h = F.conv(

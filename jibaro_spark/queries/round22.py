@@ -158,7 +158,9 @@ QRUNS_ORACLE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), med AS (
   SELECT MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
   FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
@@ -195,6 +197,12 @@ FROM agg
 )
 def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the day-grain series needs
+    # a defined date and revenue — a NULL day sorts to opposite ends of
+    # the two engines' lag axes
+    orders = orders.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")

@@ -756,7 +756,7 @@ QPOP_ORACLE = """
 WITH m AS (
   SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-  FROM orders GROUP BY month
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month
 )
 SELECT month, revenue,
        LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
@@ -775,6 +775,9 @@ FROM m ORDER BY month
 )
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL date has no month —
+    # its group would sort to opposite ends of the two engines' lag axes
+    orders = orders.filter(F.col("o_orderdate").isNotNull())
     m = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
             "month"
@@ -845,6 +848,7 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QLIFT_ORACLE = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), nb AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
 ), freq AS (
@@ -881,6 +885,12 @@ ORDER BY lift_x1000 DESC, part_a, part_b
 )
 def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): a NULL basket/item is not
+    # a market-basket member — and Spark's distinct().count() would
+    # count the NULL basket where SQL COUNT(DISTINCT) skips it
+    lineitem = lineitem.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
     items = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
         eager=True
     )

@@ -810,10 +810,14 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT EXISTS, which the operator must reproduce exactly (including
 # duplicate-point survival).
 QSKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT * FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
 SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS INT) AS p_size
-FROM part a
+FROM pts a
 WHERE NOT EXISTS (
-  SELECT 1 FROM part b
+  SELECT 1 FROM pts b
   WHERE (b.p_retailprice < a.p_retailprice AND b.p_size >= a.p_size)
      OR (b.p_retailprice <= a.p_retailprice AND b.p_size > a.p_size)
 )
@@ -830,6 +834,12 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import skyline_2d
 
     part = load_tables(spark, sf_dir, "part")["part"]
+    # NULL contract (relational fuzz sweep): dominance needs defined
+    # coordinates — a NULL-priced point neither dominates nor is
+    # dominated under three-valued logic and would trivially "survive"
+    part = part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     out = skyline_2d(
         part.select("p_partkey", "p_retailprice", "p_size"),
         minimize_col="p_retailprice",

@@ -138,17 +138,23 @@ def q_days_to_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank mapping ceil((rp-1)*nc/(np-1)) is EXACT integer arithmetic:
 # ceil(a/b) = (a + b - 1) div b — no float boundary anywhere.
 QQNORM_ORACLE = """
-WITH o AS (
+WITH ob AS (
+  SELECT * FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+), cb AS (
+  SELECT * FROM customer
+  WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+), o AS (
   SELECT o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rp
-  FROM orders
+  FROM ob
 ), c AS (
   SELECT c_acctbal,
          ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rc
-  FROM customer
+  FROM cb
 ), n AS (
-  SELECT (SELECT COUNT(*) FROM orders) AS np,
-         (SELECT COUNT(*) FROM customer) AS nc
+  SELECT (SELECT COUNT(*) FROM ob) AS np,
+         (SELECT COUNT(*) FROM cb) AS nc
 )
 SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal AS mapped_bal
 FROM o CROSS JOIN n
@@ -166,20 +172,26 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import global_row_number
 
     t = load_tables(spark, sf_dir, "orders", "customer")
+    # NULL contract (relational fuzz sweep): both rank axes must be
+    # defined — NULLs sort to opposite ends of the two engines' orders
+    ob = t["orders"].filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
+    cb = t["customer"].filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
+    )
     o = global_row_number(
-        t["orders"].select("o_orderkey", "o_totalprice"),
+        ob.select("o_orderkey", "o_totalprice"),
         ["o_totalprice", "o_orderkey"],
         out_col="rp",
     )
     c = global_row_number(
-        t["customer"].select("c_acctbal", "c_custkey"),
+        cb.select("c_acctbal", "c_custkey"),
         ["c_acctbal", "c_custkey"],
         out_col="rc",
     )
-    n = (
-        t["orders"]
-        .agg(F.count(F.lit(1)).alias("np"))
-        .crossJoin(t["customer"].agg(F.count(F.lit(1)).alias("nc")))
+    n = ob.agg(F.count(F.lit(1)).alias("np")).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("nc"))
     )
     mapped = (
         o.crossJoin(F.broadcast(n))

@@ -433,6 +433,7 @@ _KMV_K = 128
 QKMVOV_ORACLE = f"""
 WITH pk AS (
   SELECT DISTINCT o_orderpriority AS grp, o_custkey AS key FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
 ), side_b AS (
   SELECT key FROM pk WHERE grp = '5-LOW'
 ), flagged AS (
@@ -483,6 +484,11 @@ ORDER BY k.grp
 )
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL key hashes to a
+    # NULL md5 that sorts to opposite ends of the two engines' bottom-k
+    orders = orders.filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_custkey").isNotNull()
+    )
     pk = orders.select(
         F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("key")
     ).distinct()

@@ -113,6 +113,7 @@ WITH keyed AS (
                         AS DOUBLE) * (16.0 ^ (13 - i)))) + 0.5) / (16.0 ^ 13)), 10)
            AS lnu
   FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
 ), ranked AS (
   SELECT o_orderpriority, o_orderkey, w,
          lnu / w AS es_key,
@@ -134,6 +135,12 @@ ORDER BY o_orderpriority, rn
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL key draws a NULL
+    # uniform and a NULL weight a NULL ES key — both sort to opposite
+    # ends of the two engines' rank orders
+    orders = orders.filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     h = F.md5(F.col("o_orderkey").cast("string"))
     u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
         float(16**13)
@@ -367,7 +374,9 @@ QLORENZ_ORACLE = """
 WITH spend AS (
   SELECT o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
-  FROM orders GROUP BY o_custkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
 ), ranked AS (
   SELECT s,
          ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS rn,
@@ -398,6 +407,11 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import global_row_number
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the rank axis (spend,
+    # custkey) must be defined — NULLs sort to opposite ends
+    orders = orders.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")

@@ -293,6 +293,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
   LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
 FROM orders
+WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
@@ -300,6 +301,11 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 @declare("q_running_customer_spend", oracle=QRUN_ORACLE, description="running sum + lag analytic window (W3)")
 def q_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the running-total axis
+    # must be defined — NULLs sort to opposite ends of the two engines
+    orders = orders.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
