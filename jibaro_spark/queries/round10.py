@@ -455,6 +455,8 @@ WITH ex AS (
          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos
   FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
 ), cells AS (
   SELECT 'price' AS feat, price AS v, COUNT(*) AS n, SUM(pos) AS npos
   FROM ex GROUP BY 2
@@ -545,6 +547,14 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import grouped_prefix_sum
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): both stump feature axes
+    # and the label must be defined — NULLs sort to opposite ends of
+    # the cumulative-error scans
+    o = o.filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
     ex = o.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("price"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))

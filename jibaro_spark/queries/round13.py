@@ -206,22 +206,30 @@ WITH fd1 AS (
          COUNT(*) AS keys_total,
          SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS keys_violating
   FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS c
-        FROM orders GROUP BY o_custkey)
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY o_custkey)
 ), fd2 AS (
   SELECT 'o_orderkey->o_custkey',
          COUNT(*), SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
   FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS c
-        FROM orders GROUP BY o_orderkey)
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        GROUP BY o_orderkey)
 ), fd3 AS (
   SELECT 'l_orderkey->l_returnflag',
          COUNT(*), SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
   FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS c
-        FROM lineitem GROUP BY l_orderkey)
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        GROUP BY l_orderkey)
 ), fd4 AS (
   SELECT 'l_partkey->l_suppkey',
          COUNT(*), SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
   FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS c
-        FROM lineitem GROUP BY l_partkey)
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        GROUP BY l_partkey)
 ), u AS (
   SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
   UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
@@ -242,8 +250,12 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "lineitem")
 
     def audit(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        # NULL contract (relational fuzz sweep): SQL COUNT(DISTINCT rhs)
+        # skips NULLs while distinct() keeps the (lhs, NULL) pair as a
+        # value — audit only defined pairs, declared on both sides
         per_key = (
             df.select(lhs, rhs)
+            .filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
             .distinct()
             .groupBy(lhs)
             .agg(F.count(F.lit(1)).alias("c"))

@@ -32,12 +32,16 @@ from jibaro_spark.queries.registry import declare, load_tables
 # post-change fact.
 
 QID_ORACLE = """
-WITH f1 AS (
+WITH fact AS (
+  SELECT * FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), f1 AS (
   SELECT o_orderpriority AS pr, o_custkey AS ck
-  FROM orders WHERE o_orderkey % 89 <> 0
+  FROM fact WHERE o_orderkey % 89 <> 0
   UNION ALL
   SELECT o_orderpriority, o_custkey + 3000000
-  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 89 <> 0
+  FROM fact WHERE o_orderkey % 101 = 0 AND o_orderkey % 89 <> 0
 )
 SELECT pr, CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_distinct
 FROM f1 GROUP BY pr ORDER BY pr
@@ -53,6 +57,14 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.cdc import incremental_distinct_apply
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL orderkey escapes
+    # the modulo delete filter and a NULL custkey is not a distinct
+    # value under SQL COUNT(DISTINCT) — fence both, as in the oracle
+    o = o.filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
     base = o.select(
         F.col("o_orderpriority").alias("pr"),
         F.col("o_custkey").alias("ck"),

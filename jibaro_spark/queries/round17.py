@@ -184,7 +184,8 @@ QJS_ORACLE = """
 WITH bands AS (
   SELECT l_returnflag AS flag,
          CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS band
-  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL
 ), cnt AS (
   SELECT flag, band, CAST(COUNT(*) AS BIGINT) AS c FROM bands GROUP BY flag, band
 ), tot AS (
@@ -226,6 +227,9 @@ FROM terms
 )
 def q_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): a NULL price has no band —
+    # its group would join as an empty USING-band row in the oracle
+    li = li.filter(F.col("l_extendedprice").isNotNull())
     bands = li.filter(F.col("l_returnflag").isin("R", "N")).select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") / 500.0).cast("long").alias("band"),
@@ -362,6 +366,8 @@ WITH s AS (
          CAST(l_quantity AS BIGINT) AS band,
          CAST(l_returnflag = 'R' AS INT) AS y
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
 ), model AS (
   SELECT band, ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p_hat
   FROM s WHERE part = 0 GROUP BY band
@@ -396,6 +402,15 @@ ORDER BY cal_bin
 )
 def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): split key, band, and label
+    # must be defined — concat_ws silently skips a NULL key part where
+    # SQL || propagates it, putting the row in different split halves
+    li = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
     part = (
         F.conv(
             F.substring(

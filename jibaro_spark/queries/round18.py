@@ -40,8 +40,12 @@ from jibaro_spark.queries.registry import declare, load_tables
 # scratch over the changed table.
 
 QTOPK_ORACLE = """
-WITH surviving AS (
-  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+WITH fact AS (
+  SELECT * FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_totalprice IS NOT NULL
+), surviving AS (
+  SELECT * FROM fact WHERE o_orderkey % 13 <> 0
 ), repriced AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 5 = 0
@@ -76,6 +80,14 @@ def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.cdc import incremental_topk_apply
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): same fence as
+    # q_incremental_agg — a NULL orderkey escapes both modulo filters,
+    # and NULL prices sort to opposite ends of the rank orders
+    orders = orders.filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     dec_price = F.col("o_totalprice").cast("decimal(28,4)")
     w = Window.partitionBy("o_custkey").orderBy(
         dec_price.desc(), F.col("o_orderkey").asc()

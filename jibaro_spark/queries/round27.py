@@ -58,7 +58,9 @@ QHURST_ORACLE = (
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), seq AS (
   SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn0, y FROM daily
 ), blocks AS ("""
@@ -94,6 +96,11 @@ ORDER BY block_size
 )
 def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): the day series needs a
+    # defined date and revenue — a NULL day would shift every block
+    orders = orders.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
@@ -298,6 +305,8 @@ WITH s AS (
          CAST(l_quantity AS BIGINT) AS band,
          CAST(l_returnflag = 'R' AS INT) AS y
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
 ), model AS (
   SELECT band, ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p_hat
   FROM s WHERE part = 0 GROUP BY band
@@ -339,6 +348,14 @@ FROM steps
 )
 def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): same fence as
+    # q_brier_calibration — concat_ws vs || on a NULL split-key part
+    li = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
     part = (
         F.conv(
             F.substring(

@@ -30,6 +30,8 @@ WITH s AS (
          CAST(l_quantity AS BIGINT) AS band,
          CAST(l_returnflag = 'R' AS INT) AS y
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
 ), model AS (
   SELECT band, ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p_hat
   FROM s WHERE part = 0 GROUP BY band
@@ -77,6 +79,15 @@ ORDER BY decile
 )
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): split key, band, and label
+    # must be defined — concat_ws skips a NULL key part where SQL ||
+    # propagates it (same fence as q_brier_calibration)
+    li = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
     part = (
         F.conv(
             F.substring(
@@ -256,6 +267,8 @@ WITH s AS (
          CAST(l_quantity AS BIGINT) AS band,
          CAST(l_returnflag = 'R' AS INT) AS y
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
 ), model AS (
   SELECT band, ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p_hat
   FROM s WHERE part = 0 GROUP BY band
@@ -295,6 +308,14 @@ ORDER BY threshold DESC
 )
 def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): same fence as
+    # q_brier_calibration — concat_ws vs || on a NULL split-key part
+    li = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
     part = (
         F.conv(
             F.substring(

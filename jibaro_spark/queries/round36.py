@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 from jibaro_spark.queries.registry import declare, load_tables
 
 QIH_ORACLE = """
-WITH surviving AS (
-  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+WITH fact AS (
+  SELECT * FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+), surviving AS (
+  SELECT * FROM fact WHERE o_orderkey % 13 <> 0
 ), t2 AS (
   SELECT CASE WHEN o_orderkey % 5 = 0
               THEN CAST(o_totalprice AS DECIMAL(28,4)) + CAST(50.25 AS DECIMAL(28,4))
@@ -46,6 +49,12 @@ FROM t2 GROUP BY 1 ORDER BY bin
 )
 def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): same fence as
+    # q_incremental_agg — a NULL orderkey escapes both modulo filters,
+    # and a NULL price has no bin
+    orders = orders.filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     dec_price = F.col("o_totalprice").cast("decimal(28,4)")
 
     def to_bin(price_col):

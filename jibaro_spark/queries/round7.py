@@ -167,6 +167,8 @@ SELECT l_orderkey % 64 AS bucket,
             AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS HUGEINT)
             % {_CHK_MOD} AS BIGINT) AS checksum
 FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+  AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """
@@ -179,6 +181,15 @@ ORDER BY 1
 )
 def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): every fingerprint column
+    # must be defined — concat_ws skips NULL parts where SQL ||
+    # propagates them, silently checksumming different strings
+    li = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("l_suppkey").isNotNull()
+    )
     fp = F.conv(
         F.substring(
             F.md5(
@@ -1356,7 +1367,9 @@ WITH pts AS (
   SELECT o_custkey AS pid,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS x,
          CAST(COUNT(*) AS DECIMAL(18,0)) AS y
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), seeds AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(pid AS VARCHAR)), pid) - 1 AS INT) AS cid,
          CAST(x AS DECIMAL(28,6)) AS cx, CAST(y AS DECIMAL(28,6)) AS cy
@@ -1401,6 +1414,9 @@ QKMEANS_ORACLE = _kmeans_oracle()
 )
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): a NULL customer is not a
+    # point (its md5 seed hash and distances are all NULL)
+    o = o.filter(F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull())
     pts = o.groupBy(F.col("o_custkey").alias("pid")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(28,2)")

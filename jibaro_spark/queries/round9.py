@@ -67,12 +67,12 @@ WITH c AS (
   SELECT c_custkey,
          ((c_custkey * 37 % 12000) / 100.0) - 60.0 AS clat,
          ((c_custkey * 91 % 36000) / 100.0) - 180.0 AS clon
-  FROM customer
+  FROM customer WHERE c_custkey IS NOT NULL
 ), s AS (
   SELECT s_suppkey,
          ((s_suppkey * 67 % 12000) / 100.0) - 60.0 AS slat,
          ((s_suppkey * 149 % 36000) / 100.0) - 180.0 AS slon
-  FROM supplier
+  FROM supplier WHERE s_suppkey IS NOT NULL
 ), pairs AS (
   SELECT c.c_custkey, s.s_suppkey, {_HAV_SQL} AS d
   FROM c CROSS JOIN s
@@ -96,6 +96,10 @@ def q_geo_nearest_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.geo import geo_nearest_join
 
     t = load_tables(spark, sf_dir, "customer", "supplier")
+    # NULL contract (relational fuzz sweep): synthetic coordinates are
+    # key-derived — a NULL key is a point with no position
+    t["customer"] = t["customer"].filter(F.col("c_custkey").isNotNull())
+    t["supplier"] = t["supplier"].filter(F.col("s_suppkey").isNotNull())
     cust = t["customer"].select(
         "c_custkey",
         (((F.col("c_custkey") * 37 % 12000) / F.lit(100.0)) - F.lit(60.0)).alias(
@@ -505,8 +509,12 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extremum, new key, emptied key) via a keyed semi-join of the
 # post-change fact — change-batch-bounded at any scale.
 QMINMAX_ORACLE = """
-WITH surviving AS (
-  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+WITH fact AS (
+  SELECT * FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_totalprice IS NOT NULL
+), surviving AS (
+  SELECT * FROM fact WHERE o_orderkey % 13 <> 0
 ), repriced AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 5 = 0
@@ -539,6 +547,13 @@ def q_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.cdc import incremental_minmax_apply
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # NULL contract (relational fuzz sweep): same fence as
+    # q_incremental_agg — a NULL orderkey escapes both modulo filters
+    orders = orders.filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     dec_price = F.col("o_totalprice").cast("decimal(28,4)")
     base_agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -839,7 +854,9 @@ QWINSOR_ORACLE = """
 WITH d AS (
   SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
 ), e AS (
   SELECT flag, v, c,
          SUM(c) OVER (PARTITION BY flag ORDER BY v
@@ -880,6 +897,11 @@ ORDER BY flag
 )
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL contract (relational fuzz sweep): the ECDF axis must be
+    # defined — a NULL price sorts to opposite ends of the cum windows
+    li = li.filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     d = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
