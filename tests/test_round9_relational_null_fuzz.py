@@ -1,0 +1,186 @@
+"""Relational NULL-fuzz contract guard (compact form of
+``NULLFUZZ_CLASS=relational scripts/null_fuzz_contract.py``, which
+sweeps all 207 relational-table queries): the TPC-H sf fixtures carry
+no NULLs, so a Spark-vs-oracle divergence in NULL handling on the
+relational tables is invisible to every driver round.  This fixture
+injects the degenerate sub-graph the script uses — NULL keys, NULL
+measures, NULL dates, one all-NULL row per table — and asserts
+hash-identical results for one representative query per fixed family.
+
+The round-9 relational sweep this pins fixed (42 findings): ANSI
+divide-by-zero on degenerate groups (zero-variance OLS design,
+COUNT(DISTINCT)=0 regressors, all-zero-outcome trend groups),
+Spark-vs-SQL NULL *ordering* flips on window/NTILE/ECDF/bottom-k axes,
+collection aggregates (collect_list skips NULLs, SQL list() keeps
+them), SQL GREATEST clamping NULL bins to bucket 0, NULL orderkeys
+escaping every IVM modulo delete filter under three-valued logic,
+concat_ws skipping NULL md5-split key parts where SQL || propagates
+them, COUNT(DISTINCT) vs distinct() on NULL pairs, a NULL-priority
+Croston lane the SQL recursion can never extend, and a NULL-id ER
+cluster the equality join can never label.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import pytest
+
+from jibaro_spark.queries import REGISTRY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+RELATIONAL = "region nation customer supplier part orders lineitem".split()
+
+_TS = datetime(2024, 3, 15, 12, 0, 0)
+# same injected sub-graph as scripts/null_fuzz_contract.RELATIONAL_ROWS
+RELATIONAL_ROWS = {
+    "region": [{}],
+    "nation": [
+        {"n_nationkey": 91, "n_name": "NULLLAND", "n_regionkey": None},
+        {},
+    ],
+    "customer": [
+        {"c_custkey": 90000003, "c_name": "Customer#NULL1", "c_nationkey": 91},
+        {"c_custkey": 90000004, "c_acctbal": 1234.56, "c_mktsegment": "BUILDING"},
+        {},
+    ],
+    "supplier": [
+        {"s_suppkey": 90000005, "s_name": "Supplier#NULL"},
+        {},
+    ],
+    "part": [
+        {"p_partkey": 90000006},
+        {},
+    ],
+    "orders": [
+        {"o_orderkey": 90000002, "o_custkey": 90000003, "o_orderstatus": "O"},
+        {
+            "o_orderkey": 90000007,
+            "o_totalprice": 999.99,
+            "o_orderdate": _TS,
+            "o_orderpriority": "1-URGENT",
+        },
+        {},
+    ],
+    "lineitem": [
+        {
+            "l_orderkey": 90000002,
+            "l_partkey": 90000006,
+            "l_suppkey": 90000005,
+            "l_linenumber": 1,
+            "l_returnflag": "N",
+            "l_linestatus": "O",
+            "l_shipdate": _TS,
+        },
+        {
+            "l_quantity": 17.0,
+            "l_extendedprice": 1000.0,
+            "l_discount": 0.05,
+            "l_tax": 0.02,
+        },
+        {
+            "l_orderkey": 90000002,
+            "l_partkey": 90000006,
+            "l_suppkey": 90000005,
+            "l_linenumber": 2,
+            "l_quantity": 5.0,
+            "l_extendedprice": 500.0,
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+        },
+        {},
+    ],
+}
+
+# one per fixed family: degenerate-group ANSI division (OLS det=0,
+# Oaxaca COUNT(DISTINCT)=0), window NULL ordering, collection
+# aggregates, GREATEST bucket clamp, IVM modulo escape, DQ
+# NULL-as-violation, distributed NTILE axis, KMV NULL md5, checksum
+# concat_ws vs ||, ER NULL-id cluster, FD COUNT(DISTINCT), skyline
+# NULL dominance, Croston NULL-priority recursion
+FAMILY_QUERIES = [
+    "q_ols_two_feature",
+    "q_oaxaca_gap",
+    "q_window_palette",
+    "q_collect_palette",
+    "q_value_histogram",
+    "q_incremental_agg",
+    "q_dq_expectations",
+    "q_ntile_customers",
+    "q_kmv_distinct",
+    "q_partition_checksums",
+    "q_er_pipeline",
+    "q_fd_violations",
+    "q_skyline_parts",
+    "q_croston_demand",
+]
+
+
+@pytest.fixture(scope="module")
+def rel_fuzz_dir(tmp_path_factory):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("relnullfuzz"))
+    for t in TABLES:
+        sp = os.path.join(src, f"{t}.parquet")
+        dp = os.path.join(out, f"{t}.parquet")
+        if t in RELATIONAL_ROWS:
+            # pyarrow append preserves every physical type byte-for-byte
+            tab = pq.read_table(sp)
+            rows = RELATIONAL_ROWS[t]
+            arrays = [
+                pa.array([r.get(f.name) for r in rows], type=f.type)
+                for f in tab.schema
+            ]
+            pq.write_table(
+                pa.concat_tables([tab, pa.table(arrays, schema=tab.schema)]), dp
+            )
+        else:
+            shutil.copyfile(sp, dp)
+    return out
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(round(v, 6))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return repr(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", FAMILY_QUERIES)
+def test_relational_null_fuzz_family(spark, rel_fuzz_dir, name):
+    dq = REGISTRY[name]
+    df = dq.fn(spark, rel_fuzz_dir)
+    cols, rows = df.columns, [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            p = os.path.join(rel_fuzz_dir, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        rel = con.sql(dq.oracle)
+        d_cols, d_rows = list(rel.columns), rel.fetchall()
+    finally:
+        con.close()
+    assert sorted(cols) == sorted(d_cols)
+    assert len(rows) == len(d_rows), f"{name}: {len(rows)} vs {len(d_rows)}"
+    assert _canon(cols, rows) == _canon(d_cols, d_rows), name
