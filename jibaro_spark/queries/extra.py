@@ -267,6 +267,7 @@ SELECT c_custkey,
        NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile
 FROM customer
 WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+  AND isfinite(c_acctbal)
 ORDER BY c_custkey
 """
 
@@ -280,11 +281,18 @@ def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import ntile_exact
 
     cust = load_tables(spark, sf_dir, "customer")["customer"]
-    # NULL contract (relational fuzz sweep): the quartile axis must be
-    # defined — a NULL balance negates to NULL and sorts to opposite
-    # ends of the two engines' orders
+    # NULL/non-finite contract (relational + float fuzz sweeps): the
+    # quartile axis must be defined AND finite — a NULL balance negates
+    # to NULL, and NaN inverts its sort position under the DESC-via-
+    # negation trick (-NaN is still NaN, which both engines sort LAST
+    # where a true DESC would put it FIRST)
+    inf = float("inf")
     cust = cust.filter(
-        F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
+        F.col("c_acctbal").isNotNull()
+        & F.col("c_custkey").isNotNull()
+        & ~F.isnan("c_acctbal")
+        & (F.col("c_acctbal") < inf)
+        & (F.col("c_acctbal") > -inf)
     )
     # distributed NTILE (range-repartition + per-partition offsets,
     # operators/relational.ntile_exact) — the native ntile window

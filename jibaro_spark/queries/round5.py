@@ -868,15 +868,20 @@ WITH l AS (
   FROM l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
     ON l.fk_key = o.o_orderkey
   UNION ALL
-  -- NULL counts as a violation (operators/dq.expect contract: an
-  -- unexpected NULL inside a range check is a data problem, not a
-  -- pass) — the pass-check ELSE 1 shape encodes that, NOT(…) doesn't
+  -- NULL and non-finite values count as violations (operators/dq.expect
+  -- contract: an unexpected NULL/NaN/Inf inside a range check is a data
+  -- problem, not a pass) — the pass-check ELSE 1 shape encodes the NULL
+  -- side; the explicit finite fence is required because the engines
+  -- disagree on NaN comparisons (DuckDB's vectorized NaN BETWEEN is
+  -- even inconsistent with its own constant folding)
   SELECT 'price_positive', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN price > 0 THEN 0 ELSE 1 END) AS BIGINT)
+         CAST(SUM(CASE WHEN price > 0 AND isfinite(price)
+                       THEN 0 ELSE 1 END) AS BIGINT)
   FROM l
   UNION ALL
   SELECT 'qty_in_1_50', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN qty BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT)
+         CAST(SUM(CASE WHEN qty BETWEEN 1 AND 50 AND isfinite(qty)
+                       THEN 0 ELSE 1 END) AS BIGINT)
   FROM l
 )
 SELECT rule, n_rows, n_violations, (n_violations = 0) AS pass
@@ -906,11 +911,18 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") % 101 == 0, F.col("l_orderkey") + 9000000
         ).otherwise(F.col("l_orderkey")).alias("fk_key"),
     )
+    # finite fence mirrors the oracle: a NaN/Inf measure is a violation
+    # (Spark and DuckDB disagree on raw NaN comparisons)
+    inf = float("inf")
+
+    def finite(c):
+        return ~F.isnan(c) & (F.col(c) < inf) & (F.col(c) > -inf)
+
     row_rules = expect(
         li,
         {
-            "price_positive": ~(F.col("price") > 0),
-            "qty_in_1_50": ~F.col("qty").between(1, 50),
+            "price_positive": ~((F.col("price") > 0) & finite("price")),
+            "qty_in_1_50": ~(F.col("qty").between(1, 50) & finite("qty")),
         },
     )
     n_fk_bad = fk_violations(

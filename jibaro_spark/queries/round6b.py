@@ -813,6 +813,7 @@ QSKYLINE_ORACLE = """
 WITH pts AS (
   SELECT * FROM part
   WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    AND isfinite(p_retailprice)
 )
 SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS INT) AS p_size
 FROM pts a
@@ -834,11 +835,17 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import skyline_2d
 
     part = load_tables(spark, sf_dir, "part")["part"]
-    # NULL contract (relational fuzz sweep): dominance needs defined
-    # coordinates — a NULL-priced point neither dominates nor is
-    # dominated under three-valued logic and would trivially "survive"
+    # NULL/non-finite contract (relational + float fuzz sweeps):
+    # dominance needs defined FINITE coordinates — a NULL-priced point
+    # neither dominates nor is dominated under three-valued logic, and
+    # the engines disagree on raw NaN comparisons
+    inf = float("inf")
     part = part.filter(
-        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        F.col("p_retailprice").isNotNull()
+        & F.col("p_size").isNotNull()
+        & ~F.isnan("p_retailprice")
+        & (F.col("p_retailprice") < inf)
+        & (F.col("p_retailprice") > -inf)
     )
     out = skyline_2d(
         part.select("p_partkey", "p_retailprice", "p_size"),

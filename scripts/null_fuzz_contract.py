@@ -135,6 +135,37 @@ RELATIONAL_ROWS = {
     ],
 }
 
+# Degenerate-FLOAT class: NaN / +Inf / -Inf in double measure columns
+# with VALID keys, so the rows pass every NULL fence and reach the
+# arithmetic.  Keys sit in a fresh 91000xxx range.
+_NAN, _PINF, _NINF = float("nan"), float("inf"), float("-inf")
+FLOATDEGEN_ROWS = {
+    "customer": [
+        {"c_custkey": 91000001, "c_name": "Customer#NAN", "c_nationkey": 1,
+         "c_acctbal": _NAN, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 91000002, "c_name": "Customer#INF", "c_nationkey": 1,
+         "c_acctbal": _PINF, "c_mktsegment": "BUILDING"},
+    ],
+    "part": [
+        {"p_partkey": 91000003, "p_name": "nan part", "p_brand": "Brand#91",
+         "p_type": "STANDARD NAN", "p_size": 1, "p_retailprice": _NAN},
+    ],
+    "orders": [
+        {"o_orderkey": 91000004, "o_custkey": 91000001, "o_orderstatus": "O",
+         "o_totalprice": _NAN, "o_orderdate": datetime(1996, 6, 15, 12, 0, 0),
+         "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 91000005, "o_custkey": 91000001, "o_orderstatus": "O",
+         "o_totalprice": _NINF, "o_orderdate": datetime(1996, 6, 16, 12, 0, 0),
+         "o_orderpriority": "3-MEDIUM"},
+    ],
+    "lineitem": [
+        {"l_orderkey": 91000004, "l_partkey": 91000003, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": _NAN, "l_extendedprice": _PINF,
+         "l_discount": 0.05, "l_tax": _NAN, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": datetime(1996, 6, 15, 12, 0, 0)},
+    ],
+}
+
 import __spark_entry__ as E  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -165,12 +196,13 @@ def build_fixture() -> str:
         return keep
     out = keep or tempfile.mkdtemp(prefix="nullfuzz_sf_")
     os.makedirs(out, exist_ok=True)
-    if CLS == "relational":
+    if CLS in ("relational", "floatdegen"):
+        rows_by_table = RELATIONAL_ROWS if CLS == "relational" else FLOATDEGEN_ROWS
         for t in TABLES:
             src = os.path.join(SRC, f"{t}.parquet")
             dst = os.path.join(out, f"{t}.parquet")
-            if t in RELATIONAL_ROWS:
-                _append_rows(src, dst, RELATIONAL_ROWS[t])
+            if t in rows_by_table:
+                _append_rows(src, dst, rows_by_table[t])
             else:
                 shutil.copyfile(src, dst)
         if keep:
@@ -277,6 +309,10 @@ def module_reads_doc_tables(fn) -> bool:
         return False
     if CLS == "relational":
         return any(f'"{t}"' in src or f"'{t}'" in src for t in RELATIONAL)
+    if CLS == "floatdegen":
+        return any(
+            f'"{t}"' in src or f"'{t}'" in src for t in FLOATDEGEN_ROWS
+        )
     return (
         '"documents"' in src
         or '"embeddings"' in src
@@ -301,7 +337,7 @@ def main() -> None:
         for n, fn in qs.items()
         if (not only or n in only) and module_reads_doc_tables(fn)
     }
-    fails, crashes, checked = [], [], 0
+    fails, crashes, crashed_both, checked = [], [], [], 0
     for i, (name, fn) in enumerate(sorted(targets.items())):
         t0 = time.time()
         try:
@@ -309,8 +345,21 @@ def main() -> None:
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
         except Exception as ex:
-            crashes.append(name)
-            print(f"[{i+1}/{len(targets)}] {name}: SPARK CRASH {ex}", flush=True)
+            # does the oracle refuse the same input?  A consistent
+            # refusal (e.g. both engines reject CAST(NaN AS DECIMAL))
+            # is a shared contract, not a divergence — bucket apart.
+            both = False
+            if name in oracles:
+                try:
+                    con.sql(oracles[name]).fetchall()
+                except Exception:
+                    both = True
+            (crashed_both if both else crashes).append(name)
+            tag = "CRASH-BOTH" if both else "SPARK CRASH"
+            print(
+                f"[{i+1}/{len(targets)}] {name}: {tag} {str(ex)[:160]}",
+                flush=True,
+            )
             continue
         if name not in oracles:
             print(
@@ -348,6 +397,7 @@ def main() -> None:
                 "checked": checked,
                 "divergent": fails,
                 "crashed": crashes,
+                "crashed_both": crashed_both,
             }
         ),
         flush=True,
