@@ -484,7 +484,7 @@ WITH bands AS (
 )
 SELECT band_id, COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
-FROM bands JOIN lineitem
+FROM bands JOIN (SELECT * FROM lineitem WHERE isfinite(l_extendedprice)) l
   ON l_extendedprice >= lo AND l_extendedprice <= hi
 GROUP BY band_id
 ORDER BY band_id
@@ -499,8 +499,17 @@ ORDER BY band_id
 def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.relational import range_join_bucketed
 
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
-        "l_extendedprice", "l_quantity"
+    inf = float("inf")
+    li = (
+        load_tables(spark, sf_dir, "lineitem")["lineitem"]
+        # a non-finite point has no bucket (float fuzz sweep: the
+        # bucketing floor-cast would CAST_OVERFLOW on Inf under ANSI)
+        .filter(
+            ~F.isnan("l_extendedprice")
+            & (F.col("l_extendedprice") < inf)
+            & (F.col("l_extendedprice") > -inf)
+        )
+        .select("l_extendedprice", "l_quantity")
     )
     bands = spark.range(0, 10).select(
         F.col("id").alias("band_id"),

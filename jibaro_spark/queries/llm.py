@@ -336,13 +336,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checkable); the LSH variant is exercised in tests at its
 # high-threshold design point.
 QEMBDUP_ORACLE = """
+WITH base AS (
+  -- a vector with a NaN/Inf component is not a valid embedding (float
+  -- fuzz sweep): its NaN cosine passes DuckDB's NaN-largest >= filter
+  -- but fails numpy's
+  SELECT * FROM embeddings
+  WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+)
 SELECT id_a, id_b, cosine_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                   * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
            AS cosine_sim
-  FROM embeddings a, embeddings b
+  FROM base a, base b
   WHERE a.vec_id < b.vec_id
 )
 WHERE cosine_sim >= 0.5
@@ -357,6 +364,13 @@ ORDER BY id_a, id_b
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # finite-vector fence, mirrored in the oracle (float fuzz sweep)
+    emb = emb.filter(
+        ~F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
     return sim.embedding_near_duplicates_exact(
         emb, "vec_id", "embedding", threshold=0.5
     ).orderBy("id_a", "id_b")

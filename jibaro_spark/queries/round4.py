@@ -437,12 +437,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path remains covered by q_embedding_near_dup and stays the
 # verification oracle in tests/test_round5_semdedup.py).
 QSEMDUP_ORACLE = """
-WITH RECURSIVE corpus AS (
-  SELECT vec_id, embedding FROM embeddings
+WITH RECURSIVE fin AS (
+  -- a vector with a NaN/Inf component is not a valid embedding (float
+  -- fuzz sweep): its NaN cosine passes DuckDB's NaN-largest >= filter
+  -- but fails numpy's
+  SELECT * FROM embeddings
+  WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+), corpus AS (
+  SELECT vec_id, embedding FROM fin
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  SELECT vec_id + 100000 AS vec_id, embedding FROM fin WHERE vec_id % 5 = 0
   UNION ALL
-  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+  SELECT vec_id + 200000 AS vec_id, embedding FROM fin WHERE vec_id % 10 = 0
 ), pr AS (
   SELECT id_a, id_b FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -507,6 +513,13 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # finite-vector fence, mirrored in the oracle (float fuzz sweep)
+    emb = emb.filter(
+        ~F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
     corpus = _planted_corpus(emb)
     # codebook = strided seeds from the BASE table (dense ids → no
     # fallback pass).  The production shape is train-once / pass-in, so

@@ -623,14 +623,18 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver hash-checks the kernel the streaming tests then trust
 # across batches (tests/test_round5_streaming_semdedup.py).
 QSSD_ORACLE = """
-WITH corpus AS (
-  -- the stateful kernel drops NULL ids/vectors (r8 NULL hardening) —
-  -- the oracle's admission frame must match
+WITH fin AS (
+  -- the stateful kernel drops NULL ids/vectors (r8 NULL hardening);
+  -- non-finite vectors are likewise not valid embeddings (float fuzz
+  -- sweep) — the oracle's admission frame must match both
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+), corpus AS (
+  SELECT vec_id, embedding FROM fin
   UNION ALL
-  SELECT vec_id + 7000 AS vec_id, embedding FROM embeddings
-  WHERE vec_id % 3 = 0 AND embedding IS NOT NULL
+  SELECT vec_id + 7000 AS vec_id, embedding FROM fin
+  WHERE vec_id % 3 = 0
 ), m AS (
   SELECT c.vec_id,
          (SELECT MIN(o.vec_id) FROM corpus o
@@ -652,6 +656,14 @@ def q_streaming_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.streaming.windows import streaming_semantic_dedup
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # finite-vector fence, mirrored in the oracle (float fuzz sweep);
+    # NULL ids/vectors are dropped inside the stateful kernel itself
+    emb = emb.filter(
+        ~F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.filter(F.col("vec_id") % 3 == 0).select(
             (F.col("vec_id") + 7000).alias("vec_id"), "embedding"

@@ -149,7 +149,10 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (one row per type).
 QMAD_ORACLE = """
 WITH v AS (
-  SELECT event_type, value FROM events WHERE value IS NOT NULL
+  -- non-finite values have no place on a median/deviation axis (float
+  -- fuzz sweep: the engines disagree on NaN quantiles and comparisons)
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND isfinite(value)
 ), med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY event_type
 ), dev AS (
@@ -177,7 +180,13 @@ ORDER BY dev.event_type
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
-    v = events.filter(F.col("value").isNotNull()).select("event_type", "value")
+    inf = float("inf")
+    v = events.filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.col("value") < inf)
+        & (F.col("value") > -inf)
+    ).select("event_type", "value")
     med = v.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )

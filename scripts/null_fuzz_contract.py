@@ -164,6 +164,20 @@ FLOATDEGEN_ROWS = {
          "l_discount": 0.05, "l_tax": _NAN, "l_returnflag": "N",
          "l_linestatus": "O", "l_shipdate": datetime(1996, 6, 15, 12, 0, 0)},
     ],
+    # a broken encoder emitting NaN/Inf vectors is a REALISTIC corpus
+    # state — the numpy block kernels and HOF dot products must agree
+    # with the oracle on it
+    "embeddings": [
+        {"vec_id": 91000010,
+         "embedding": [_NAN] + [0.1] * 63, "label": 1},
+        {"vec_id": 91000011,
+         "embedding": [_PINF] + [0.2] * 63, "label": 2},
+    ],
+    "events": [
+        {"event_id": 91000012, "ts": datetime(2024, 1, 5, 10, 0, 0),
+         "user_id": 7, "event_type": "click", "value": _NAN,
+         "props": '{"k": 1}'},
+    ],
 }
 
 import __spark_entry__ as E  # noqa: E402

@@ -244,9 +244,34 @@ FLOAT_ROWS = {
          "l_tax": float("nan"), "l_returnflag": "N", "l_linestatus": "O",
          "l_shipdate": datetime(1996, 6, 15, 12, 0, 0)},
     ],
+    # a broken encoder emitting NaN/Inf vectors is a REALISTIC corpus
+    # state — the numpy block kernels must agree with the oracle on it
+    "embeddings": [
+        {"vec_id": 91000010, "embedding": [float("nan")] + [0.1] * 63,
+         "label": 1},
+        {"vec_id": 91000011, "embedding": [float("inf")] + [0.2] * 63,
+         "label": 2},
+    ],
+    "events": [
+        {"event_id": 91000012, "ts": datetime(2024, 1, 5, 10, 0, 0),
+         "user_id": 7, "event_type": "click", "value": float("nan"),
+         "props": '{"k": 1}'},
+    ],
 }
 
-FLOAT_FAMILY_QUERIES = ["q_dq_expectations", "q_ntile_customers", "q_skyline_parts"]
+FLOAT_FAMILY_QUERIES = [
+    "q_dq_expectations",
+    "q_ntile_customers",
+    "q_skyline_parts",
+    # embedding kernels: a NaN cosine passes DuckDB's NaN-largest >=
+    # threshold but fails numpy's — finite-vector fences on both sides
+    "q_embedding_near_dup",
+    "q_embedding_dedup_clusters",
+    "q_streaming_semdedup_batch",
+    # NaN on a quantile/deviation axis; Inf through the bucketing cast
+    "q_mad_outliers",
+    "q_range_join_price_bands",
+]
 
 
 @pytest.fixture(scope="module")
