@@ -657,13 +657,15 @@ def q_streaming_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     # finite-vector fence, mirrored in the oracle (float fuzz sweep);
-    # NULL ids/vectors are dropped inside the stateful kernel itself
+    # NULL ids/vectors are dropped inside the stateful kernel itself.
+    # Materialized once — both corpus branches and the centroid seed
+    # would otherwise re-evaluate the 64-element HOF scan.
     emb = emb.filter(
         ~F.exists(
             "embedding",
             lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
         )
-    )
+    ).localCheckpoint(eager=True)
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.filter(F.col("vec_id") % 3 == 0).select(
             (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
