@@ -440,9 +440,11 @@ QSEMDUP_ORACLE = """
 WITH RECURSIVE fin AS (
   -- a vector with a NaN/Inf component is not a valid embedding (float
   -- fuzz sweep): its NaN cosine passes DuckDB's NaN-largest >= filter
-  -- but fails numpy's
+  -- but fails numpy's; a NULL component likewise invalidates the
+  -- vector (NULL contract: Spark's ~exists fence yields NULL under
+  -- three-valued logic and drops it, so the lambda must be NULL-aware)
   SELECT * FROM embeddings
-  WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ), corpus AS (
   SELECT vec_id, embedding FROM fin
   UNION ALL

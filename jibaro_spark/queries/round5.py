@@ -626,10 +626,12 @@ QSSD_ORACLE = """
 WITH fin AS (
   -- the stateful kernel drops NULL ids/vectors (r8 NULL hardening);
   -- non-finite vectors are likewise not valid embeddings (float fuzz
-  -- sweep) — the oracle's admission frame must match both
+  -- sweep) — the oracle's admission frame must match both; the lambda
+  -- is NULL-aware (x IS NULL OR ...) because Spark's ~exists fence
+  -- drops NULL-component vectors under three-valued logic (NULL contract)
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ), corpus AS (
   SELECT vec_id, embedding FROM fin
   UNION ALL

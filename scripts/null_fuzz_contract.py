@@ -172,6 +172,12 @@ FLOATDEGEN_ROWS = {
          "embedding": [_NAN] + [0.1] * 63, "label": 1},
         {"vec_id": 91000011,
          "embedding": [_PINF] + [0.2] * 63, "label": 2},
+        # NULL COMPONENT (not whole-NULL vector): the case the r9
+        # advisor flagged — Spark's ~exists finite fence drops it under
+        # three-valued logic while a non-NULL-aware oracle lambda keeps
+        # it; both sides must agree to drop (ADVICE r9 medium)
+        {"vec_id": 91000014,
+         "embedding": [None] + [0.3] * 63, "label": 3},
     ],
     "events": [
         {"event_id": 91000012, "ts": datetime(2024, 1, 5, 10, 0, 0),
@@ -208,6 +214,13 @@ def build_fixture() -> str:
         and open(marker).read().strip() == CLS
     ):
         return keep
+    if keep and os.path.isdir(keep):
+        # Stale cache (pre-marker dir, or NULLFUZZ_CLASS switched under
+        # the same NULLFUZZ_DIR): the rebuild below cannot overwrite —
+        # Spark's write.parquet refuses an existing path and
+        # pq.write_table can't replace a Spark-written directory — so
+        # wipe the kept dir before rebuilding (ADVICE r9).
+        shutil.rmtree(keep, ignore_errors=True)
     out = keep or tempfile.mkdtemp(prefix="nullfuzz_sf_")
     os.makedirs(out, exist_ok=True)
     if CLS in ("relational", "floatdegen"):

@@ -207,15 +207,17 @@ def test_null_fences_are_scan_pushed(spark):
 
 # ---------------------------------------------------------------------------
 # Degenerate-FLOAT class (NaN / ±Inf with VALID keys, so the rows pass
-# every NULL fence and reach the arithmetic).  The full diagnostic
-# (NULLFUZZ_CLASS=floatdegen) measured: 99 queries identical, 16
+# every NULL fence and reach the arithmetic).  The final 270-target
+# sweep (NULLFUZZ_CLASS=floatdegen, extended to embeddings + events —
+# see BASELINE.md / COVERAGE.md) measured: 152 queries identical, 19
 # refuse on BOTH engines (ANSI fail-fast on non-finite → decimal/bigint
-# casts — a shared loud contract), 82 where DuckDB refuses the decimal
+# casts — a shared loud contract), 94 where DuckDB refuses the decimal
 # cast while Spark answers (Spark 4.x casts NaN/Inf → NULL in
 # double→decimal even under ANSI; the refusal is the oracle
-# scaffolding's, not the engine's), and THREE silent value divergences
+# scaffolding's, not the engine's), and EIGHT silent value divergences
 # — the dangerous class, fixed with explicit finite fences on both
-# sides and pinned here.  DuckDB's own NaN BETWEEN is inconsistent
+# sides and pinned in the 8-entry FLOAT_FAMILY_QUERIES guard below.
+# DuckDB's own NaN BETWEEN is inconsistent
 # between constant folding (false) and vectorized execution (true), so
 # comparison-sensitive queries cannot rely on raw NaN semantics.
 
@@ -251,6 +253,11 @@ FLOAT_ROWS = {
          "label": 1},
         {"vec_id": 91000011, "embedding": [float("inf")] + [0.2] * 63,
          "label": 2},
+        # NULL COMPONENT: Spark's ~exists finite fence drops it under
+        # three-valued logic; the oracle lambda is NULL-aware
+        # (x IS NULL OR NOT isfinite(x)) so both sides agree (ADVICE r9)
+        {"vec_id": 91000014, "embedding": [None] + [0.3] * 63,
+         "label": 3},
     ],
     "events": [
         {"event_id": 91000012, "ts": datetime(2024, 1, 5, 10, 0, 0),
