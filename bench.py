@@ -2,10 +2,20 @@
 """Bench harness (SURVEY §7.2 M7).
 
 Runs the headline declared queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints, in
+order: the full contract JSON line
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+then the per-query map again in small independently-parseable chunk
+lines, then a compact summary line LAST::
+
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N}
+
+The driver records only the tail of stdout, so the headline total lives
+on the final (short) line and the chunk lines keep per-query timings
+inside any reasonable tail window (VERDICT r9 #1 — every earlier
+round's artifact lost the head of the one long line).
 
 Materialization is via the ``noop`` sink (full execution, no driver
 transfer) so timings measure the plan, not ``collect()``.
@@ -221,6 +231,13 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Output discipline (VERDICT r9 #1): the round driver keeps only the
+    # TAIL of stdout, so the suite total must be on the LAST line and
+    # compact enough to always survive the tail window.  Print the full
+    # contract line first, then the per-query map in small independently
+    # parseable chunks (most of which land inside any reasonable tail
+    # window), then the short summary line LAST.
+    compact = {"separators": (",", ":")}
     print(
         json.dumps(
             {
@@ -229,7 +246,35 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            **compact,
+        )
+    )
+    names = list(timings)
+    chunk = 18
+    n_parts = (len(names) + chunk - 1) // chunk
+    for pi in range(n_parts):
+        part = names[pi * chunk : (pi + 1) * chunk]
+        print(
+            json.dumps(
+                {
+                    "queries_part": pi + 1,
+                    "of": n_parts,
+                    "queries": {n: timings[n] for n in part},
+                },
+                **compact,
+            )
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+            },
+            **compact,
         )
     )
     spark.stop()
