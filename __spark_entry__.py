@@ -3,7 +3,7 @@
 ``queries()`` / ``oracle_sql()`` are populated from the declared-query
 registry in :mod:`jibaro_spark.queries` — one entry per implemented
 operator from SURVEY.md §2 (plus the [ext] LLM-pipeline operators).
-Queries without an oracle entry (11 of 352) are genuinely
+Queries without an oracle entry (11 of 356) are genuinely
 non-SQL-expressible — LSH/IVF/IVF-PQ approximate retrieval (knn_lsh,
 knn_ivf, knn_ivfpq, minhash/simhash near-dup pairs), engine-specific
 sketches (approx_count_distinct, HLL union rollup, count-min heavy
@@ -35,19 +35,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _driver_confirmed() -> "set[str]":
-    """Query names with a green row in any prior driver
+def _driver_confirmed() -> "dict[str, int]":
+    """Query name -> LATEST round number with a green row in a driver
     CORRECTNESS_r*.json (hash-matched, or the rows-only check for
-    no-oracle queries).  Used to rotate never-yet-confirmed queries to
-    the front of ``queries()`` so a prefix-capped correctness run
-    converges to a driver-confirmed row for every registered query over
-    successive rounds (VERDICT r3 §Next-1)."""
+    no-oracle queries).  Membership rotates never-yet-confirmed queries
+    to the front of ``queries()`` so a prefix-capped correctness run
+    converges to a driver-confirmed row for every registered query
+    (VERDICT r3 §Next-1); the round number additionally orders the
+    confirmed lane least-recently-confirmed first, so once the ledger
+    is closed the capped prefix re-verifies the STALEST confirmations
+    instead of the same registry prefix forever (VERDICT r9 #2)."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    confirmed: "set[str]" = set()
+    confirmed: "dict[str, int]" = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -59,7 +65,7 @@ def _driver_confirmed() -> "set[str]":
             if r.get("hash_match") is True or (
                 r.get("err") == "no_oracle" and r.get("spark_rows") is not None
             ):
-                confirmed.add(name)
+                confirmed[name] = max(confirmed.get(name, 0), rnd)
     return confirmed
 
 
@@ -111,7 +117,15 @@ def _interleaved() -> "dict[str, object]":
     pend_new = [(n, d) for n, d in pending if d.fn.__module__ not in confirmed_mods]
     round_robin(pend_old, out)  # never-driver-confirmed first, all modules
     round_robin(pend_new, out)
-    round_robin(done, out)
+    # Confirmed lane: least-recently-confirmed vintage first (VERDICT
+    # r9 #2), so edits made after a query's last driver confirmation
+    # are re-verified within ~ceil(354/50) rounds; round-robin across
+    # modules WITHIN a vintage keeps family diversity in the prefix.
+    by_round: "defaultdict[int, list]" = defaultdict(list)
+    for n, d in done:
+        by_round[confirmed[n]].append((n, d))
+    for rnd in sorted(by_round):
+        round_robin(by_round[rnd], out)
     return out
 
 

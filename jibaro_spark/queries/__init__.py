@@ -58,5 +58,6 @@ from jibaro_spark.queries import round35  # noqa: E402,F401
 from jibaro_spark.queries import round36  # noqa: E402,F401
 from jibaro_spark.queries import round37  # noqa: E402,F401
 from jibaro_spark.queries import round38  # noqa: E402,F401
+from jibaro_spark.queries import round39  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "DeclaredQuery", "declare", "load_tables"]

@@ -455,3 +455,48 @@ def test_approx_quantile_rank_error_bound(spark):
             est = row[f"p{int(p * 100)}_acc{acc}"]
             rank = bisect.bisect_left(vals, est)
             assert abs(rank - p * n) <= n / acc + 1, (acc, p, rank, p * n)
+
+
+def test_md5_quantile_sample_rank_error(spark, sf_dir):
+    """The deterministic bottom-512 priority sample's quantile
+    estimates must sit within a few sample-sigma of their target rank
+    (sigma = sqrt(p(1-p)/512) ~= 2.2% of n at p=0.5) — the rank-error
+    contract of q_approx_quantiles_md5, pinned against the exact ECDF."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.queries import REGISTRY
+    from jibaro_spark.queries.registry import load_tables
+
+    row = REGISTRY["q_approx_quantiles_md5"].fn(spark, sf_dir).collect()[0]
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    n = row.n_rows
+    for p, est in [(0.25, row.p25_est), (0.5, row.p50_est),
+                   (0.75, row.p75_est), (0.95, row.p95_est)]:
+        rank = o.filter(F.col("o_totalprice") <= est).count()
+        assert abs(rank - p * n) / n <= 0.08, (p, rank, p * n)
+
+
+def test_md5_hll_corrected_accuracy(spark, sf_dir):
+    """q_hll_mergeable_distinct_md5's linear-counting correction branch
+    (the production low-fill estimator) must land within 8% of exact
+    per group AND for the union-by-register-max rollup; the branch must
+    actually be the one executed (register fill < m proves it)."""
+    from pyspark.sql import functions as F
+
+    from jibaro_spark.queries import REGISTRY
+    from jibaro_spark.queries.registry import load_tables
+
+    rows = REGISTRY["q_hll_mergeable_distinct_md5"].fn(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        # low-fill regime: V = m - n_regs > 0, i.e. the correction
+        # branch (m*ln(m/V)) is the code path producing hll_estimate
+        assert r.n_regs < 1024, r
+        assert abs(r.hll_estimate - r.exact_custs) / r.exact_custs <= 0.08, r
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    exact_global = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey").distinct().count()
+    )
+    union = rows[0].union_estimate
+    assert abs(union - exact_global) / exact_global <= 0.08, (union, exact_global)
