@@ -362,6 +362,86 @@ def simhash_near_duplicates(
     )
 
 
+def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
+    """Exact-duplicate collapse for the pair-join family (adversarial-
+    skew fuzz class, r10): group documents by ``md5`` of the NORMALIZED
+    text — the exact input every shingle/simhash feature derives from —
+    and keep one min-id representative per distinct text.
+
+    A web-scale corpus always contains exact-duplicate clusters (one
+    boilerplate page at 10^5 copies); without this collapse every
+    candidate/verify stage of a similarity join pays O(cluster²) heavy
+    work (measured: 2× corpus volume with one text at 50% of rows sent
+    ngram/containment/simhash pair verification 13-24× up).  With it,
+    the expensive machinery runs once per DISTINCT text, and member
+    pairs are expanded afterwards in output-bound time — identical
+    output, since every feature is a function of the normalized text.
+
+    Returns ``(reps, members)``: ``reps`` restricted to one doc per
+    distinct text under the caller's original column names; ``members``
+    maps ``__fp`` → (``__gid``, ``__rep``).  NULL-text docs keep a NULL
+    fingerprint: NULL never equals NULL in the within-group self-join,
+    and their representative produces no postings — exactly the
+    uncollapsed pipeline's behavior.
+    """
+    base = df.select(
+        F.col(id_col).alias("__gid"), F.col(text_col).alias("__gtext")
+    ).withColumn("__fp", F.md5(_normalized(F.col("__gtext"))))
+    # representative per fingerprint via map-side-combinable MIN — not
+    # a window: the text column never shuffles by fingerprint and
+    # nothing materializes.  members carries only (fp, gid, rep);
+    # NULL-fingerprint (NULL text) docs drop out of the fp equi-join,
+    # which is exactly the uncollapsed behavior (no postings, no pairs).
+    groups = base.groupBy("__fp").agg(F.min("__gid").alias("__rep"))
+    members = (
+        base.select("__fp", "__gid")
+        .join(groups, "__fp")
+        .localCheckpoint(eager=True)
+    )
+    reps = base.join(
+        groups.select(F.col("__rep").alias("__gid")), "__gid"
+    ).select(F.col("__gid").alias(id_col), F.col("__gtext").alias(text_col))
+    return reps, members
+
+
+def _expand_member_pairs(rep_pairs: DataFrame, members: DataFrame, directed: bool):
+    """Fan verified representative pairs back out to all member pairs.
+    Score columns ride along unchanged — they are functions of the
+    (identical-within-group) texts.  Undirected output keeps the
+    ``id_a < id_b`` convention via least/greatest."""
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__gid").alias("__ga"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__gid").alias("__gb"))
+    score_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    joined = rep_pairs.join(ma, "id_a").join(mb, "id_b")
+    if directed:
+        pair = [F.col("__ga").alias("id_a"), F.col("__gb").alias("id_b")]
+    else:
+        pair = [
+            F.least("__ga", "__gb").alias("id_a"),
+            F.greatest("__ga", "__gb").alias("id_b"),
+        ]
+    return joined.select(*pair, *score_cols)
+
+
+def _within_group_pairs(members: DataFrame, directed: bool) -> DataFrame:
+    """All member pairs inside each exact-duplicate group (__rep kept
+    for score joins).  Output-bound: no candidate or verify work."""
+    cmp = (
+        F.col("m1.__gid") != F.col("m2.__gid")
+        if directed
+        else F.col("m1.__gid") < F.col("m2.__gid")
+    )
+    return (
+        members.alias("m1")
+        .join(members.alias("m2"), (F.col("m1.__fp") == F.col("m2.__fp")) & cmp)
+        .select(
+            F.col("m1.__gid").alias("id_a"),
+            F.col("m2.__gid").alias("id_b"),
+            F.col("m1.__rep").alias("__rep"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -386,12 +466,23 @@ def ngram_jaccard_pairs(
 
     Scale: the rare-first ordering keeps hot shingles out of prefixes,
     so posting-list blocks stay small without correctness loss; the
-    per-doc ranking window shuffles by doc id once.
+    per-doc ranking window shuffles by doc id once.  Exact duplicates
+    are collapsed FIRST (skew fuzz r10): the candidate/verify machinery
+    runs over one representative per distinct normalized text, and
+    member pairs fan back out afterwards — identical output (Jaccard is
+    a function of the normalized texts; identical texts score exactly
+    1.0, which the uncollapsed join also emits for every such pair).
     """
-    sh = ensure_parallelism(df).select(
+    reps, members = _exact_text_collapse(
+        ensure_parallelism(df), id_col, text_col
+    )
+    # sh feeds the posting index AND both verify joins; pin it once so
+    # the rep-selection join + shingling never re-execute per consumer
+    # (same branch-pinning discipline as ngram_containment_pairs)
+    sh = reps.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    )
+    ).localCheckpoint(eager=True)
     posting = sh.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
     )
@@ -428,13 +519,22 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    rep_pairs = (
         with_sets.withColumn(
             "jaccard", inter.cast("double") / union.cast("double")
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    # identical texts: J = n/n = exactly 1.0 (every non-null text has
+    # ≥1 shingle — see shingles(); NULL fingerprints never self-join)
+    within = (
+        _within_group_pairs(members, directed=False)
+        .filter(F.lit(1.0) >= F.lit(threshold))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def minhash_signature_md5(
@@ -764,9 +864,16 @@ def ngram_containment_pairs(
     # branches).  Measured at sf0.1: 10.2 s unpinned → 6.3 s pinned,
     # identical output — the same branch-pinning discipline as
     # grouped_prefix_sum/global_row_number.
+    reps, members = _exact_text_collapse(
+        ensure_parallelism(df), id_col, text_col
+    )
+    # exact duplicates collapse FIRST (skew fuzz r10): the asymmetric
+    # candidate/verify machinery runs per DISTINCT normalized text;
+    # member pairs fan back out afterwards — identical output, since
+    # containment is a function of the two normalized texts and
+    # identical texts score exactly 1.0 in both directions
     sh = (
-        ensure_parallelism(df)
-        .select(
+        reps.select(
             F.col(id_col).alias("__id"),
             F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
         )
@@ -845,7 +952,7 @@ def ngram_containment_pairs(
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    rep_pairs = (
         with_sets.withColumn(
             "containment",
             F.round(inter.cast("double") / F.size("sh_a").cast("double"), 6),
@@ -858,6 +965,19 @@ def ngram_containment_pairs(
             "containment",
         )
     )
+    cross = _expand_member_pairs(rep_pairs, members, directed=True)
+    # identical texts: containment = round(n/n, 6) = exactly 1.0 both
+    # directions; n_grams_a is the group's distinct shingle count
+    sizes = sh.select(
+        F.col("__id").alias("__rep"), F.size("__sh").cast("long").alias("n_grams_a")
+    )
+    within = (
+        _within_group_pairs(members, directed=True)
+        .filter(F.lit(1.0) >= F.lit(threshold))
+        .join(sizes, "__rep")
+        .select("id_a", "id_b", "n_grams_a", F.lit(1.0).alias("containment"))
+    )
+    return cross.unionByName(within)
 
 
 def sorted_neighborhood_pairs(

@@ -1779,13 +1779,24 @@ ORDER BY id_a, id_b
     description="Banded SimHash near-dup pairs in md5 verifiable mode — 16-bit-block candidates + integer Hamming verify fully oracle-checked (J5 [ext])",
 )
 def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jibaro_spark.operators.dedup import simhash_md5_bits
+    from jibaro_spark.operators.dedup import (
+        _exact_text_collapse,
+        _expand_member_pairs,
+        _within_group_pairs,
+        simhash_md5_bits,
+    )
 
     # NULL text has no fingerprint (NULL-fuzz sweep)
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
         F.col("text").isNotNull()
     )
-    sig = docs.select(
+    # exact duplicates collapse FIRST (skew fuzz r10): signatures and
+    # the banded candidate/verify join run per DISTINCT normalized
+    # text (identical texts have identical fingerprints, so their
+    # pairs are hamming-0 by definition); member pairs fan back out in
+    # output-bound time — identical output
+    reps, members = _exact_text_collapse(docs, "doc_id", "text")
+    sig = reps.select(
         F.col("doc_id").alias("__id"),
         simhash_md5_bits(F.col("text")).alias("bits"),
     )
@@ -1822,9 +1833,13 @@ def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(sequence(1, 64), 0,"
         " (acc, i) -> acc + IF(substring(ba, i, 1) = substring(bb, i, 1), 1, 0))"
     )
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming.cast("bigint"))
         .where(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
     )
+    cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    within = _within_group_pairs(members, directed=False).select(
+        "id_a", "id_b", F.lit(0).cast("bigint").alias("hamming")
+    )
+    return cross.unionByName(within).orderBy("id_a", "id_b")

@@ -23,6 +23,19 @@ Fixture classes (``NULLFUZZ_CLASS`` env var):
   all-NULL row per table; documents/embeddings/events copied verbatim.
   Targets become every registered query whose source reads a
   relational table.
+* ``skew`` — the CARDINALITY degeneracy (fifth class, VERDICT r9 #5):
+  every mutated table doubles in volume with the new half concentrated
+  on ONE hot key (customer 42 owns 50% of orders, part 7 sits on 50%
+  of lineitems, user 7 fires 50% of events, one document text / one
+  embedding vector duplicated to 50% of the corpus) — the "one user
+  with 3M events / one doc at 10^5 copies" state a 100 TB corpus
+  always contains.  Checks BOTH contracts: hash-equality vs the oracle
+  on the skewed fixture AND a wall-time band — each target runs first
+  on the pristine fixture then on the skewed one, and must stay within
+  ``SKEW_BAND × volume_ratio × max(base_wall, floor)``; violations
+  land in a ``slow`` bucket and fail the sweep (a silently
+  single-tasking or pair-exploding plan is a scale defect even when
+  its values are right).
 
 Usage: [NULLFUZZ_CLASS=relational] python scripts/null_fuzz_contract.py [names...]
 Prints per-query status + one JSON summary line.
@@ -44,7 +57,11 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.001"
+# Overridable for the skew class: at sf0.001 the wall-time band mostly
+# catches quadratic candidate blowups; re-running the heavy queries
+# with NULLFUZZ_SRC=/root/testdata/sf0.1 makes silent single-tasking
+# (one hot partition doing 50% of the work) measurable too.
+SRC = os.environ.get("NULLFUZZ_SRC", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -186,6 +203,83 @@ FLOATDEGEN_ROWS = {
     ],
 }
 
+# Adversarial-skew class: the new half of every mutated table carries
+# ONE hot key.  Keys are chosen IN-DOMAIN (existing customer/part/user)
+# so joins and group-bys actually concentrate; row identities shift by
+# _SKEW_SHIFT so uniqueness contracts hold (lineitem FKs follow their
+# shifted orders — the duplicated sub-graph stays referentially
+# consistent).
+_SKEW_SHIFT = 95_000_000
+_SKEW_HOT_CUST = 42
+_SKEW_HOT_PART = 7
+_SKEW_HOT_USER = 7
+# wall-time contract: skew_wall <= band * volume_ratio * max(base, floor)
+_SKEW_BAND = 3.0
+_SKEW_VOLUME_RATIO = 2.0
+_SKEW_FLOOR_S = 1.0
+
+
+def _build_skew_table(t: str, src: str, dst: str) -> bool:
+    """Write the skewed twin of table ``t``; False if copied verbatim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(src)
+
+    def replace(table, name, arr):
+        return table.set_column(
+            table.schema.get_field_index(name), table.schema.field(name), arr
+        )
+
+    def const(name, val, n):
+        return pa.array([val] * n, type=tab.schema.field(name).type)
+
+    n = tab.num_rows
+    if t == "orders":
+        dup = replace(tab, "o_orderkey", pc.add(tab["o_orderkey"], _SKEW_SHIFT))
+        dup = replace(dup, "o_custkey", const("o_custkey", _SKEW_HOT_CUST, n))
+    elif t == "lineitem":
+        dup = replace(tab, "l_orderkey", pc.add(tab["l_orderkey"], _SKEW_SHIFT))
+        dup = replace(dup, "l_partkey", const("l_partkey", _SKEW_HOT_PART, n))
+    elif t == "events":
+        dup = replace(tab, "event_id", pc.add(tab["event_id"], _SKEW_SHIFT))
+        dup = replace(dup, "user_id", const("user_id", _SKEW_HOT_USER, n))
+    elif t == "documents":
+        # one hot TEXT at 50% of the corpus: every duplicate is a full
+        # row copy of one deterministic base doc under a fresh doc_id
+        base = (
+            tab.filter(pc.greater(pc.utf8_length(tab["text"]), 200))
+            .sort_by("doc_id")
+            .slice(0, 1)
+        )
+        reps = pa.concat_tables([base] * n)
+        dup = replace(
+            reps,
+            "doc_id",
+            pa.array(
+                [_SKEW_SHIFT + i for i in range(n)],
+                type=tab.schema.field("doc_id").type,
+            ),
+        )
+    elif t == "embeddings":
+        base = tab.sort_by("vec_id").slice(0, 1)
+        reps = pa.concat_tables([base] * n)
+        dup = replace(
+            reps,
+            "vec_id",
+            pa.array(
+                [_SKEW_SHIFT + i for i in range(n)],
+                type=tab.schema.field("vec_id").type,
+            ),
+        )
+    else:
+        shutil.copyfile(src, dst)
+        return False
+    pq.write_table(pa.concat_tables([tab, dup]), dst)
+    return True
+
+
 import __spark_entry__ as E  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -223,6 +317,17 @@ def build_fixture() -> str:
         shutil.rmtree(keep, ignore_errors=True)
     out = keep or tempfile.mkdtemp(prefix="nullfuzz_sf_")
     os.makedirs(out, exist_ok=True)
+    if CLS == "skew":
+        for t in TABLES:
+            _build_skew_table(
+                t,
+                os.path.join(SRC, f"{t}.parquet"),
+                os.path.join(out, f"{t}.parquet"),
+            )
+        if keep:
+            with open(marker, "w") as f:
+                f.write(CLS)
+        return out
     if CLS in ("relational", "floatdegen"):
         rows_by_table = RELATIONAL_ROWS if CLS == "relational" else FLOATDEGEN_ROWS
         for t in TABLES:
@@ -340,6 +445,11 @@ def module_reads_doc_tables(fn) -> bool:
         return any(
             f'"{t}"' in src or f"'{t}'" in src for t in FLOATDEGEN_ROWS
         )
+    if CLS == "skew":
+        return any(
+            f'"{t}"' in src or f"'{t}'" in src
+            for t in ("orders", "lineitem", "events", "documents", "embeddings")
+        )
     return (
         '"documents"' in src
         or '"embeddings"' in src
@@ -365,7 +475,20 @@ def main() -> None:
         if (not only or n in only) and module_reads_doc_tables(fn)
     }
     fails, crashes, crashed_both, checked = [], [], [], 0
+    slow: "list[dict]" = []
     for i, (name, fn) in enumerate(sorted(targets.items())):
+        base_wall = None
+        if CLS == "skew":
+            # pristine-fixture run FIRST: establishes the per-query
+            # baseline (and absorbs whole-stage-codegen JIT, which the
+            # identical skew-run plan then reuses — the band measures
+            # DATA sensitivity, not compilation)
+            tb = time.time()
+            try:
+                fn(spark, SRC).collect()
+                base_wall = time.time() - tb
+            except Exception:
+                base_wall = None
         t0 = time.time()
         try:
             df = fn(spark, fixture)
@@ -388,6 +511,24 @@ def main() -> None:
                 flush=True,
             )
             continue
+        skew_wall = time.time() - t0
+        if CLS == "skew" and base_wall is not None:
+            limit = _SKEW_BAND * _SKEW_VOLUME_RATIO * max(base_wall, _SKEW_FLOOR_S)
+            if skew_wall > limit:
+                slow.append(
+                    {
+                        "name": name,
+                        "base_s": round(base_wall, 2),
+                        "skew_s": round(skew_wall, 2),
+                        "limit_s": round(limit, 2),
+                    }
+                )
+                print(
+                    f"[{i+1}/{len(targets)}] {name}: SKEW-SLOW "
+                    f"base={base_wall:.2f}s skew={skew_wall:.2f}s "
+                    f"limit={limit:.2f}s",
+                    flush=True,
+                )
         if name not in oracles:
             print(
                 f"[{i+1}/{len(targets)}] {name}: rows-only {len(rows)} "
@@ -417,21 +558,23 @@ def main() -> None:
             f" [{time.time()-t0:.1f}s]",
             flush=True,
         )
-    print(
-        json.dumps(
-            {
-                "targets": len(targets),
-                "checked": checked,
-                "divergent": fails,
-                "crashed": crashes,
-                "crashed_both": crashed_both,
-            }
-        ),
-        flush=True,
-    )
+    summary = {
+        "targets": len(targets),
+        "checked": checked,
+        "divergent": fails,
+        "crashed": crashes,
+        "crashed_both": crashed_both,
+    }
+    if CLS == "skew":
+        summary["slow"] = slow
+        summary["band"] = (
+            f"skew <= {_SKEW_BAND} * {_SKEW_VOLUME_RATIO} * max(base, "
+            f"{_SKEW_FLOOR_S}s)"
+        )
+    print(json.dumps(summary), flush=True)
     if not os.environ.get("NULLFUZZ_DIR"):
         shutil.rmtree(fixture, ignore_errors=True)
-    sys.exit(1 if (fails or crashes) else 0)
+    sys.exit(1 if (fails or crashes or slow) else 0)
 
 
 if __name__ == "__main__":
