@@ -288,9 +288,16 @@ WITH RECURSIVE daily AS (
                         + 0.5 * (r.level + r.trend))) + 0.75 * r.seas[1]]
   FROM rec r JOIN seq s ON s.etype = r.etype AND s.rn = r.rn + 1
 )
-SELECT etype, CAST(dn AS BIGINT) AS dn, ROUND(x, 6) AS x,
-       ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
-       ROUND(s_cur, 6) AS s_cur
+-- floor(x*1e6 + 0.5)/1e6, not ROUND(x, 6): with binary-fraction α/β/γ
+-- the state values land EXACTLY on half boundaries at scale 6 (skew
+-- sweep r10 found level = …2190625), where Spark's shortest-decimal
+-- HALF_UP and DuckDB's binary-value round disagree by 1e-6; the floor
+-- form computes on the identical doubles in both engines
+SELECT etype, CAST(dn AS BIGINT) AS dn,
+       floor(x * 1000000 + 0.5) / 1000000 AS x,
+       floor(level * 1000000 + 0.5) / 1000000 AS level,
+       floor(trend * 1000000 + 0.5) / 1000000 AS trend,
+       floor(s_cur * 1000000 + 0.5) / 1000000 AS s_cur
 FROM rec ORDER BY etype, dn
 """
 
@@ -315,11 +322,19 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "etype", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("dn"), "x"
     )
     out = holt_winters(daily, keys=["etype"], order_by=["dn"], value_col="x", period=7)
+
+    # tie-deterministic half-up on the binary value (see QHW_ORACLE
+    # comment): F.round's shortest-decimal HALF_UP diverges from the
+    # oracle at exact half boundaries, which binary-fraction smoothing
+    # constants actually produce
+    def rnd6(c: str):
+        return F.floor(F.col(c) * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
     return out.select(
         "etype",
         F.col("dn").cast("long").alias("dn"),
-        F.round("x", 6).alias("x"),
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round("s_cur", 6).alias("s_cur"),
+        rnd6("x").alias("x"),
+        rnd6("level").alias("level"),
+        rnd6("trend").alias("trend"),
+        rnd6("s_cur").alias("s_cur"),
     ).orderBy("etype", "dn")
