@@ -36,39 +36,95 @@ def asof_join(
       the EARLIER right row, then ``right_tiebreak`` — pinned, not
       engine-dependent).
 
-    Formulation: equi-join on key with the direction's time predicate
-    (``nearest`` joins on key only), then ``row_number`` per left row
-    ordered by the direction's preference (tiebroken by
-    ``right_tiebreak`` for determinism).
-
-    Scale: one shuffle on the key.  For keys with very long right
-    histories, pre-filter the right side to a bounded time horizon
-    before calling (the classic bucketed-range optimization); AQE skew
-    join splits hot keys.  ``nearest`` scores every same-key right row
-    — bound the horizon first where right histories are long.
+    Formulation — UNION-SCAN, not join-then-rank (skew probe r10): the
+    previous equi-join with a time conjunct materialized every
+    left×right pair per key BEFORE ranking — L·R rows on a hot key
+    (measured: 64× wall at 2× volume once one user carried 50% of
+    events).  Instead both sides union into one stream sorted per key
+    by (time, side, tiebreak) and a single running
+    ``last(right_payload, ignorenulls)`` window carries the
+    best-so-far right row onto each left row — one shuffle,
+    O(n log n) sort, ZERO pair expansion; a hot key costs a sorted
+    partition scan, linear in its row count.  ``nearest`` runs one
+    ascending and one descending pass over the same partitioning and
+    picks the closer candidate per left row (ties toward the earlier
+    right, then min ``right_tiebreak`` — pinned, not
+    engine-dependent).
     """
-    left = left.withColumn("__lid", F.monotonically_increasing_id())
-    key_eq = F.col(left_on) == F.col(right_on)
-    if direction == "backward":
-        cond = key_eq & (F.col(right_time) <= F.col(left_time))
-        order = [F.col(right_time).desc(), F.col(right_tiebreak).desc()]
-    elif direction == "forward":
-        cond = key_eq & (F.col(right_time) >= F.col(left_time))
-        order = [F.col(right_time).asc(), F.col(right_tiebreak).asc()]
-    elif direction == "nearest":
-        cond = key_eq
-        gap = F.abs(
-            F.col(right_time).cast("double") - F.col(left_time).cast("double")
-        )
-        order = [gap.asc(), F.col(right_time).asc(), F.col(right_tiebreak).asc()]
-    else:
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: unsupported how {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
-    joined = left.join(right, cond, how)
-    w = Window.partitionBy("__lid").orderBy(*order)
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__lid", right_on)
+    lcols = list(left.columns)
+    rcols = [c for c in right.columns if c != right_on]
+    # NULL fences mirror the join formulation: a NULL-key or NULL-time
+    # right row can never match; a NULL-key/NULL-time left row matches
+    # nothing (guarded below) but survives how='left'.
+    rtag = right.filter(
+        F.col(right_on).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.col(right_tiebreak).alias("__tb"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rpay"),
+        F.lit(0).alias("__side"),
+    )
+    tb_t = rtag.schema["__tb"].dataType
+    rpay_t = rtag.schema["__rpay"].dataType
+    ltag = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(None).cast(tb_t).alias("__tb"),
+        F.lit(None).cast(rpay_t).alias("__rpay"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__lpay"),
+    )
+    u = rtag.withColumn(
+        "__lpay", F.lit(None).cast(ltag.schema["__lpay"].dataType)
+    ).unionByName(ltag)
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # Ordering invariant: within equal __t, rights (side 0) precede
+    # lefts (side 1) so inclusive <=/>= semantics hold; among equal
+    # (__t, side) rights, the PREFERRED row sorts LAST (it is what the
+    # running last() carries).
+    asc = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
+    desc = [F.col("__t").desc_nulls_last(), F.col("__side").asc()]
+
+    def carry(order) -> "F.Column":
+        w = Window.partitionBy("__k").orderBy(*order).rowsBetween(*frame)
+        # a NULL left time matches nothing in any direction
+        return F.when(
+            F.col("__t").isNotNull(), F.last("__rpay", ignorenulls=True).over(w)
+        )
+
+    if direction == "backward":
+        # latest rt <= lt; among equal rt prefer MAX tiebreak (asc ends at max)
+        u = u.withColumn("__c", carry(asc + [F.col("__tb").asc()]))
+    elif direction == "forward":
+        # earliest rt >= lt; among equal rt prefer MIN tiebreak (desc ends at min)
+        u = u.withColumn("__c", carry(desc + [F.col("__tb").desc()]))
+    else:  # nearest: both passes prefer MIN tiebreak (original tie order)
+        u = u.withColumn("__cb", carry(asc + [F.col("__tb").desc()])).withColumn(
+            "__cf", carry(desc + [F.col("__tb").desc()])
+        )
+        lt = F.col("__t").cast("double")
+        gb = lt - F.col("__cb").getField(right_time).cast("double")
+        gf = F.col("__cf").getField(right_time).cast("double") - lt
+        u = u.withColumn(
+            "__c",
+            F.when(
+                F.col("__cb").isNotNull()
+                & (F.col("__cf").isNull() | (gb <= gf)),
+                F.col("__cb"),
+            ).otherwise(F.col("__cf")),
+        )
+    out = u.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__c").isNotNull())
+    return out.select(
+        *[F.col(f"__lpay.{c}").alias(c) for c in lcols],
+        *[F.col(f"__c.{c}").alias(c) for c in rcols],
     )
 
 

@@ -654,25 +654,40 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 QATTR_ORACLE = """
 WITH p AS (
   SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
 ), t AS (
   SELECT event_id AS tid, user_id, event_type AS channel,
          CAST(ts AS TIMESTAMP) AS tts
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND user_id IS NOT NULL AND ts IS NOT NULL
 ), touched AS (
-  SELECT p.pid, t.tid, t.channel,
+  SELECT p.pid, t.tid, t.channel, t.tts,
          COUNT(*) OVER (PARTITION BY p.pid) AS n,
-         ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts, t.tid) AS rf,
-         ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts DESC, t.tid DESC) AS rl
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY t.tts, t.tid NULLS FIRST) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY t.tts DESC, t.tid DESC NULLS LAST) AS rl
   FROM p JOIN t ON t.user_id = p.user_id
    AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+), per_purchase AS (
+  -- per-(purchase, channel) counts first: linear credit accumulates as
+  -- the EXACT decimal sum of per-purchase fractions (rounded to 10),
+  -- the same association the engine's linear formulation uses — a pair
+  -- sum of 1.0/n is order-dependent in doubles
+  SELECT pid, channel, COUNT(*) AS cc, ANY_VALUE(n) AS n,
+         SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS is_first,
+         SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS is_last
+  FROM touched GROUP BY pid, channel
 )
 SELECT channel,
-       CAST(COUNT(*) AS BIGINT) AS n_touches,
-       ROUND(SUM(1.0 / n), 4) AS linear_credit,
-       CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
-       CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
-FROM touched
+       CAST(SUM(cc) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(cc AS DOUBLE) / n, 10) AS DECIMAL(18,10)))
+                  AS DOUBLE), 4) AS linear_credit,
+       CAST(SUM(is_first) AS BIGINT) AS first_touch,
+       CAST(SUM(is_last) AS BIGINT) AS last_touch
+FROM per_purchase
 GROUP BY channel
 ORDER BY channel
 """
@@ -684,40 +699,145 @@ ORDER BY channel
     description="multi-touch attribution (linear / first / last) of purchases to click+view touches in a 7-day lookback — user-keyed interval join, purchase-keyed credit windows (attribution [ext])",
 )
 def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-probe formulation (skew probe r10): the previous
+    user-keyed interval join materialized every (purchase, touch) pair
+    before the credit windows — P·T rows on a hot user (measured 67×
+    wall at 2× volume).  Every output is recoverable without pairs:
+    each purchase contributes TWO probe rows (window start/end) to the
+    per-user time-sorted stream; running per-channel counts difference
+    into exact window counts, and first/last-touch carries are the
+    as-of trick (one ascending pass for counts + last, one descending
+    for first).  Cost: two sorts of (touches + 2·purchases) per user —
+    linear, zero pair expansion.  Values are identical to the pair
+    form; linear credit accumulates per-purchase fractions as exact
+    decimals (both engines — the pair-sum of 1.0/n was order-dependent
+    in doubles)."""
     events = load_tables(spark, sf_dir, "events")["events"]
-    p = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pid"),
-        F.col("user_id").alias("puser"),
-        F.col("ts").alias("pts"),
+    # NULL fences mirror the oracle: a NULL user/ts row can never pair
+    ev = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("__u"),
+        F.col("ts").alias("__t"),
+        F.col("event_id").alias("__tid"),
+        F.col("event_type").alias("__ch"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__pid"),
     )
-    t = events.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("event_id").alias("tid"),
-        F.col("user_id").alias("tuser"),
-        F.col("event_type").alias("channel"),
-        F.col("ts").alias("tts"),
-    )
-    touched = p.join(
-        t,
-        (F.col("tuser") == F.col("puser"))
-        & (F.col("tts") <= F.col("pts"))
-        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
-    )
-    wn = Window.partitionBy("pid")
-    wf = Window.partitionBy("pid").orderBy("tts", "tid")
-    wl = Window.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid").desc())
-    return (
-        touched.withColumn("n", F.count(F.lit(1)).over(wn))
-        .withColumn("rf", F.row_number().over(wf))
-        .withColumn("rl", F.row_number().over(wl))
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.round(F.sum(1.0 / F.col("n")), 4).alias("linear_credit"),
-            F.sum(F.when(F.col("rf") == 1, 1).otherwise(0)).cast("long").alias("first_touch"),
-            F.sum(F.when(F.col("rl") == 1, 1).otherwise(0)).cast("long").alias("last_touch"),
+    p = ev.filter(F.col("event_type") == "purchase")
+
+    def probe(side: int, t_expr) -> DataFrame:
+        return p.select(
+            F.col("user_id").alias("__u"),
+            t_expr.alias("__t"),
+            F.lit(None).cast("long").alias("__tid"),
+            F.lit(None).cast("string").alias("__ch"),
+            F.lit(side).alias("__side"),
+            F.col("event_id").alias("__pid"),
         )
+
+    # sides: early probe (0) BEFORE touches at the inclusive lower
+    # boundary would not count them (counts are "strictly before"),
+    # touches (1), late probe (2) AFTER touches at ts == pts (inclusive
+    # upper boundary).  Probes contribute nothing to any carry/count.
+    early = probe(0, F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+    late = probe(2, F.col("ts"))
+    u = touches.unionByName(early).unionByName(late)
+    tstruct = F.when(
+        F.col("__side") == 1,
+        F.struct(
+            F.col("__t").alias("tts"),
+            F.col("__tid").alias("tid"),
+            F.col("__ch").alias("ch"),
+        ),
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # ascending: running per-channel counts + last-touch (max (tts,
+    # tid), NULL tid pinned smallest on both sides)
+    wa = (
+        Window.partitionBy("__u")
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__side").asc(),
+            F.col("__tid").asc_nulls_first(),
+        )
+        .rowsBetween(*frame)
+    )
+    # descending: first-touch (min (tts, tid)); at the lower boundary
+    # touches at exactly pts-7d are IN the window, so they scan before
+    # the early probe (side desc)
+    wd = (
+        Window.partitionBy("__u")
+        .orderBy(
+            F.col("__t").desc(),
+            F.col("__side").desc(),
+            F.col("__tid").desc_nulls_last(),
+        )
+        .rowsBetween(*frame)
+    )
+    u = (
+        u.withColumn(
+            "__cc", F.sum(F.when(F.col("__ch") == "click", 1).otherwise(0)).over(wa)
+        )
+        .withColumn(
+            "__cv", F.sum(F.when(F.col("__ch") == "view", 1).otherwise(0)).over(wa)
+        )
+        .withColumn("__lastt", F.last(tstruct, ignorenulls=True).over(wa))
+        .withColumn("__firstt", F.last(tstruct, ignorenulls=True).over(wd))
+    )
+    probes = (
+        u.filter(F.col("__side") != 1)
+        .groupBy("__pid")
+        .agg(
+            F.first(F.when(F.col("__side") == 2, F.col("__cc")), ignorenulls=True).alias("cc_hi"),
+            F.first(F.when(F.col("__side") == 0, F.col("__cc")), ignorenulls=True).alias("cc_lo"),
+            F.first(F.when(F.col("__side") == 2, F.col("__cv")), ignorenulls=True).alias("cv_hi"),
+            F.first(F.when(F.col("__side") == 0, F.col("__cv")), ignorenulls=True).alias("cv_lo"),
+            F.first(F.when(F.col("__side") == 2, F.col("__lastt")), ignorenulls=True).alias("lastt"),
+            F.first(F.when(F.col("__side") == 0, F.col("__firstt")), ignorenulls=True).alias("firstt"),
+        )
+        .select(
+            (F.col("cc_hi") - F.col("cc_lo")).alias("cc"),
+            (F.col("cv_hi") - F.col("cv_lo")).alias("cv"),
+            "lastt",
+            "firstt",
+        )
+        .withColumn("n", F.col("cc") + F.col("cv"))
+        .filter(F.col("n") > 0)  # pair semantics: touchless purchases vanish
+    )
+    per = probes.select(
+        "n",
+        "lastt",
+        "firstt",
+        F.explode(
+            F.array(
+                F.struct(F.lit("click").alias("channel"), F.col("cc").alias("ccnt")),
+                F.struct(F.lit("view").alias("channel"), F.col("cv").alias("ccnt")),
+            )
+        ).alias("e"),
+    ).select("n", "lastt", "firstt", "e.channel", "e.ccnt")
+    out = (
+        per.groupBy("channel")
+        .agg(
+            F.sum("ccnt").cast("long").alias("n_touches"),
+            F.round(
+                F.sum(
+                    F.round(F.col("ccnt").cast("double") / F.col("n"), 10).cast(
+                        "decimal(18,10)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("linear_credit"),
+            F.sum(
+                F.when(F.col("firstt.ch") == F.col("channel"), 1).otherwise(0)
+            ).cast("long").alias("first_touch"),
+            F.sum(
+                F.when(F.col("lastt.ch") == F.col("channel"), 1).otherwise(0)
+            ).cast("long").alias("last_touch"),
+        )
+        .filter(F.col("n_touches") > 0)  # channels absent from all windows
         .orderBy("channel")
     )
+    return out
 
 
 # ---------------------------------------------------------------------------
