@@ -227,11 +227,22 @@ def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(log n) keyed rounds, and the keep-best window partitions by
 # cluster — no all-pairs stage anywhere.
 QMHC_ORACLE = f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, n_chars,
+WITH RECURSIVE fp AS (
+  -- exact-duplicate collapse FIRST (skew class r10): identical
+  -- normalized texts have identical signatures, so the LSH/verify/
+  -- closure stages run once per DISTINCT text; members inherit their
+  -- representative's cluster.  rep = MIN doc_id of its group, so the
+  -- component-wide min doc_id equals the min over reps — cluster ids
+  -- are unchanged from the uncollapsed pipeline.
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents WHERE text IS NOT NULL
+), grp AS (
+  SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f
+), t AS (
+  SELECT d.doc_id, d.n_chars,
          list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
             i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
-  FROM documents
+  FROM documents d JOIN grp g ON g.rep = d.doc_id
 ), s AS (
   SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
   FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i
@@ -260,14 +271,20 @@ WITH RECURSIVE t AS (
   UNION
   SELECT id_b AS a, id_a AS b FROM pr
 ), reach(src, dst) AS (
+  -- transitive closure over the REP graph only (distinct texts);
+  -- member docs attach below via their rep
   SELECT a, a FROM edges
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ), comp AS (
   SELECT src AS vid, MIN(dst) AS cid FROM reach GROUP BY src
 ), clustered AS (
-  SELECT d.doc_id, d.n_chars, COALESCE(c.cid, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON d.doc_id = c.vid
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cid, g.rep, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN fp ON fp.doc_id = d.doc_id
+  LEFT JOIN grp g ON g.f = fp.f
+  LEFT JOIN comp c ON g.rep = c.vid
 )
 SELECT doc_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
@@ -284,17 +301,32 @@ ORDER BY doc_id
     description="End-to-end MinHash curation in md5 mode: banded-LSH pairs → connected components → keep-best canonical per cluster (max n_chars, tie min doc_id) — full pipeline incl. transitive closure oracle-replayed (dedup [ext])",
 )
 def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jibaro_spark.operators.dedup import minhash_slots_md5
+    from jibaro_spark.operators.dedup import (
+        _exact_text_collapse,
+        minhash_slots_md5,
+    )
     from jibaro_spark.operators.graph import dedup_clusters
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # Exact-duplicate collapse FIRST (skew class r10): identical
+    # normalized texts carry identical signatures, so signatures, the
+    # band self-join, slot verification, and connected components all
+    # run once per DISTINCT text; members inherit their
+    # representative's cluster below.  rep = min doc_id of its group,
+    # so component minima (= cluster ids) are unchanged.  Without
+    # this, a text duplicated to 50% of the corpus makes the candidate
+    # stage quadratic in its copy count (the sweep's sf0.1 probe never
+    # finished).
+    reps, members = _exact_text_collapse(
+        docs.filter(F.col("text").isNotNull()), "doc_id", "text"
+    )
     # The md5 slot-minima aggregation is the dominant subtree and has
     # THREE consumers (banding + the two signature join-backs);
     # localCheckpoint pins it to one computation (the containment-join
     # discipline, BASELINE.md round-7 note).  Signatures exist only
     # for text-bearing docs (the oracle's unnest drops NULL text; the
     # cluster universe below still covers every doc).
-    sig = docs.filter(F.col("text").isNotNull()).select(
+    sig = reps.select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
     ).localCheckpoint(eager=True)
@@ -336,8 +368,28 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("matches") >= 8)
         .select("id_a", "id_b")
     )
-    clustered = dedup_clusters(
-        docs.select("doc_id", "n_chars"), pairs, "doc_id"
+    # components over the rep graph only; every doc then maps through
+    # its representative's cluster (NULL-text docs have no rep and
+    # stay singletons)
+    rep_clusters = dedup_clusters(reps.select("doc_id"), pairs, "doc_id")
+    mapping = members.select(
+        F.col("__gid").alias("doc_id"), F.col("__rep").alias("__r")
+    )
+    clustered = (
+        docs.select("doc_id", "n_chars")
+        .join(mapping, "doc_id", "left")
+        .join(
+            rep_clusters.select(
+                F.col("doc_id").alias("__r"), F.col("cluster_id")
+            ),
+            "__r",
+            "left",
+        )
+        .withColumn(
+            "cluster_id",
+            F.coalesce("cluster_id", "__r", "doc_id"),
+        )
+        .drop("__r")
     )
     size_w = Window.partitionBy("cluster_id")
     keep_w = Window.partitionBy("cluster_id").orderBy(
