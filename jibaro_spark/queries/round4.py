@@ -451,15 +451,22 @@ WITH RECURSIVE fin AS (
   SELECT vec_id + 100000 AS vec_id, embedding FROM fin WHERE vec_id % 5 = 0
   UNION ALL
   SELECT vec_id + 200000 AS vec_id, embedding FROM fin WHERE vec_id % 10 = 0
+), grp AS (
+  -- exact-duplicate collapse FIRST (skew class r10): identical vectors
+  -- have cosine exactly 1 and share their home cell, so the pair scan
+  -- and the closure run once per DISTINCT vector; members inherit the
+  -- representative's cluster.  rep = MIN vec_id of its group, so
+  -- component minima (= cluster ids) are unchanged.
+  SELECT embedding, MIN(vec_id) AS rep FROM corpus GROUP BY embedding
 ), pr AS (
   SELECT id_a, id_b FROM (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT a.rep AS id_a, b.rep AS id_b,
            ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                  / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                     * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
              AS cosine_sim
-    FROM corpus a, corpus b
-    WHERE a.vec_id < b.vec_id
+    FROM grp a, grp b
+    WHERE a.rep < b.rep
   ) WHERE cosine_sim >= 0.92
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pr
@@ -471,12 +478,16 @@ WITH RECURSIVE fin AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ), comp AS (
   SELECT src AS vid, MIN(dst) AS cid FROM reach GROUP BY src
+), mapped AS (
+  SELECT v.vec_id, COALESCE(c.cid, g.rep) AS cluster_id
+  FROM corpus v
+  JOIN grp g ON g.embedding = v.embedding
+  LEFT JOIN comp c ON g.rep = c.vid
 )
-SELECT v.vec_id,
-       COALESCE(c.cid, v.vec_id) AS cluster_id,
-       CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cid, v.vec_id)) AS BIGINT) AS cluster_size,
-       (v.vec_id = COALESCE(c.cid, v.vec_id)) AS keep
-FROM corpus v LEFT JOIN comp c ON v.vec_id = c.vid
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (vec_id = cluster_id) AS keep
+FROM mapped
 ORDER BY vec_id
 """
 
@@ -535,12 +546,29 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_kmeans_assign / the IVF family.  Dropping the inline refine
     # iteration cut ~1.3 s/run at sf0.1 with an identical oracle hash.
     cents = seed_centroids(emb, "vec_id", "embedding", 8)
+    # exact-duplicate collapse FIRST (skew class r10, mirrored in the
+    # oracle): the cell kernels and connected components run once per
+    # DISTINCT vector — a vector duplicated to 50% of the corpus
+    # otherwise makes the within-cell matmul and the oracle closure
+    # quadratic in its copy count.  rep = group min vec_id, so
+    # component minima (= cluster ids) are unchanged.
+    groups = corpus.groupBy("embedding").agg(F.min("vec_id").alias("__rep"))
+    members = corpus.join(groups, "embedding").select("vec_id", "__rep")
+    reps = corpus.join(
+        groups.select(F.col("__rep").alias("vec_id")), "vec_id"
+    )
     pairs = embedding_near_duplicates_cells(
-        corpus, "vec_id", "embedding", threshold=0.92, centroids=cents, n_probe=1
+        reps, "vec_id", "embedding", threshold=0.92, centroids=cents, n_probe=1
     )
-    clustered = dedup_clusters(
-        corpus.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
+    rep_clusters = dedup_clusters(
+        reps.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
     )
+    clustered = members.join(
+        rep_clusters.select(
+            F.col("vec_id").alias("__rep"), F.col("cluster_id")
+        ),
+        "__rep",
+    ).select("vec_id", "cluster_id")
     return (
         clustered.withColumn(
             "cluster_size",
