@@ -134,7 +134,7 @@ QSTD_ORACLE = """
 WITH s AS (
   SELECT l_returnflag,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sq,
          CAST(COUNT(*) AS DOUBLE) AS n
   FROM lineitem GROUP BY l_returnflag
 )
@@ -156,7 +156,7 @@ def q_stddev_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.col("l_quantity").cast("decimal(18,4)")
     agg = li.groupBy("l_returnflag").agg(
         F.sum(dec).cast("double").alias("sm"),
-        F.sum(dec * dec).cast("double").alias("sq"),
+        F.sum(dec * dec).cast("decimal(38,4)").cast("double").alias("sq"),
         F.count(F.lit(1)).cast("double").alias("n"),
     )
     sm, sq, n = F.col("sm"), F.col("sq"), F.col("n")
@@ -532,10 +532,13 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_ORACLE = """
 SELECT ROUND(
-         100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+         -- ROUND 4 before the double casts: whole-table product sums
+         -- reach 5e9, where scale-8 decimal->double is double-rounded in
+         -- DuckDB (see tpch.py Q1 note)
+         100.0 * CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
                     THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+         / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE),
        6) AS promo_revenue_pct,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -560,8 +563,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
+                F.lit(100.0) * F.sum(promo).cast("decimal(38,4)").cast("double")
+                / F.sum(rev).cast("decimal(38,4)").cast("double"),
                 6,
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -570,7 +573,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
@@ -602,7 +605,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return joined.filter(cond1 | cond2).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 

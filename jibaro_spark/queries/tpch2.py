@@ -43,7 +43,7 @@ Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM({_REV_SQL}), 4) AS DOUBLE) AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -101,7 +101,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -129,8 +129,10 @@ WITH all_nations AS (
     AND p_type = 'STANDARD'
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       -- ROUND 4 before the double casts (scale-8 decimal->double is
+       -- double-rounded in DuckDB at large magnitudes; see tpch.py Q1)
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END), 4) AS DOUBLE)
+         / CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS mkt_share
 FROM all_nations
 GROUP BY o_year
 ORDER BY o_year
@@ -197,8 +199,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
                     .otherwise(F.lit(0).cast(_DEC))
-                ).cast("double")
-                / F.sum("volume").cast("double")
+                ).cast("decimal(38,4)").cast("double")
+                / F.sum("volume").cast("decimal(38,4)").cast("double")
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -249,7 +251,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_ORACLE = f"""
 WITH revenue0 AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+         CAST(ROUND(SUM({_REV_SQL}), 4) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -276,7 +278,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").cast("double").alias("total_revenue"))
     )
     max_rev = revenue0.agg(F.max("total_revenue").alias("max_revenue"))
     return (
