@@ -208,8 +208,15 @@ def minhash_near_duplicates(
     signature would otherwise 8-KB-per-doc the shuffle).
     """
     rows_per_band = num_hashes // bands
-    df = ensure_parallelism(df)
-    sig = df.select(
+    # exact-duplicate collapse FIRST (skew class r10): identical
+    # normalized texts carry identical signatures (est_jaccard exactly
+    # 1.0, every band collides), so signatures/banding/verify run once
+    # per DISTINCT text and member pairs fan back out in output-bound
+    # time — identical pairs, none of the O(cluster²) verify work
+    reps, members = _exact_text_collapse(
+        ensure_parallelism(df), id_col, text_col
+    )
+    sig = reps.select(
         F.col(id_col).alias("__id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
     )
@@ -259,11 +266,18 @@ def minhash_near_duplicates(
         )
         / F.lit(float(num_hashes))
     )
-    return (
+    rep_pairs = (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    within = (
+        _within_group_pairs(members, directed=False)
+        .filter(F.lit(1.0) >= F.lit(jaccard_threshold))
+        .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 #: Single-pass SimHash fold over a pre-computed ``__hashes``
@@ -321,8 +335,15 @@ def simhash_near_duplicates(
     the 4 blocks exactly).  Join on (block_idx, block_value), verify
     with ``bit_count(xor)``.
     """
+    # exact-duplicate collapse FIRST (skew class r10): identical
+    # normalized texts carry identical fingerprints (hamming exactly 0,
+    # every block collides), so the fingerprint/block-join/verify runs
+    # once per DISTINCT text and member pairs expand output-bound
+    reps, members = _exact_text_collapse(
+        ensure_parallelism(df), id_col, text_col
+    )
     fp = with_simhash(
-        ensure_parallelism(df.select(F.col(id_col).alias("__id"), text_col)),
+        reps.select(F.col(id_col).alias("__id"), text_col),
         text_col,
         "__fp",
         shingle_n,
@@ -345,7 +366,7 @@ def simhash_near_duplicates(
         ).alias("b"),
     ).select("__id", "__fp", "b.block_idx", "b.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -360,6 +381,11 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    within = _within_group_pairs(members, directed=False).select(
+        "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
