@@ -499,8 +499,18 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same graph semantics the alternating-star operator computes in
 # O(log n) distributed rounds.
 QCLUSTER_ORACLE = f"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, {_TOKS} AS words FROM documents
+WITH RECURSIVE fp AS (
+  -- exact-duplicate collapse FIRST (skew class r10): the candidate/
+  -- verify/closure stages run once per DISTINCT normalized text;
+  -- members inherit their representative's cluster (rep = group min
+  -- doc_id, so component minima are unchanged)
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents WHERE text IS NOT NULL
+), grp AS (
+  SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f
+), toks AS (
+  SELECT d.doc_id, {_TOKS} AS words
+  FROM documents d JOIN grp g ON g.rep = d.doc_id
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -535,11 +545,16 @@ WITH RECURSIVE toks AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ), comp AS (
   SELECT src AS did, MIN(dst) AS cid FROM reach GROUP BY src
+), mapped AS (
+  SELECT d.doc_id, COALESCE(c.cid, g.rep, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN fp ON fp.doc_id = d.doc_id
+  LEFT JOIN grp g ON g.f = fp.f
+  LEFT JOIN comp c ON g.rep = c.did
 )
-SELECT d.doc_id,
-       COALESCE(c.cid, d.doc_id) AS cluster_id,
-       COUNT(*) OVER (PARTITION BY COALESCE(c.cid, d.doc_id)) AS cluster_size
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.did
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM mapped
 ORDER BY doc_id
 """
 
@@ -557,13 +572,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # the cluster UNIVERSE keeps every doc (NULL-text docs are
     # singletons), but pair generation is over text-bearing docs only:
-    # a NULL text's ''-shingle must not link it to empty docs
-    pairs = dd.ngram_jaccard_pairs(
-        docs.filter(F.col("text").isNotNull()),
-        "doc_id", "text", shingle_n=3, threshold=0.3,
+    # a NULL text's ''-shingle must not link it to empty docs.
+    # Exact duplicates collapse FIRST (skew class r10, mirrored in the
+    # oracle): the pair machinery and connected components run per
+    # DISTINCT normalized text; members inherit their representative's
+    # cluster (rep = group min doc_id, so cluster ids are unchanged) —
+    # a text at 50% of the corpus otherwise floods CC with O(copies²)
+    # pair edges.
+    from jibaro_spark.operators.dedup import _exact_text_collapse
+
+    reps, members = _exact_text_collapse(
+        docs.filter(F.col("text").isNotNull()), "doc_id", "text"
     )
-    clustered = dedup_clusters(
-        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    pairs = dd.ngram_jaccard_pairs(
+        reps, "doc_id", "text", shingle_n=3, threshold=0.3
+    )
+    rep_clusters = dedup_clusters(
+        reps.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+    mapping = members.select(
+        F.col("__gid").alias("doc_id"), F.col("__rep").alias("__r")
+    )
+    clustered = (
+        docs.select("doc_id")
+        .join(mapping, "doc_id", "left")
+        .join(
+            rep_clusters.select(F.col("doc_id").alias("__r"), "cluster_id"),
+            "__r",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", "__r", "doc_id"))
+        .drop("__r")
     )
     return (
         clustered.withColumn(
