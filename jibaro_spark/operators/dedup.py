@@ -272,6 +272,8 @@ def minhash_near_duplicates(
         .select("id_a", "id_b", "est_jaccard")
     )
     cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    if members is None:  # adaptive collapse: no exact duplicates
+        return cross
     within = (
         _within_group_pairs(members, directed=False)
         .filter(F.lit(1.0) >= F.lit(jaccard_threshold))
@@ -382,17 +384,26 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
     )
     cross = _expand_member_pairs(rep_pairs, members, directed=False)
-    within = _within_group_pairs(members, directed=False).select(
-        "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
+    if members is None:  # adaptive collapse: no exact duplicates
+        return cross
+    # symmetry with the threshold filters of the other collapsed
+    # operators (ADVICE r10): exact duplicates sit at hamming 0, which
+    # qualifies only when max_hamming >= 0 — a degenerate negative
+    # max_hamming must return no pairs, as the uncollapsed join would
+    within = (
+        _within_group_pairs(members, directed=False)
+        .filter(F.lit(0) <= F.lit(max_hamming))
+        .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
     )
     return cross.unionByName(within)
 
 
 def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
-    """Exact-duplicate collapse for the pair-join family (adversarial-
-    skew fuzz class, r10): group documents by ``md5`` of the NORMALIZED
-    text — the exact input every shingle/simhash feature derives from —
-    and keep one min-id representative per distinct text.
+    """ADAPTIVE exact-duplicate collapse for the pair-join family
+    (adversarial-skew fuzz class, r10; made adaptive r11): group
+    documents by ``md5`` of the NORMALIZED text — the exact input every
+    shingle/simhash feature derives from — and keep one min-id
+    representative per distinct text.
 
     A web-scale corpus always contains exact-duplicate clusters (one
     boilerplate page at 10^5 copies); without this collapse every
@@ -403,26 +414,65 @@ def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
     pairs are expanded afterwards in output-bound time — identical
     output, since every feature is a function of the normalized text.
 
+    ADAPTIVITY (r11): a duplicate-free corpus previously still paid the
+    members join + eager checkpoint + the rep-selection join back onto
+    the texts (~1.2 s fixed per operator at sf0.1).  Now one small
+    fingerprint-statistics job (groupBy fp → min id + count, checkpoint
+    of the per-distinct-text stats only) decides at construction time:
+    if NO fingerprint repeats, the caller's df IS the rep set and the
+    member machinery is skipped entirely — ``members`` comes back as
+    ``None`` and :func:`_expand_member_pairs` passes rep pairs through
+    untouched.  Output is bit-identical in both regimes (every group is
+    then a singleton: cross-pairs expand 1:1, within-group pairs are
+    empty).
+
+    CONSTRUCTION-TIME SIDE EFFECT (ADVICE r10): constructing any pair
+    operator runs the one stats job above (it must — the plan branches
+    on its answer).  The heavyweight members map is no longer
+    materialized at construction: both checkpoints are lazy
+    (``eager=False``) and compute at the first downstream action.
+    ``localCheckpoint`` blocks are executor-pinned and non-reliable —
+    a lost executor invalidates them and downstream actions fail
+    (re-construct the operator); blocks are freed by Spark's
+    ContextCleaner when the DataFrames are garbage-collected.
+
     Returns ``(reps, members)``: ``reps`` restricted to one doc per
     distinct text under the caller's original column names; ``members``
-    maps ``__fp`` → (``__gid``, ``__rep``).  NULL-text docs keep a NULL
-    fingerprint: NULL never equals NULL in the within-group self-join,
-    and their representative produces no postings — exactly the
-    uncollapsed pipeline's behavior.
+    maps ``__fp`` → (``__gid``, ``__rep``), or ``None`` when the corpus
+    has no exact duplicates.  NULL-text docs keep a NULL fingerprint:
+    NULL never equals NULL in the within-group self-join, and their
+    representative produces no postings — exactly the uncollapsed
+    pipeline's behavior.  (Two NULL-text docs share the NULL
+    fingerprint group, so their presence routes to the collapsed path —
+    harmless: the NULL group emits no postings and no within pairs.)
     """
     base = df.select(
         F.col(id_col).alias("__gid"), F.col(text_col).alias("__gtext")
     ).withColumn("__fp", F.md5(_normalized(F.col("__gtext"))))
-    # representative per fingerprint via map-side-combinable MIN — not
-    # a window: the text column never shuffles by fingerprint and
-    # nothing materializes.  members carries only (fp, gid, rep);
-    # NULL-fingerprint (NULL text) docs drop out of the fp equi-join,
-    # which is exactly the uncollapsed behavior (no postings, no pairs).
-    groups = base.groupBy("__fp").agg(F.min("__gid").alias("__rep"))
+    # representative per fingerprint via map-side-combinable MIN+COUNT —
+    # not a window: the text column never shuffles by fingerprint.
+    # stats is one row per DISTINCT text; checkpointing it (lazily —
+    # the probe below is the materializing action) means every
+    # downstream consumer joins against the computed aggregate instead
+    # of re-running the groupBy.
+    stats = (
+        base.groupBy("__fp")
+        .agg(F.min("__gid").alias("__rep"), F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    has_dups = stats.filter(F.col("__cnt") > 1).limit(1).count() > 0
+    if not has_dups:
+        # duplicate-free: every doc is its own representative; skip the
+        # members map, the rep-selection join, and the within unions
+        return df, None
+    groups = stats.select("__fp", "__rep")
+    # members carries only (fp, gid, rep); NULL-fingerprint (NULL text)
+    # docs drop out of nothing here — the NULL group's members emit no
+    # within pairs (fp = NULL never equals itself in the self-join).
     members = (
         base.select("__fp", "__gid")
         .join(groups, "__fp")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     reps = base.join(
         groups.select(F.col("__rep").alias("__gid")), "__gid"
@@ -430,11 +480,15 @@ def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
     return reps, members
 
 
-def _expand_member_pairs(rep_pairs: DataFrame, members: DataFrame, directed: bool):
+def _expand_member_pairs(rep_pairs: DataFrame, members, directed: bool):
     """Fan verified representative pairs back out to all member pairs.
     Score columns ride along unchanged — they are functions of the
     (identical-within-group) texts.  Undirected output keeps the
-    ``id_a < id_b`` convention via least/greatest."""
+    ``id_a < id_b`` convention via least/greatest.  ``members is None``
+    (adaptive collapse, duplicate-free corpus) passes rep pairs through
+    unchanged — ids are already the originals."""
+    if members is None:
+        return rep_pairs
     ma = members.select(F.col("__rep").alias("id_a"), F.col("__gid").alias("__ga"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col("__gid").alias("__gb"))
     score_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
@@ -553,6 +607,8 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    if members is None:  # adaptive collapse: no exact duplicates
+        return cross
     # identical texts: J = n/n = exactly 1.0 (every non-null text has
     # ≥1 shingle — see shingles(); NULL fingerprints never self-join)
     within = (
@@ -992,6 +1048,8 @@ def ngram_containment_pairs(
         )
     )
     cross = _expand_member_pairs(rep_pairs, members, directed=True)
+    if members is None:  # adaptive collapse: no exact duplicates
+        return cross
     # identical texts: containment = round(n/n, 6) = exactly 1.0 both
     # directions; n_grams_a is the group's distinct shingle count
     sizes = sh.select(

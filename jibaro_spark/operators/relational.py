@@ -50,6 +50,19 @@ def asof_join(
     picks the closer candidate per left row (ties toward the earlier
     right, then min ``right_tiebreak`` — pinned, not
     engine-dependent).
+
+    CONTRACT CHANGES vs the pre-r10 join-then-rank form (r10 rewrite;
+    noted for external callers — all in-repo call sites are
+    unaffected):
+
+    * ``how`` is now restricted to ``inner``/``left`` (previously any
+      Spark join type was passed through to the underlying join);
+    * ``nearest`` no longer lets a NULL-time right row win a tie (the
+      old gap-NULL sorted first under ascending nulls-first) and a
+      NULL-left-time row no longer matches anything — NULL-key or
+      NULL-time rows on either side are fenced out up front, which is
+      the saner, test-pinned semantics
+      (``tests/test_round10_skew_guards.py``).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: unsupported how {how!r}")

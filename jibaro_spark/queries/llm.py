@@ -590,9 +590,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_clusters = dedup_clusters(
         reps.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
     )
-    mapping = members.select(
-        F.col("__gid").alias("doc_id"), F.col("__rep").alias("__r")
-    )
+    if members is None:  # adaptive collapse: every doc is its own rep
+        mapping = reps.select("doc_id", F.col("doc_id").alias("__r"))
+    else:
+        mapping = members.select(
+            F.col("__gid").alias("doc_id"), F.col("__rep").alias("__r")
+        )
     clustered = (
         docs.select("doc_id")
         .join(mapping, "doc_id", "left")

@@ -372,9 +372,12 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its representative's cluster (NULL-text docs have no rep and
     # stay singletons)
     rep_clusters = dedup_clusters(reps.select("doc_id"), pairs, "doc_id")
-    mapping = members.select(
-        F.col("__gid").alias("doc_id"), F.col("__rep").alias("__r")
-    )
+    if members is None:  # adaptive collapse: every doc is its own rep
+        mapping = reps.select("doc_id", F.col("doc_id").alias("__r"))
+    else:
+        mapping = members.select(
+            F.col("__gid").alias("doc_id"), F.col("__rep").alias("__r")
+        )
     clustered = (
         docs.select("doc_id", "n_chars")
         .join(mapping, "doc_id", "left")

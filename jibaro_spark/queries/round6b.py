@@ -653,7 +653,13 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fan-out), credit assignment is a purchase-keyed window.
 QATTR_ORACLE = """
 WITH p AS (
-  SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts
+  -- per-purchase-ROW semantics (ADVICE r10): prow is a synthetic
+  -- unique purchase key, so duplicate (or NULL) event_ids never merge
+  -- two purchases' credit windows.  Tie order among fully-identical
+  -- (user_id, ts, event_id) purchases is arbitrary but value-
+  -- irrelevant: identical purchases produce identical windows.
+  SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts,
+         ROW_NUMBER() OVER (ORDER BY user_id, ts, event_id) AS prow
   FROM events
   WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
 ), t AS (
@@ -663,11 +669,11 @@ WITH p AS (
   WHERE event_type IN ('click', 'view')
     AND user_id IS NOT NULL AND ts IS NOT NULL
 ), touched AS (
-  SELECT p.pid, t.tid, t.channel, t.tts,
-         COUNT(*) OVER (PARTITION BY p.pid) AS n,
-         ROW_NUMBER() OVER (PARTITION BY p.pid
+  SELECT p.prow, t.tid, t.channel, t.tts,
+         COUNT(*) OVER (PARTITION BY p.prow) AS n,
+         ROW_NUMBER() OVER (PARTITION BY p.prow
                             ORDER BY t.tts, t.tid NULLS FIRST) AS rf,
-         ROW_NUMBER() OVER (PARTITION BY p.pid
+         ROW_NUMBER() OVER (PARTITION BY p.prow
                             ORDER BY t.tts DESC, t.tid DESC NULLS LAST) AS rl
   FROM p JOIN t ON t.user_id = p.user_id
    AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
@@ -676,10 +682,10 @@ WITH p AS (
   -- the EXACT decimal sum of per-purchase fractions (rounded to 10),
   -- the same association the engine's linear formulation uses — a pair
   -- sum of 1.0/n is order-dependent in doubles
-  SELECT pid, channel, COUNT(*) AS cc, ANY_VALUE(n) AS n,
+  SELECT prow, channel, COUNT(*) AS cc, ANY_VALUE(n) AS n,
          SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS is_first,
          SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS is_last
-  FROM touched GROUP BY pid, channel
+  FROM touched GROUP BY prow, channel
 )
 SELECT channel,
        CAST(SUM(cc) AS BIGINT) AS n_touches,
@@ -722,6 +728,7 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("__ch"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__pid"),
+        F.lit(None).cast("timestamp").alias("__pts"),
     )
     p = ev.filter(F.col("event_type") == "purchase")
 
@@ -733,6 +740,7 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("__ch"),
             F.lit(side).alias("__side"),
             F.col("event_id").alias("__pid"),
+            F.col("ts").alias("__pts"),
         )
 
     # sides: early probe (0) BEFORE touches at the inclusive lower
@@ -784,9 +792,21 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__lastt", F.last(tstruct, ignorenulls=True).over(wa))
         .withColumn("__firstt", F.last(tstruct, ignorenulls=True).over(wd))
     )
+    # per-purchase-ROW keying (ADVICE r10): __pid alone merges probes
+    # of purchases sharing an event_id (duplicate or NULL) and F.first
+    # then picks one nondeterministically.  Key by the purchase
+    # identity (__u, __pts, __pid) PLUS a within-class row_number so
+    # every purchase row gets its own probe pair — deterministic even
+    # among fully-identical purchases, whose probe rows carry
+    # identical window values (probes contribute nothing to any
+    # carry/count, so tie-adjacent probes see the same running state).
+    wrn = Window.partitionBy("__u", "__pts", "__pid", "__side").orderBy(
+        F.lit(1)
+    )
     probes = (
         u.filter(F.col("__side") != 1)
-        .groupBy("__pid")
+        .withColumn("__rn", F.row_number().over(wrn))
+        .groupBy("__u", "__pts", "__pid", "__rn")
         .agg(
             F.first(F.when(F.col("__side") == 2, F.col("__cc")), ignorenulls=True).alias("cc_hi"),
             F.first(F.when(F.col("__side") == 0, F.col("__cc")), ignorenulls=True).alias("cc_lo"),

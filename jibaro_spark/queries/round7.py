@@ -1839,6 +1839,8 @@ def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
     )
     cross = _expand_member_pairs(rep_pairs, members, directed=False)
+    if members is None:  # adaptive collapse: no exact duplicates
+        return cross.orderBy("id_a", "id_b")
     within = _within_group_pairs(members, directed=False).select(
         "id_a", "id_b", F.lit(0).cast("bigint").alias("hamming")
     )

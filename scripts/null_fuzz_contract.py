@@ -269,6 +269,19 @@ def _build_skew_table(t: str, src: str, dst: str) -> bool:
             .sort_by("doc_id")
             .slice(0, 1)
         )
+        if base.num_rows != 1:
+            # ADVICE r10: never let the fixture silently degenerate to
+            # a plain copy — fall back to the longest non-NULL text
+            base = (
+                tab.append_column(
+                    "__len",
+                    pc.fill_null(pc.utf8_length(tab["text"]), 0),
+                )
+                .sort_by([("__len", "descending"), ("doc_id", "ascending")])
+                .slice(0, 1)
+                .drop_columns(["__len"])
+            )
+        assert base.num_rows == 1, "skew fixture: empty documents table"
         reps = pa.concat_tables([base] * n)
         dup = replace(
             reps,
