@@ -96,7 +96,6 @@ def asof_join(
         "__lpay", F.lit(None).cast(ltag.schema["__lpay"].dataType)
     ).unionByName(ltag)
 
-    frame = (Window.unboundedPreceding, Window.currentRow)
     # Ordering invariant: within equal __t, rights (side 0) precede
     # lefts (side 1) so inclusive <=/>= semantics hold; among equal
     # (__t, side) rights, the PREFERRED row sorts LAST (it is what the
@@ -104,23 +103,32 @@ def asof_join(
     asc = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
     desc = [F.col("__t").desc_nulls_last(), F.col("__side").asc()]
 
-    def carry(order) -> "F.Column":
-        w = Window.partitionBy("__k").orderBy(*order).rowsBetween(*frame)
-        # a NULL left time matches nothing in any direction
-        return F.when(
-            F.col("__t").isNotNull(), F.last("__rpay", ignorenulls=True).over(w)
+    def carry(u_df: DataFrame, order, out: str) -> DataFrame:
+        # CHUNK-PARALLEL carry (VERDICT r10 #3): a plain
+        # Window.partitionBy(key) puts a hot key's entire history in
+        # ONE task — linear after the r10 union-scan rewrite, but
+        # still a single-task sort of 50% of the input at extreme
+        # skew.  grouped_running_carry range-partitions on
+        # (key, time, side, tiebreak), so a hot key spreads across
+        # chunks and the per-chunk carries stitch with a ≤ #chunks-row
+        # offset window per key.  A NULL left time matches nothing in
+        # any direction (same fence as the window form).
+        c = grouped_running_carry(
+            u_df, ["__k"], order, last_cols=["__rpay"], last_out=[out]
+        )
+        return c.withColumn(
+            out, F.when(F.col("__t").isNotNull(), F.col(out))
         )
 
     if direction == "backward":
         # latest rt <= lt; among equal rt prefer MAX tiebreak (asc ends at max)
-        u = u.withColumn("__c", carry(asc + [F.col("__tb").asc()]))
+        u = carry(u, asc + [F.col("__tb").asc()], "__c")
     elif direction == "forward":
         # earliest rt >= lt; among equal rt prefer MIN tiebreak (desc ends at min)
-        u = u.withColumn("__c", carry(desc + [F.col("__tb").desc()]))
+        u = carry(u, desc + [F.col("__tb").desc()], "__c")
     else:  # nearest: both passes prefer MIN tiebreak (original tie order)
-        u = u.withColumn("__cb", carry(asc + [F.col("__tb").desc()])).withColumn(
-            "__cf", carry(desc + [F.col("__tb").desc()])
-        )
+        u = carry(u, asc + [F.col("__tb").desc()], "__cb")
+        u = carry(u, desc + [F.col("__tb").desc()], "__cf")
         lt = F.col("__t").cast("double")
         gb = lt - F.col("__cb").getField(right_time).cast("double")
         gf = F.col("__cf").getField(right_time).cast("double") - lt
@@ -948,6 +956,147 @@ def grouped_prefix_sum(
     return joined.drop(
         "__gpid", *[f"__lc{i}" for i in range(len(vcols))],
         *[f"__off{i}" for i in range(len(vcols))],
+    )
+
+
+def grouped_running_carry(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    last_cols: Sequence[str] = (),
+    last_out: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    sum_out: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group running ``last(col, ignorenulls=True)`` and/or
+    running ``sum(col)`` under ``order_by`` WITHOUT a per-group
+    single-task scan ([ext] scale primitive; the carry sibling of
+    :func:`grouped_prefix_sum`, built for the union-scan family —
+    as-of joins and boundary-probe attribution — whose hot-key
+    residual VERDICT r10 #3 asked to bound).
+
+    ``Window.partitionBy(group).orderBy(...)`` puts a hot key's ENTIRE
+    history in one task; at extreme skew that task sorts half the
+    input.  This computes the same carries chunked, exactly like
+    :func:`grouped_prefix_sum`:
+
+    1. range-repartition + local sort on ``group_cols + order_by`` —
+       a hot group straddles MANY chunks because the order columns
+       participate in the ranging;
+    2. per-(chunk, group) running carries — parallel windows bounded
+       by chunk size — plus each chunk's carry-OUT (the last non-null
+       value / the chunk sum) from the same sorted pass;
+    3. per-(group, chunk) carry-INs by a window over the ≤ #chunks
+       rows each group owns (``last non-null over preceding chunks``
+       for carries, prefix sum for sums) — parallel across groups,
+       never a driver collect;
+    4. null-safe join back on ``(group, chunk)``;
+       ``coalesce(local, carry_in)`` / ``local + carry_in``.
+
+    Two keyed shuffles instead of one single-task scan.  The caller
+    MUST make ``order_by`` total within each group (include a
+    tiebreak): ties would make both this and the plain window
+    nondeterministic.  ``order_by`` entries may carry directions
+    (``F.col(...).desc_nulls_last()`` etc.) — the range exchange, the
+    local sort, and every window use them verbatim.  NULL group keys
+    are handled (the offset join is null-safe), matching the plain
+    window's NULL-groups-together semantics.  Sum columns follow
+    :func:`grouped_prefix_sum`'s typing contract (integer/decimal for
+    bit-exact cross-engine results).
+    """
+    lasts = list(zip(last_cols, last_out))
+    sums = list(zip(sum_cols, sum_out))
+    if len(last_cols) != len(last_out) or len(sum_cols) != len(sum_out):
+        raise ValueError("grouped_running_carry: in/out column count mismatch")
+    if not lasts and not sums:
+        raise ValueError("grouped_running_carry: nothing to compute")
+    gcols = [F.col(c) for c in group_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # pinned range exchange (grouped_prefix_sum discipline): both the
+    # local-carry branch and the carry-in branch derive from `s`;
+    # without the checkpoint a stage retry could re-sample range
+    # boundaries and assign different __gpid values per branch.  LAZY
+    # checkpoint: within the first action both branches read the same
+    # computed exchange (then-cached blocks); eager would add a whole
+    # extra job at construction for the same retry protection.
+    s = (
+        df.repartitionByRange(n_parts, *gcols, *order_by)
+        .sortWithinPartitions(*gcols, *order_by)
+        .withColumn("__gpid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    run_w = (
+        Window.partitionBy("__gpid", *group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # same partitioning+sort, full frame: each row sees the chunk's
+    # carry-out (one Window exec, no extra exchange)
+    full_w = (
+        Window.partitionBy("__gpid", *group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    local = s
+    for i, (vc, _) in enumerate(lasts):
+        local = local.withColumn(
+            f"__lcar{i}", F.last(vc, ignorenulls=True).over(run_w)
+        ).withColumn(f"__lout{i}", F.last(vc, ignorenulls=True).over(full_w))
+    for i, (vc, _) in enumerate(sums):
+        local = local.withColumn(f"__lsum{i}", F.sum(vc).over(run_w))
+    chunk = local.groupBy("__gpid", *group_cols).agg(
+        *[F.first(f"__lout{i}").alias(f"__co{i}") for i in range(len(lasts))],
+        *[F.sum(vc).alias(f"__ct{i}") for i, (vc, _) in enumerate(sums)],
+    )
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ct_types = dict(chunk.dtypes)
+    offsets = chunk.select(
+        "__gpid",
+        *gcols,
+        *[
+            F.last(f"__co{i}", ignorenulls=True).over(off_w).alias(f"__ci{i}")
+            for i in range(len(lasts))
+        ],
+        *[
+            F.coalesce(
+                F.sum(f"__ct{i}").over(off_w),
+                F.lit(0).cast(ct_types[f"__ct{i}"]),
+            ).alias(f"__off{i}")
+            for i in range(len(sums))
+        ],
+    )
+    cond = F.col("l.__gpid") == F.col("r.__gpid")
+    for c in group_cols:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    joined = local.alias("l").join(
+        offsets.alias("r"), cond, "left"
+    ).select(
+        "l.*",
+        *[F.col(f"r.__ci{i}") for i in range(len(lasts))],
+        *[F.col(f"r.__off{i}") for i in range(len(sums))],
+    )
+    for i, (_, oc) in enumerate(lasts):
+        joined = joined.withColumn(
+            oc, F.coalesce(F.col(f"__lcar{i}"), F.col(f"__ci{i}"))
+        )
+    for i, (_, oc) in enumerate(sums):
+        joined = joined.withColumn(
+            oc,
+            F.col(f"__lsum{i}")
+            + F.coalesce(F.col(f"__off{i}"), F.lit(0).cast(ct_types[f"__ct{i}"])),
+        )
+    return joined.drop(
+        "__gpid",
+        *[f"__lcar{i}" for i in range(len(lasts))],
+        *[f"__lout{i}" for i in range(len(lasts))],
+        *[f"__ci{i}" for i in range(len(lasts))],
+        *[f"__lsum{i}" for i in range(len(sums))],
+        *[f"__off{i}" for i in range(len(sums))],
     )
 
 

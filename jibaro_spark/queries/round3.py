@@ -775,13 +775,23 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     words = docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
     wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    # pair extraction via zip_with over two char-array slices: string
+    # substr(i, 2) seeks code points from the string start (O(i) per
+    # pair → O(len²) per word), and element_at(split(...), i) inside a
+    # lambda re-evaluates the split per element — both were measured
+    # wall cliffs on the bigval class's 100k-char unbroken tokens
+    # (r11).  The slice form evaluates the split a bounded number of
+    # times; the lambda touches only its O(1) element args.
+    chars = F.split(F.col("w"), "")
+    n1 = F.length("w") - 1
     pairs = (
         wf.filter(F.length("w") >= 2)
         .select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w") - 1),
-                    lambda i: F.col("w").substr(i, F.lit(2)),
+                F.zip_with(
+                    F.slice(chars, 1, n1),
+                    F.slice(chars, 2, n1),
+                    lambda a, b: F.concat(a, b),
                 )
             ).alias("pair"),
             "freq",

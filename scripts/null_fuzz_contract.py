@@ -23,6 +23,28 @@ Fixture classes (``NULLFUZZ_CLASS`` env var):
   all-NULL row per table; documents/embeddings/events copied verbatim.
   Targets become every registered query whose source reads a
   relational table.
+* ``bigval`` — the VALUE-SIZE degeneracy (sixth class, VERDICT r10 #1):
+  the skew class covered row-COUNT skew; this one covers row-SIZE skew
+  — the other certainty of a 100 TB corpus.  Injected rows: a ~1.5 MB
+  document with a diverse 5k-word vocabulary (shingle/minhash/BPE
+  pipelines materialize per-row arrays proportional to its length), a
+  100k-char UNBROKEN token (word tokenizers, BPE word collapse), a
+  400 KB highly-repetitive document (PMI/bigram aggregation), a 600 KB
+  CJK document (byte-vs-char width contracts), and an events row whose
+  ``props`` is a ~1 MB JSON value (json extraction both engines).
+  Checks THREE contracts: hash-equality vs the oracle on the mutated
+  fixture, a wall-time band (``bigval_wall <= BIGVAL_BAND ×
+  max(base_wall, floor)`` — the payload is ≤ ~20× the fixture's
+  logical bytes, so a linear kernel rides the fixed overhead while a
+  super-linear one blows through), and a PEAK-MEMORY band: a sampler
+  thread tracks JVM heap-used (py4j) plus the RSS of every descendant
+  process (pyspark Arrow workers) during both runs, and the big run's
+  peak-over-floor must stay within ``MEM_BAND × max(base_peak, floor)
+  + MEM_PER_PAYLOAD_BYTE × payload`` — a kernel that holds more than a
+  small constant factor of a giant value in memory at once is a 100 TB
+  OOM even when its values are right.  Violations land in ``slow`` /
+  ``mem_hog`` buckets and fail the sweep; measured-intrinsic cases are
+  registered in ``BIGVAL_INTRINSIC`` with their justification.
 * ``skew`` — the CARDINALITY degeneracy (fifth class, VERDICT r9 #5):
   every mutated table doubles in volume with the new half concentrated
   on ONE hot key (customer 42 owns 50% of orders, part 7 sits on 50%
@@ -235,6 +257,150 @@ SKEW_INTRINSIC = {
 }
 
 
+# Value-size degeneracy class (sixth class, VERDICT r10 #1).  All
+# payloads are DETERMINISTIC closed-form strings (no RNG): re-runs and
+# the oracle see byte-identical fixtures.  Doc ids sit in a fresh
+# 93000xxx range with VALID lang/source/n_chars so the giant rows pass
+# every fence and reach the hot paths (a NULL-fenced giant doc tests
+# nothing).
+_BIGVAL_BAND = 10.0        # wall: bigval <= band * max(base, floor)
+_BIGVAL_FLOOR_S = 1.0
+_BIGVAL_MEM_BAND = 4.0     # mem: peak <= band * max(base_peak, floor) + per_byte * payload
+_BIGVAL_MEM_FLOOR_B = 256 << 20
+_BIGVAL_MEM_PER_PAYLOAD_BYTE = 128
+
+
+def _bigval_rows() -> "dict[str, list[dict]]":
+    # ~1.5 MB, ~250k tokens over a 5k-word vocabulary: char shingles
+    # are diverse (tens of thousands distinct) without being unique,
+    # the realistic worst case for per-row shingle materialization
+    doc_a = " ".join(f"w{(i * i + 17 * i) % 4999:04d}" for i in range(250_000))
+    # one 100k-char UNBROKEN token (no whitespace anywhere): word
+    # tokenizers yield a single giant token; BPE's word collapse gets
+    # one word with 100k-1 adjacent pairs
+    doc_b = "".join(chr(97 + (7 * i + (i * i) // 5) % 26) for i in range(100_000))
+    # ~400 KB over a 47-word vocabulary: maximal bigram/PMI mass per
+    # byte (every bigram repeats thousands of times)
+    doc_c = " ".join(f"t{(i * 13) % 47}" for i in range(100_000))
+    # ~200k chars of CJK (≈600 KB utf-8): 3-byte code points stress
+    # every byte-vs-char width assumption (length/substring/shingles
+    # are CHARacter-based in both engines — a kernel that measures
+    # bytes diverges here)
+    doc_d = "".join(chr(0x4E00 + (i * 31) % 2000) for i in range(200_000))
+    # ~1 MB single JSON value in events.props, still shaped like the
+    # fixture's ('{"k": int}' plus extra keys) so json-path queries
+    # extract from it rather than fencing it out
+    pad = "".join(chr(97 + (i * 11 + i // 7) % 26) for i in range(1_000_000))
+    big_props = json.dumps({"k": 93, "tag": "bigval", "pad": pad})
+    docs = [
+        {"doc_id": 93_000_000, "text": doc_a, "lang": "en",
+         "source": "src0", "n_chars": len(doc_a)},
+        {"doc_id": 93_000_001, "text": doc_b, "lang": "en",
+         "source": "src0", "n_chars": len(doc_b)},
+        {"doc_id": 93_000_002, "text": doc_c, "lang": "en",
+         "source": "src0", "n_chars": len(doc_c)},
+        {"doc_id": 93_000_003, "text": doc_d, "lang": "zh",
+         "source": "src0", "n_chars": len(doc_d)},
+    ]
+    events = [
+        {"event_id": 93_000_101, "ts": datetime(2024, 1, 15, 12, 0, 0),
+         "user_id": 7, "event_type": "click", "value": 1.0,
+         "props": big_props},
+    ]
+    return {"documents": docs, "events": events}
+
+
+def _bigval_payload_bytes(rows_by_table: "dict[str, list[dict]]") -> int:
+    total = 0
+    for rows in rows_by_table.values():
+        for r in rows:
+            for v in r.values():
+                if isinstance(v, str):
+                    total += len(v.encode("utf-8"))
+    return total
+
+
+# Queries whose TRUE answer/work mass grows super-linearly in a single
+# value's length — a band violation here is data-dependent work the
+# oracle pays too.  Measured justification required per entry;
+# violations report as `slow_intrinsic` / `mem_intrinsic`, non-failing.
+BIGVAL_INTRINSIC: "dict[str, str]" = {}
+BIGVAL_MEM_INTRINSIC: "dict[str, str]" = {}
+
+
+class _PeakMemSampler:
+    """Background sampler for the bigval memory band: every ~50 ms,
+    JVM heap-used (via py4j — the giant shingle arrays live there)
+    plus the summed RSS of every descendant process of this driver
+    (the pyspark Arrow workers mapInPandas kernels run in).  Peak is
+    reported as delta over the first sample, so the band measures
+    per-query growth, not the JVM's accumulated floor."""
+
+    def __init__(self, jvm):
+        self._rt = jvm.java.lang.Runtime.getRuntime()
+        self._stop = False
+        self._peak = 0
+        self._floor = None
+        self._thread = None
+
+    @staticmethod
+    def _descendant_rss() -> int:
+        me = os.getpid()
+        children: "dict[int, list[int]]" = {}
+        rss: "dict[int, int]" = {}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                ppid = int(parts[1])
+                rss[int(pid_s)] = int(parts[21]) * os.sysconf("SC_PAGESIZE")
+                children.setdefault(ppid, []).append(int(pid_s))
+            except (OSError, IndexError, ValueError):
+                continue
+        total, stack, seen = 0, [me], {me}
+        while stack:
+            for c in children.get(stack.pop(), ()):
+                if c not in seen:
+                    seen.add(c)
+                    stack.append(c)
+                    total += rss.get(c, 0)
+        return total
+
+    def _sample(self) -> int:
+        heap = int(self._rt.totalMemory() - self._rt.freeMemory())
+        return heap + self._descendant_rss()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                s = self._sample()
+            except Exception:
+                break
+            if self._floor is None:
+                self._floor = s
+            self._peak = max(self._peak, s)
+            time.sleep(0.05)
+
+    def __enter__(self):
+        import threading
+
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop = True
+        self._thread.join(timeout=2.0)
+
+    @property
+    def peak_delta(self) -> int:
+        if self._floor is None:
+            return 0
+        return max(0, self._peak - self._floor)
+
+
 def _build_skew_table(t: str, src: str, dst: str) -> bool:
     """Write the skewed twin of table ``t``; False if copied verbatim."""
     import pyarrow as pa
@@ -357,8 +523,12 @@ def build_fixture() -> str:
             with open(marker, "w") as f:
                 f.write(CLS)
         return out
-    if CLS in ("relational", "floatdegen"):
-        rows_by_table = RELATIONAL_ROWS if CLS == "relational" else FLOATDEGEN_ROWS
+    if CLS in ("relational", "floatdegen", "bigval"):
+        rows_by_table = (
+            RELATIONAL_ROWS
+            if CLS == "relational"
+            else FLOATDEGEN_ROWS if CLS == "floatdegen" else _bigval_rows()
+        )
         for t in TABLES:
             src = os.path.join(SRC, f"{t}.parquet")
             dst = os.path.join(out, f"{t}.parquet")
@@ -479,6 +649,10 @@ def module_reads_doc_tables(fn) -> bool:
             f'"{t}"' in src or f"'{t}'" in src
             for t in ("orders", "lineitem", "events", "documents", "embeddings")
         )
+    if CLS == "bigval":
+        return any(
+            f'"{t}"' in src or f"'{t}'" in src for t in ("documents", "events")
+        )
     return (
         '"documents"' in src
         or '"embeddings"' in src
@@ -506,6 +680,9 @@ def main() -> None:
     fails, crashes, crashed_both, checked = [], [], [], 0
     slow: "list[dict]" = []
     slow_intrinsic: "list[dict]" = []
+    mem_hogs: "list[dict]" = []
+    mem_intrinsic: "list[dict]" = []
+    payload_b = _bigval_payload_bytes(_bigval_rows()) if CLS == "bigval" else 0
     for i, (name, fn) in enumerate(sorted(targets.items())):
         # rows-only queries (no oracle) are not value-hashed, so their
         # runs materialize via count() rather than collect(): a skewed
@@ -514,15 +691,22 @@ def main() -> None:
         # trip the wall band on output volume, not plan work
         rows_only = name not in oracles
         base_wall = None
-        if CLS == "skew":
+        base_peak = None
+        big_peak = None
+        if CLS in ("skew", "bigval"):
             # pristine-fixture run FIRST: establishes the per-query
             # baseline (and absorbs whole-stage-codegen JIT, which the
-            # identical skew-run plan then reuses — the band measures
-            # DATA sensitivity, not compilation)
+            # identical mutated-run plan then reuses — the band
+            # measures DATA sensitivity, not compilation)
             tb = time.time()
             try:
                 base = fn(spark, SRC)
-                base.count() if rows_only else base.collect()
+                if CLS == "bigval":
+                    with _PeakMemSampler(spark._jvm) as ms:
+                        base.count() if rows_only else base.collect()
+                    base_peak = ms.peak_delta
+                else:
+                    base.count() if rows_only else base.collect()
                 base_wall = time.time() - tb
             except Exception:
                 base_wall = None
@@ -530,7 +714,14 @@ def main() -> None:
         try:
             df = fn(spark, fixture)
             cols = df.columns
-            if rows_only:
+            if CLS == "bigval":
+                with _PeakMemSampler(spark._jvm) as ms:
+                    if rows_only:
+                        rows = df.count()
+                    else:
+                        rows = [tuple(r) for r in df.collect()]
+                big_peak = ms.peak_delta
+            elif rows_only:
                 rows = df.count()
             else:
                 rows = [tuple(r) for r in df.collect()]
@@ -552,26 +743,59 @@ def main() -> None:
             )
             continue
         skew_wall = time.time() - t0
-        if CLS == "skew" and base_wall is not None:
-            limit = _SKEW_BAND * _SKEW_VOLUME_RATIO * max(base_wall, _SKEW_FLOOR_S)
+        if CLS in ("skew", "bigval") and base_wall is not None:
+            if CLS == "skew":
+                limit = _SKEW_BAND * _SKEW_VOLUME_RATIO * max(
+                    base_wall, _SKEW_FLOOR_S
+                )
+            else:
+                limit = _BIGVAL_BAND * max(base_wall, _BIGVAL_FLOOR_S)
             if skew_wall > limit:
                 entry = {
                     "name": name,
                     "base_s": round(base_wall, 2),
-                    "skew_s": round(skew_wall, 2),
+                    "mutated_s": round(skew_wall, 2),
                     "limit_s": round(limit, 2),
                 }
-                if name in SKEW_INTRINSIC:
-                    entry["reason"] = SKEW_INTRINSIC[name]
+                intrinsic = (
+                    SKEW_INTRINSIC if CLS == "skew" else BIGVAL_INTRINSIC
+                )
+                if name in intrinsic:
+                    entry["reason"] = intrinsic[name]
                     slow_intrinsic.append(entry)
-                    tag = "SKEW-SLOW-INTRINSIC"
+                    tag = f"{CLS.upper()}-SLOW-INTRINSIC"
                 else:
                     slow.append(entry)
-                    tag = "SKEW-SLOW"
+                    tag = f"{CLS.upper()}-SLOW"
                 print(
                     f"[{i+1}/{len(targets)}] {name}: {tag} "
-                    f"base={base_wall:.2f}s skew={skew_wall:.2f}s "
+                    f"base={base_wall:.2f}s mutated={skew_wall:.2f}s "
                     f"limit={limit:.2f}s",
+                    flush=True,
+                )
+        if CLS == "bigval" and big_peak is not None:
+            mem_limit = _BIGVAL_MEM_BAND * max(
+                base_peak or 0, _BIGVAL_MEM_FLOOR_B
+            ) + _BIGVAL_MEM_PER_PAYLOAD_BYTE * payload_b
+            if big_peak > mem_limit:
+                entry = {
+                    "name": name,
+                    "base_peak_mb": round((base_peak or 0) / 2**20),
+                    "big_peak_mb": round(big_peak / 2**20),
+                    "limit_mb": round(mem_limit / 2**20),
+                }
+                if name in BIGVAL_MEM_INTRINSIC:
+                    entry["reason"] = BIGVAL_MEM_INTRINSIC[name]
+                    mem_intrinsic.append(entry)
+                    tag = "BIGVAL-MEM-INTRINSIC"
+                else:
+                    mem_hogs.append(entry)
+                    tag = "BIGVAL-MEM-HOG"
+                print(
+                    f"[{i+1}/{len(targets)}] {name}: {tag} "
+                    f"base={((base_peak or 0) / 2**20):.0f}MB "
+                    f"big={big_peak / 2**20:.0f}MB "
+                    f"limit={mem_limit / 2**20:.0f}MB",
                     flush=True,
                 )
         if name not in oracles:
@@ -617,10 +841,22 @@ def main() -> None:
             f"skew <= {_SKEW_BAND} * {_SKEW_VOLUME_RATIO} * max(base, "
             f"{_SKEW_FLOOR_S}s)"
         )
+    if CLS == "bigval":
+        summary["slow"] = slow
+        summary["slow_intrinsic"] = slow_intrinsic
+        summary["mem_hog"] = mem_hogs
+        summary["mem_intrinsic"] = mem_intrinsic
+        summary["band"] = (
+            f"wall <= {_BIGVAL_BAND} * max(base, {_BIGVAL_FLOOR_S}s); "
+            f"peak <= {_BIGVAL_MEM_BAND} * max(base_peak, "
+            f"{_BIGVAL_MEM_FLOOR_B >> 20}MB) + "
+            f"{_BIGVAL_MEM_PER_PAYLOAD_BYTE} B/payload-B "
+            f"(payload {payload_b >> 20}MB)"
+        )
     print(json.dumps(summary), flush=True)
     if not os.environ.get("NULLFUZZ_DIR"):
         shutil.rmtree(fixture, ignore_errors=True)
-    sys.exit(1 if (fails or crashes or slow) else 0)
+    sys.exit(1 if (fails or crashes or slow or mem_hogs) else 0)
 
 
 if __name__ == "__main__":
