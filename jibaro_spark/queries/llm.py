@@ -22,6 +22,34 @@ _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
+def _zipgrams(lst: str, k: int, joiner: str = "' '") -> str:
+    """O(n) DuckDB word-``k``-gram fragment (bigval class, r11).
+
+    The previous oracle idiom — ``list_transform(range(1, C + 1), i ->
+    array_to_string(lst[i:i+{k-1}], ' '))`` with ``C = greatest(len - (k-1),
+    1)`` — evaluates a list SLICE per position, which DuckDB executes in
+    O(position) (measured: 99.6 s for one 50k-token list, quadratic), so
+    the bigval fixture's 250k-token document turned every shingle oracle
+    into hours of single-threaded scaffolding.  ``list_zip`` of the k
+    shifted views is one O(k·n) pass (0.057 s on the same list) and is
+    bit-identical: trailing positions zip NULL padding, which
+    ``array_to_string`` skips — exactly the old form's end-clamped short
+    grams — and the CASE reproduces the old form's single-NULL gram for
+    NULL/empty token lists (``greatest(NULL, 1) = 1`` made the old range
+    yield one NULL gram there).  Single-ELEMENT lambda access is O(1)
+    (measured); only slices carried the quadratic cost.
+    """
+    shifted = ", ".join([lst] + [f"({lst})[{j}:]" for j in range(2, k + 1)])
+    fields = ", ".join(f"x[{j}]" for j in range(1, k + 1))
+    return (
+        f"CASE WHEN {lst} IS NULL OR len({lst}) = 0 "
+        f"THEN [CAST(NULL AS VARCHAR)] "
+        f"ELSE list_transform(list_zip({shifted})"
+        f"[1:greatest(len({lst}) - {k - 1}, 1)], "
+        f"x -> array_to_string([{fields}], {joiner})) END"
+    )
+
+
 QTOK_ORACLE = f"""
 SELECT doc_id,
        len({_TOKS}) AS n_tokens,
@@ -293,10 +321,7 @@ WITH toks AS (
   SELECT doc_id, {_TOKS} AS words FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(words) - 2, 1) + 1),
-           i -> array_to_string(words[i:i+2], ' ')
-         )) AS s
+         list_distinct({_zipgrams('words', 3)}) AS s
   FROM toks
 ), ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh
@@ -434,16 +459,20 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-QROLLFP_ORACLE = """
+QROLLFP_ORACLE = f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
   FROM documents WHERE text IS NOT NULL
+), cs AS (
+  -- char array once; the old per-i substring(t, i+1, 8) seeks code
+  -- points from the string start = O(len²) per doc (bigval class)
+  SELECT doc_id, string_split(t, '') AS c FROM norm
 ), sk AS (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(list_transform(
-           range(0, greatest(length(t) - 8, 0) + 1),
-           i -> md5(substring(t, CAST(i + 1 AS INTEGER), 8))))), 1, 4) AS fp
-  FROM norm
+           {_zipgrams('c', 8, "''")},
+           g -> md5(g)))), 1, 4) AS fp
+  FROM cs
 )
 SELECT doc_id,
        CAST(len(fp) AS BIGINT)  AS n_hashes,
@@ -513,10 +542,7 @@ WITH RECURSIVE fp AS (
   FROM documents d JOIN grp g ON g.rep = d.doc_id
 ), sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(words) - 2, 1) + 1),
-           i -> array_to_string(words[i:i+2], ' ')
-         )) AS s
+         list_distinct({_zipgrams('words', 3)}) AS s
   FROM toks
 ), ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh
@@ -905,8 +931,7 @@ WITH t AS (
   WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), g AS (
   SELECT doc_id, LENGTH(nt) AS len,
-         unnest(list_transform(generate_series(0, greatest(len(w)-1,1)-1),
-                               i -> array_to_string(list_slice(w, i+1, i+2), ' '))) AS gram
+         unnest({_zipgrams('w', 2)}) AS gram
   FROM t
 ), c AS (
   SELECT doc_id, len, gram, COUNT(*) AS cnt FROM g GROUP BY 1,2,3
@@ -964,8 +989,7 @@ QDECON_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (
   SELECT doc_id,
-         unnest(list_distinct(list_transform(generate_series(0, greatest(len(w)-3,1)-1),
-                i -> array_to_string(list_slice(w, i+1, i+4), ' ')))) AS gram
+         unnest(list_distinct({_zipgrams('w', 4)})) AS gram
   FROM t
 ),
 ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0)
@@ -1180,16 +1204,30 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QCHUNK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS} AS w FROM documents
-), c AS (
+), tok AS (
+  -- explode once; each token lands in at most ceil(32/24) = 2 chunks.
+  -- The old per-chunk list_slice paid O(chunk_start) per slice —
+  -- quadratic over the bigval fixture's 250k-token document.
   SELECT doc_id,
-         unnest(list_transform(generate_series(0, CAST(floor(CAST(len(w)-1 AS DOUBLE)/24.0) AS BIGINT)),
-                i -> struct_pack(chunk_id := CAST(i AS BIGINT),
-                                 chunk_text := array_to_string(list_slice(w, i*24+1, i*24+32), ' ')))) AS ch
+         unnest(w) AS tk,
+         unnest(range(1, len(w)+1)) AS pos,
+         CAST(floor(CAST(len(w)-1 AS DOUBLE)/24.0) AS BIGINT) AS max_chunk
   FROM t
+), asg AS (
+  -- token pos belongs to chunk i iff i*24+1 <= pos <= i*24+32
+  SELECT doc_id, tk, pos,
+         unnest(range(
+           greatest(CAST(ceil(CAST(pos-32 AS DOUBLE)/24.0) AS BIGINT), 0),
+           least(CAST(floor(CAST(pos-1 AS DOUBLE)/24.0) AS BIGINT), max_chunk) + 1
+         )) AS chunk_id
+  FROM tok
+), c AS (
+  SELECT doc_id, chunk_id, string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+  FROM asg GROUP BY doc_id, chunk_id
 )
-SELECT doc_id, ch.chunk_id AS chunk_id,
-       CAST(len(string_split(ch.chunk_text, ' ')) AS BIGINT) AS n_tokens,
-       md5(ch.chunk_text) AS chunk_md5
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
+       md5(chunk_text) AS chunk_md5
 FROM c
 ORDER BY doc_id, chunk_id
 """
@@ -1218,11 +1256,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole signature oracle-checked — the cross-engine contract for the
 # xxhash64 production signatures (estimator accuracy tested in pytest).
 QMHSIG_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
-            i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
-  FROM documents WHERE text IS NOT NULL
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, list_distinct({_zipgrams('words', 3)}) AS sh FROM tk
 ), s AS (
   SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
   FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i
@@ -1251,11 +1288,10 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Verifiable-mode SimHash: md5-nibble bit votes (identical in DuckDB) —
 # the cross-engine contract for the xxhash64 production fingerprints.
 QSIMSIG_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-1,1)-1),
-            i -> array_to_string(list_slice({_TOKS}, i+1, i+2), ' '))) AS sh
-  FROM documents WHERE text IS NOT NULL
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, list_distinct({_zipgrams('words', 2)}) AS sh FROM tk
 ), b AS (
   SELECT doc_id, p.range AS pos,
          SUM(CASE WHEN (CAST(('0x' || substr(md5(u.g), CAST(p.range//4 AS BIGINT)+1, 1)) AS INTEGER)

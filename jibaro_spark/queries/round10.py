@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jibaro_spark.queries.llm import _zipgrams
 from jibaro_spark.queries.registry import declare, load_tables
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -240,8 +241,7 @@ WITH RECURSIVE fp AS (
   SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f
 ), t AS (
   SELECT d.doc_id, d.n_chars,
-         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
-            i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
+         list_distinct({_zipgrams(_TOKS, 3)}) AS sh
   FROM documents d JOIN grp g ON g.rep = d.doc_id
 ), s AS (
   SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m

@@ -21,7 +21,7 @@ from jibaro_spark.operators import similarity as sim
 from jibaro_spark.operators import textops as tx
 from jibaro_spark.operators.graph import triangle_count
 from jibaro_spark.operators.relational import exact_quantiles_bucketed
-from jibaro_spark.queries.llm import _NORM, _TOKS
+from jibaro_spark.queries.llm import _NORM, _TOKS, _zipgrams
 from jibaro_spark.queries.registry import declare, load_tables
 
 
@@ -625,8 +625,7 @@ WITH d AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(range(0, greatest(len(ts) - {_XDUP_N - 1}, 1)),
-                i -> array_to_string(list_slice(ts, i + 1, i + {_XDUP_N}), ' '))) AS s
+         unnest({_zipgrams('ts', _XDUP_N)}) AS s
   FROM d
 ), occ AS (
   SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs_with FROM sh GROUP BY s

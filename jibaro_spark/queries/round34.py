@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jibaro_spark.queries.llm import _zipgrams
 from jibaro_spark.queries.registry import declare, load_tables
 
 _TOKS = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
@@ -28,9 +29,7 @@ WITH t AS (
   FROM documents
 ), sh AS (
   SELECT DISTINCT split,
-         unnest(list_distinct(list_transform(
-           generate_series(0, greatest(len(w) - 3, 1) - 1),
-           i -> array_to_string(list_slice(w, i + 1, i + 4), ' ')))) AS gram
+         unnest(list_distinct({_zipgrams('w', 4)})) AS gram
   FROM t
 ), flags AS (
   SELECT gram,

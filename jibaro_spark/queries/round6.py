@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jibaro_spark.queries.llm import _zipgrams
 from jibaro_spark.queries.registry import declare, load_tables
 
 # ---------------------------------------------------------------------------
@@ -284,8 +285,7 @@ WITH toks AS (
 ), wins AS (
   SELECT doc_id,
          CASE WHEN len(tk) >= 8
-              THEN list_transform(range(1, len(tk) - 6),
-                                  i -> array_to_string(tk[i:i+7], ' '))
+              THEN {_zipgrams('tk', 8)}
               ELSE [] END AS ws
   FROM toks
 ), w AS (

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jibaro_spark.queries.llm import _zipgrams
 from jibaro_spark.queries.registry import declare, load_tables
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -728,11 +729,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the deduplicated candidates, mirroring the production operator's
 # shuffle discipline (operators/dedup.py:167).
 QMHPAIRS_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-2,1)-1),
-            i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))) AS sh
-  FROM documents
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents
+), t AS (
+  SELECT doc_id, list_distinct({_zipgrams('words', 3)}) AS sh FROM tk
 ), s AS (
   SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
   FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i
@@ -1737,11 +1737,10 @@ def q_chunked_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differing bits — all integer, so the driver hash checks candidate
 # generation and the Hamming filter end to end.
 QSHPAIRS_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(0, greatest(len({_TOKS})-1,1)-1),
-            i -> array_to_string(list_slice({_TOKS}, i+1, i+2), ' '))) AS sh
-  FROM documents
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents
+), t AS (
+  SELECT doc_id, list_distinct({_zipgrams('words', 2)}) AS sh FROM tk
 ), b AS (
   SELECT doc_id, p.range AS pos,
          SUM(CASE WHEN (CAST(('0x' || substr(md5(u.g), CAST(p.range//4 AS BIGINT)+1, 1)) AS INTEGER)

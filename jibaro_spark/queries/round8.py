@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jibaro_spark.queries.llm import _zipgrams
 from jibaro_spark.queries.registry import declare, load_tables
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -276,9 +277,7 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 QNOVEL_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_sql_md5_mod('doc_id', 'v', 5)} AS bucket,
-         unnest(list_distinct(list_transform(
-             generate_series(0, greatest(len({_TOKS}) - 2, 1) - 1),
-             i -> array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')))) AS g
+         unnest(list_distinct({_zipgrams(_TOKS, 3)})) AS g
   FROM documents
 ), vocab AS (
   SELECT DISTINCT g FROM sh WHERE bucket <> 0

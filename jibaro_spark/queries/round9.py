@@ -621,16 +621,14 @@ def q_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regex has a single auditable copy.  Both sides threshold the
 # ROUNDED containment, so the boundary comparison is identical.
 from jibaro_spark.queries.llm import _TOKS as _TOKS9  # noqa: E402
+from jibaro_spark.queries.llm import _zipgrams  # noqa: E402
 
 QCONTAIN_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS9} AS words FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(words) - 2, 1) + 1),
-           i -> array_to_string(words[i:i+2], ' ')
-         )) AS s
+         list_distinct({_zipgrams('words', 3)}) AS s
   FROM toks
 ), ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh

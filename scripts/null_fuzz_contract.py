@@ -257,6 +257,71 @@ SKEW_INTRINSIC = {
 }
 
 
+def _kcore_staged_oracle() -> "list[str]":
+    """Probe-side STAGED twin of q_kcore_peel's registered oracle
+    (VERDICT r10 #5).  The single-statement oracle chains each peel
+    round's edge set through ``NOT IN`` subqueries; DuckDB re-inlines
+    multiply-referenced CTEs there, so evaluating round r re-runs every
+    earlier round's lineitem self-join — exponential re-evaluation that
+    exhausted local disk on the r10 sf0.1 skew probe.  Materializing
+    each round as a temp table runs every stage EXACTLY ONCE with
+    byte-identical semantics (same NOT IN forms over the same row
+    sets), making the probe hash-checkable end-to-end.  The registered
+    driver oracle is unchanged (it is fine at sf0.01)."""
+    from jibaro_spark.queries.round11 import _KC_K, _KC_R
+
+    stmts = [
+        """CREATE OR REPLACE TEMP TABLE kc_co AS
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS cnt
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2""",
+        """CREATE OR REPLACE TEMP TABLE kc_s0 AS
+  WITH st AS (SELECT CEIL(1.3 * (SUM(cnt) / COUNT(*))) AS thr FROM kc_co),
+  e0 AS (SELECT u, v FROM kc_co, st WHERE cnt >= thr)
+  SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0""",
+        """CREATE OR REPLACE TEMP TABLE kc_a0 AS
+  SELECT DISTINCT l_suppkey AS n FROM lineitem""",
+    ]
+    for r in range(1, _KC_R + 1):
+        stmts += [
+            f"""CREATE OR REPLACE TEMP TABLE kc_k{r} AS
+  SELECT n FROM kc_a{r-1} LEFT JOIN
+    (SELECT src, COUNT(*) AS deg FROM kc_s{r-1} GROUP BY src) d ON n = d.src
+  WHERE COALESCE(deg, 0) < {_KC_K}""",
+            f"""CREATE OR REPLACE TEMP TABLE kc_s{r} AS
+  SELECT src, dst FROM kc_s{r-1}
+  WHERE src NOT IN (SELECT n FROM kc_k{r})
+    AND dst NOT IN (SELECT n FROM kc_k{r})""",
+            f"""CREATE OR REPLACE TEMP TABLE kc_a{r} AS
+  SELECT n FROM kc_a{r-1} WHERE n NOT IN (SELECT n FROM kc_k{r})""",
+        ]
+    rounds_case = " ".join(
+        f"WHEN kc_a0.n IN (SELECT n FROM kc_k{r}) THEN {r}"
+        for r in range(1, _KC_R + 1)
+    )
+    stmts.append(
+        f"""SELECT kc_a0.n AS suppkey,
+       CAST(CASE {rounds_case} END AS BIGINT) AS peeled_round,
+       CAST(CASE WHEN kc_a0.n IN (SELECT n FROM kc_a{_KC_R})
+                 THEN COALESCE(f.deg, 0) END AS BIGINT) AS deg
+FROM kc_a0 LEFT JOIN
+  (SELECT src, COUNT(*) AS deg FROM kc_s{_KC_R} GROUP BY src) f
+  ON kc_a0.n = f.src
+ORDER BY suppkey"""
+    )
+    return stmts
+
+
+# Probe-side staged twins: single-statement oracles whose CTE chains
+# DuckDB re-inlines super-linearly on the mutated fixtures.  Each entry
+# is a list of statements executed in order; the LAST one's result is
+# hash-compared.  Registered driver oracles are untouched.
+STAGED_ORACLES: "dict[str, callable]" = {
+    "q_kcore_peel": _kcore_staged_oracle,
+}
+
+
 # Value-size degeneracy class (sixth class, VERDICT r10 #1).  All
 # payloads are DETERMINISTIC closed-form strings (no RNG): re-runs and
 # the oracle see byte-identical fixtures.  Doc ids sit in a fresh
@@ -732,7 +797,13 @@ def main() -> None:
             both = False
             if name in oracles:
                 try:
-                    con.sql(oracles[name]).fetchall()
+                    if name in STAGED_ORACLES:
+                        _stmts = STAGED_ORACLES[name]()
+                        for _s in _stmts[:-1]:
+                            con.execute(_s)
+                        con.sql(_stmts[-1]).fetchall()
+                    else:
+                        con.sql(oracles[name]).fetchall()
                 except Exception:
                     both = True
             (crashed_both if both else crashes).append(name)
@@ -807,7 +878,13 @@ def main() -> None:
             checked += 1
             continue
         try:
-            rel = con.sql(oracles[name])
+            if name in STAGED_ORACLES:
+                stmts = STAGED_ORACLES[name]()
+                for stmt in stmts[:-1]:
+                    con.execute(stmt)
+                rel = con.sql(stmts[-1])
+            else:
+                rel = con.sql(oracles[name])
             d_cols, d_rows = list(rel.columns), rel.fetchall()
         except Exception as ex:
             crashes.append(name)
