@@ -1124,6 +1124,13 @@ def sorted_neighborhood_pairs(
     )
 
 
+# Gram positions per exploded chunk row in duplicated_char_spans: big
+# enough that chunking overhead (one O(n) substring seek per chunk) is
+# noise, small enough that the per-row transient char/struct arrays
+# stay KB-scale whatever the document size.
+_SPAN_CHUNK = 8192
+
+
 def duplicated_char_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1185,12 +1192,42 @@ def duplicated_char_spans(
         df.select(id_col, text_col).filter(F.col(id_col).isNotNull()),
         by=id_col,
     )
-    grams = src.where(F.length(text_col) >= k).select(
+    # Two-level fan-out (bigval class, r11).  The direct form —
+    # ``transform(sequence(1, n-k+1), i -> substring(text, i, k))`` —
+    # is O(n²) per document: Spark's UTF8String substring seeks code
+    # points from the string START on every call (measured 232 s for
+    # ONE 300k-char document; the bigval fixture's 1.5 MB document
+    # never finished).  Instead: (1) cut the text into overlapping
+    # chunk rows of ``_SPAN_CHUNK`` gram positions (+k-1 tail overlap
+    # so every gram is whole in exactly one chunk) — ceil(n/C) seeks of
+    # O(n) each = O(n²/C), ~0.3 s at 1.5 MB; (2) per chunk, split to a
+    # char array ONCE (bound as a column, never re-evaluated inside the
+    # lambda) and build each gram with an O(k) array slice.  Total
+    # O(n·k) per document, and the transient per-row array is
+    # chunk-sized, not document-sized — a multi-MB document neither
+    # quadratics a task nor holds a document-sized struct array.
+    chunks = (
+        src.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform("
+                    f"sequence(1, length({text_col}) - {k - 1}, {_SPAN_CHUNK}), "
+                    f"s -> struct(s AS off, "
+                    f"substring({text_col}, s, {_SPAN_CHUNK + k - 1}) AS ct))"
+                )
+            ).alias("__ch"),
+        )
+        .select(id_col, "__ch.off", F.split(F.col("__ch.ct"), "").alias("__cs"))
+    )
+    grams = chunks.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(1, length({text_col}) - {k - 1}), "
-                f"i -> struct(i AS pos, substring({text_col}, i, {k}) AS g))"
+                f"transform(sequence(1, least({_SPAN_CHUNK}, size(__cs) - {k - 1})), "
+                f"j -> struct(off + j - 1 AS pos, "
+                f"concat_ws('', slice(__cs, j, {k})) AS g))"
             )
         ).alias("__pg"),
     ).select(
