@@ -1369,12 +1369,15 @@ WITH f AS (
          ROUND(1.0 / (1.0 + EXP(-z)), 6) - y AS err
   FROM z
 ), g AS (
+  -- floor(x*1e8 + 0.5)/1e8, not ROUND(x, 8): tie-deterministic across
+  -- engines (same IEEE ops both sides; ROUND half-boundary behavior
+  -- differs by 1ulp between Spark and DuckDB — bigval class, r11)
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(CAST(ROUND(err, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_bias,
-         CAST(SUM(CAST(ROUND(err * alpha_ratio, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_alpha,
-         CAST(SUM(CAST(ROUND(err * uniq_token_ratio, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_uniq,
-         CAST(SUM(CAST(ROUND(err * punct_ratio, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_punct,
-         CAST(SUM(CAST(ROUND(err * ntk, 8) AS DECIMAL(28,10))) AS DOUBLE) AS g_ntk
+         CAST(SUM(CAST(floor(err * 1e8 + 0.5)/1e8 AS DECIMAL(28,10))) AS DOUBLE) AS g_bias,
+         CAST(SUM(CAST(floor(err * alpha_ratio * 1e8 + 0.5)/1e8 AS DECIMAL(28,10))) AS DOUBLE) AS g_alpha,
+         CAST(SUM(CAST(floor(err * uniq_token_ratio * 1e8 + 0.5)/1e8 AS DECIMAL(28,10))) AS DOUBLE) AS g_uniq,
+         CAST(SUM(CAST(floor(err * punct_ratio * 1e8 + 0.5)/1e8 AS DECIMAL(28,10))) AS DOUBLE) AS g_punct,
+         CAST(SUM(CAST(floor(err * ntk * 1e8 + 0.5)/1e8 AS DECIMAL(28,10))) AS DOUBLE) AS g_ntk
   FROM e
 )
 SELECT n_rows, g_bias, g_alpha, g_uniq, g_punct, g_ntk,
@@ -1436,7 +1439,15 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dsum(expr):
-        return F.sum(F.round(expr, 8).cast("decimal(28,10)")).cast("double")
+        # tie-deterministic 8dp round (bigval class, r11): ROUND(x, 8)
+        # disagrees between engines at half boundaries (Spark rounds
+        # the double's exact decimal expansion; DuckDB's float round
+        # is off by 1ulp there) — 8 fixture rows diverged by 1e-8 and
+        # the giant-doc rows pushed two gradient sums onto a 6dp
+        # boundary.  floor(x·1e8 + 0.5)/1e8 is the same IEEE double
+        # arithmetic on both sides (the q_holt_winters contract).
+        r8 = F.floor(expr * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+        return F.sum(r8.cast("decimal(28,10)")).cast("double")
 
     g = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
