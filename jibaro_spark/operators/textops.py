@@ -325,8 +325,17 @@ def chunk_documents(
 #:
 #: Reference parity note: the reference engine has no PII pass; this is
 #: part of the BASELINE.json [ext] training-pipeline mandate.
+#: The email quantifiers are CAPPED at the RFC limits (64-char local
+#: part, RFC 5321; 253-char domain, 63-char TLD label, RFC 1035) — not
+#: for validity but for scan cost: with an unbounded ``[class]+`` the
+#: matcher re-scans the remaining run from every start position, O(n²)
+#: over a long PII-class run (the bigval fixture's 100k-char unbroken
+#: token took the scrub from 0.6 s to 472 s).  A cap bounds every
+#: attempt at ~380 chars, restoring O(n·cap).  RFC-valid emails match
+#: identically; only locals/domains beyond the RFC limits change (the
+#: redaction then covers the trailing in-limit slice).
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("email", r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\.[A-Za-z]{2,63}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
 ]
