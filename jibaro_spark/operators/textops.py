@@ -130,11 +130,29 @@ def rolling_hash_fingerprint(
     hash_fn = F.xxhash64 if hasher == "xxhash64" else F.md5
 
     def over(t: Column) -> Column:
-        sh = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.length(t) - window, F.lit(0))),
-            lambda i: hash_fn(F.substring(t, i + 1, F.lit(window))),
+        # k-gram windows over the CHAR ARRAY, not substring(t, i, w):
+        # UTF8String substring seeks code points from the string start,
+        # so the per-position form is O(len²) per document — the bigval
+        # fixture's 1.5 MB document never finished (r11).  The char
+        # array is bound once via its own 1-element-array lambda (an
+        # inline split would re-split per position); slice(cs, j, w) is
+        # an O(w) array copy.
+        def body(cs: Column) -> Column:
+            sh = F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(cs) - (window - 1), F.lit(1))
+                ),
+                lambda j: hash_fn(F.concat_ws("", F.slice(cs, j, window))),
+            )
+            return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
+
+        # NULL input: the old per-position form yielded one NULL-input
+        # hash window — [NULL] under md5, [seed 42] under xxhash64
+        # (xxhash64 never returns NULL) — preserved exactly
+        null_sketch = F.array(hash_fn(F.lit(None).cast("string")))
+        return F.when(t.isNull(), null_sketch).otherwise(
+            F.transform(F.array(F.split(t, "")), body)[0]
         )
-        return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
 
     return F.transform(F.array(normalized_text(col)), over)[0]
 
