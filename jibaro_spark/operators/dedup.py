@@ -1186,12 +1186,9 @@ def duplicated_char_spans(
     # deterministic hash partitioning on the id so the two consumers
     # of `grams` (doc-frequency agg, position rejoin) reuse one
     # exchange instead of re-exploding from a round-robin shuffle.
-    src = ensure_parallelism(
-        # a NULL id cannot contribute doc frequency (countDistinct
-        # skips NULLs) so it must not receive spans either
-        df.select(id_col, text_col).filter(F.col(id_col).isNotNull()),
-        by=id_col,
-    )
+    # a NULL id cannot contribute doc frequency (countDistinct skips
+    # NULLs) so it must not receive spans either
+    src = df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
     # Two-level fan-out (bigval class, r11).  The direct form —
     # ``transform(sequence(1, n-k+1), i -> substring(text, i, k))`` —
     # is O(n²) per document: Spark's UTF8String substring seeks code
@@ -1219,7 +1216,15 @@ def duplicated_char_spans(
                 )
             ).alias("__ch"),
         )
-        .select(id_col, "__ch.off", F.split(F.col("__ch.ct"), "").alias("__cs"))
+        .select(id_col, "__ch.off", "__ch.ct")
+    )
+    # spread at CHUNK granularity, not document granularity: keyed on
+    # (id, off) a multi-MB document's chunks fan across tasks instead
+    # of serializing its whole gram fan-out on one core (bigval r11 —
+    # measured 2.8× band overshoot with doc-keyed spreading).  Still
+    # exactly one deterministic exchange feeding both gram consumers.
+    chunks = ensure_parallelism(chunks, by=[id_col, "off"]).select(
+        id_col, "off", F.split(F.col("ct"), "").alias("__cs")
     )
     grams = chunks.select(
         F.col(id_col),

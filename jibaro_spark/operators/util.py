@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(
     df: DataFrame,
     min_partitions: int | None = None,
-    by: str | None = None,
+    by: "str | list[str] | None" = None,
 ) -> DataFrame:
     """Repartition ONLY when the input is under-partitioned.
 
@@ -31,6 +31,7 @@ def ensure_parallelism(
         from pyspark.sql import functions as F
 
         if by is not None:
-            return df.repartition(target, F.col(by))
+            cols = [by] if isinstance(by, str) else list(by)
+            return df.repartition(target, *[F.col(c) for c in cols])
         return df.repartition(target)
     return df

@@ -403,6 +403,7 @@ class _PeakMemSampler:
 
     def __init__(self, jvm):
         self._rt = jvm.java.lang.Runtime.getRuntime()
+        self._jvm = jvm
         self._stop = False
         self._peak = 0
         self._floor = None
@@ -451,6 +452,14 @@ class _PeakMemSampler:
     def __enter__(self):
         import threading
 
+        # collect the PREVIOUS queries' garbage before the floor sample:
+        # mid-sweep, un-collected heap from earlier queries otherwise
+        # lands in THIS query's delta (observed: a spurious 1.6 GB
+        # "peak" on q_pmi_bigrams that vanishes standalone)
+        try:
+            self._jvm.java.lang.System.gc()
+        except Exception:
+            pass
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
         return self
