@@ -138,13 +138,36 @@ def rolling_hash_fingerprint(
         # inline split would re-split per position); slice(cs, j, w) is
         # an O(w) array copy.
         def body(cs: Column) -> Column:
-            sh = F.transform(
+            # incremental bottom-`keep` fold, NOT materialize-all-then-
+            # sort: transform+array_distinct holds every window hash of
+            # the document at once (a 1.5 MB doc = 1.5M hashes → 5.4 GB
+            # transient heap, the bigval memory band's worst finding).
+            # The running accumulator of the `keep` smallest DISTINCT
+            # hashes is O(keep) per step and equals
+            # slice(array_sort(array_distinct(all)), 1, keep) exactly:
+            # a hash evicted from the bottom-k can never re-enter (the
+            # accumulator's max only decreases), and duplicates of kept
+            # hashes are skipped by the contains check.
+            acc0 = F.array().cast(
+                "array<string>" if hasher == "md5" else "array<bigint>"
+            )
+
+            def step(acc: Column, j: Column) -> Column:
+                h = hash_fn(F.concat_ws("", F.slice(cs, j, window)))
+                inserted = F.slice(
+                    F.array_sort(F.concat(acc, F.array(h))), 1, keep
+                )
+                return F.when(F.array_contains(acc, h), acc).otherwise(
+                    inserted
+                )
+
+            return F.aggregate(
                 F.sequence(
                     F.lit(1), F.greatest(F.size(cs) - (window - 1), F.lit(1))
                 ),
-                lambda j: hash_fn(F.concat_ws("", F.slice(cs, j, window))),
+                acc0,
+                step,
             )
-            return F.slice(F.array_sort(F.array_distinct(sh)), 1, keep)
 
         # NULL input: the old per-position form yielded one NULL-input
         # hash window — [NULL] under md5, [seed 42] under xxhash64

@@ -858,6 +858,27 @@ def main() -> None:
                 base_peak or 0, _BIGVAL_MEM_FLOOR_B
             ) + _BIGVAL_MEM_PER_PAYLOAD_BYTE * payload_b
             if big_peak > mem_limit:
+                # peak heap-used counts COLLECTABLE garbage: a fast-
+                # allocating linear kernel can spike gigabytes of
+                # transient arrays mid-sweep when the JVM is near its
+                # growth threshold from earlier queries.  Re-measure
+                # once after a GC before flagging — real live-memory
+                # amplification (e.g. a document-sized materialized
+                # hash array) reproduces; allocation-churn noise does
+                # not (observed: 2.1 GB "peak" on q_simhash_near_dup
+                # mid-sweep vs in-band standalone).
+                try:
+                    spark._jvm.java.lang.System.gc()
+                except Exception:
+                    pass
+                try:
+                    df2 = fn(spark, fixture)
+                    with _PeakMemSampler(spark._jvm) as ms2:
+                        df2.count() if rows_only else df2.collect()
+                    big_peak = min(big_peak, ms2.peak_delta or big_peak)
+                except Exception:
+                    pass
+            if big_peak > mem_limit:
                 entry = {
                     "name": name,
                     "base_peak_mb": round((base_peak or 0) / 2**20),
