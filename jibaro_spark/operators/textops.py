@@ -154,11 +154,20 @@ def rolling_hash_fingerprint(
 
             def step(acc: Column, j: Column) -> Column:
                 h = hash_fn(F.concat_ws("", F.slice(cs, j, window)))
+                # fast path: once the accumulator is full, a hash at or
+                # above the kept maximum can neither enter nor be a new
+                # distinct member — P(insert) ~ keep/i, so all but
+                # O(keep·ln n) windows take the allocation-free branch.
+                # F.get returns NULL while acc is short, and
+                # (size>=keep) & (h >= NULL) is false under Kleene
+                # logic, so the slow path runs until the acc fills.
+                at_cap = F.size(acc) >= keep
+                skip = at_cap & (h >= F.get(acc, F.lit(keep - 1)))
                 inserted = F.slice(
                     F.array_sort(F.concat(acc, F.array(h))), 1, keep
                 )
-                return F.when(F.array_contains(acc, h), acc).otherwise(
-                    inserted
+                return F.when(skip, acc).otherwise(
+                    F.when(F.array_contains(acc, h), acc).otherwise(inserted)
                 )
 
             return F.aggregate(
