@@ -1223,16 +1223,20 @@ def duplicated_char_spans(
     # of serializing its whole gram fan-out on one core (bigval r11 —
     # measured 2.8× band overshoot with doc-keyed spreading).  Still
     # exactly one deterministic exchange feeding both gram consumers.
-    chunks = ensure_parallelism(chunks, by=[id_col, "off"]).select(
-        id_col, "off", F.split(F.col("ct"), "").alias("__cs")
-    )
+    chunks = ensure_parallelism(chunks, by=[id_col, "off"])
+    # WITHIN a chunk, per-position substring is fine: its seek cost is
+    # bounded by the chunk length, so a document of any size pays
+    # O(len·C/2) total instead of O(len²) — and a ≤C-char document
+    # takes exactly the pre-chunking plan (one chunk, same substring
+    # windows, no char-array/split/concat allocation: the slice-based
+    # gram build measured 2.8× on the sf0.1 bench corpus of ~1 KB docs
+    # where the quadratic never bites).
     grams = chunks.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(1, least({_SPAN_CHUNK}, size(__cs) - {k - 1})), "
-                f"j -> struct(off + j - 1 AS pos, "
-                f"concat_ws('', slice(__cs, j, {k})) AS g))"
+                f"transform(sequence(1, least({_SPAN_CHUNK}, length(ct) - {k - 1})), "
+                f"j -> struct(off + j - 1 AS pos, substring(ct, j, {k}) AS g))"
             )
         ).alias("__pg"),
     ).select(

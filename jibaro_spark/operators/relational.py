@@ -967,6 +967,8 @@ def grouped_running_carry(
     last_out: Sequence[str] = (),
     sum_cols: Sequence[str] = (),
     sum_out: Sequence[str] = (),
+    rev_last_cols: Sequence[str] = (),
+    rev_last_out: Sequence[str] = (),
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact per-group running ``last(col, ignorenulls=True)`` and/or
@@ -994,10 +996,17 @@ def grouped_running_carry(
     4. null-safe join back on ``(group, chunk)``;
        ``coalesce(local, carry_in)`` / ``local + carry_in``.
 
-    Two keyed shuffles instead of one single-task scan.  The caller
-    MUST make ``order_by`` total within each group (include a
-    tiebreak): ties would make both this and the plain window
-    nondeterministic.  ``order_by`` entries may carry directions
+    Two keyed shuffles instead of one single-task scan.
+    ``rev_last_cols``/``rev_last_out`` compute the running
+    last-non-null under the exactly-REVERSED order (every direction
+    and null-placement flipped) in the SAME pass: on a total order
+    that equals first-non-null over the ``[current, unbounded
+    following]`` frame of the ascending sort, so a caller needing both
+    directions (first-touch + last-touch attribution) pays one range
+    exchange, not two.  The caller MUST make ``order_by`` total within
+    each group (include a tiebreak): ties would make both this and the
+    plain window nondeterministic (and would break the reversal
+    equivalence).  ``order_by`` entries may carry directions
     (``F.col(...).desc_nulls_last()`` etc.) — the range exchange, the
     local sort, and every window use them verbatim.  NULL group keys
     are handled (the offset join is null-safe), matching the plain
@@ -1007,9 +1016,14 @@ def grouped_running_carry(
     """
     lasts = list(zip(last_cols, last_out))
     sums = list(zip(sum_cols, sum_out))
-    if len(last_cols) != len(last_out) or len(sum_cols) != len(sum_out):
+    revs = list(zip(rev_last_cols, rev_last_out))
+    if (
+        len(last_cols) != len(last_out)
+        or len(sum_cols) != len(sum_out)
+        or len(rev_last_cols) != len(rev_last_out)
+    ):
         raise ValueError("grouped_running_carry: in/out column count mismatch")
-    if not lasts and not sums:
+    if not lasts and not sums and not revs:
         raise ValueError("grouped_running_carry: nothing to compute")
     gcols = [F.col(c) for c in group_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -1038,6 +1052,16 @@ def grouped_running_carry(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    # reversed running carry ON THE SAME ascending sort: running
+    # last-non-null under the exactly-reversed total order equals
+    # first-non-null over the [current, unbounded following] frame —
+    # no second range exchange, no re-sort (the caller's order must be
+    # total within groups, so the reversal is exact).
+    rev_run_w = (
+        Window.partitionBy("__gpid", *group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     local = s
     for i, (vc, _) in enumerate(lasts):
         local = local.withColumn(
@@ -1045,14 +1069,26 @@ def grouped_running_carry(
         ).withColumn(f"__lout{i}", F.last(vc, ignorenulls=True).over(full_w))
     for i, (vc, _) in enumerate(sums):
         local = local.withColumn(f"__lsum{i}", F.sum(vc).over(run_w))
+    for i, (vc, _) in enumerate(revs):
+        local = local.withColumn(
+            f"__rcar{i}", F.first(vc, ignorenulls=True).over(rev_run_w)
+        ).withColumn(f"__rout{i}", F.first(vc, ignorenulls=True).over(full_w))
     chunk = local.groupBy("__gpid", *group_cols).agg(
         *[F.first(f"__lout{i}").alias(f"__co{i}") for i in range(len(lasts))],
         *[F.sum(vc).alias(f"__ct{i}") for i, (vc, _) in enumerate(sums)],
+        *[F.first(f"__rout{i}").alias(f"__cr{i}") for i in range(len(revs))],
     )
     off_w = (
         Window.partitionBy(*group_cols)
         .orderBy("__gpid")
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # reversed carry-in: first non-null chunk carry among the LATER
+    # chunks of the same group
+    rev_off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__gpid")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
     ct_types = dict(chunk.dtypes)
     offsets = chunk.select(
@@ -1061,6 +1097,12 @@ def grouped_running_carry(
         *[
             F.last(f"__co{i}", ignorenulls=True).over(off_w).alias(f"__ci{i}")
             for i in range(len(lasts))
+        ],
+        *[
+            F.first(f"__cr{i}", ignorenulls=True)
+            .over(rev_off_w)
+            .alias(f"__rin{i}")
+            for i in range(len(revs))
         ],
         *[
             F.coalesce(
@@ -1078,11 +1120,16 @@ def grouped_running_carry(
     ).select(
         "l.*",
         *[F.col(f"r.__ci{i}") for i in range(len(lasts))],
+        *[F.col(f"r.__rin{i}") for i in range(len(revs))],
         *[F.col(f"r.__off{i}") for i in range(len(sums))],
     )
     for i, (_, oc) in enumerate(lasts):
         joined = joined.withColumn(
             oc, F.coalesce(F.col(f"__lcar{i}"), F.col(f"__ci{i}"))
+        )
+    for i, (_, oc) in enumerate(revs):
+        joined = joined.withColumn(
+            oc, F.coalesce(F.col(f"__rcar{i}"), F.col(f"__rin{i}"))
         )
     for i, (_, oc) in enumerate(sums):
         joined = joined.withColumn(
@@ -1095,6 +1142,9 @@ def grouped_running_carry(
         *[f"__lcar{i}" for i in range(len(lasts))],
         *[f"__lout{i}" for i in range(len(lasts))],
         *[f"__ci{i}" for i in range(len(lasts))],
+        *[f"__rcar{i}" for i in range(len(revs))],
+        *[f"__rout{i}" for i in range(len(revs))],
+        *[f"__rin{i}" for i in range(len(revs))],
         *[f"__lsum{i}" for i in range(len(sums))],
         *[f"__off{i}" for i in range(len(sums))],
     )

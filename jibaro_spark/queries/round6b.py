@@ -777,6 +777,12 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__iv", F.when(F.col("__ch") == "view", 1).otherwise(0))
         .withColumn("__ts1", tstruct)
     )
+    # ONE carry pass (r11): the descending first-touch order
+    # (__t desc, __side desc, __tid desc_nulls_last) is the EXACT
+    # reversal of the ascending order below, so it rides the same
+    # range exchange as a rev_last carry — one exchange + checkpoint
+    # instead of two (the r10-close bench attributed the second pass
+    # at ~1.5 s of the query's 3.3× move).
     u = grouped_running_carry(
         u,
         ["__u"],
@@ -789,17 +795,8 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_out=["__lastt"],
         sum_cols=["__ic", "__iv"],
         sum_out=["__cc", "__cv"],
-    )
-    u = grouped_running_carry(
-        u,
-        ["__u"],
-        [
-            F.col("__t").desc(),
-            F.col("__side").desc(),
-            F.col("__tid").desc_nulls_last(),
-        ],
-        last_cols=["__ts1"],
-        last_out=["__firstt"],
+        rev_last_cols=["__ts1"],
+        rev_last_out=["__firstt"],
     )
     # per-purchase-ROW keying (ADVICE r10): __pid alone merges probes
     # of purchases sharing an event_id (duplicate or NULL) and F.first

@@ -90,3 +90,68 @@ def test_carry_input_validation(spark, carry_df):
             carry_df, ["k"], [F.col("t").asc()],
             last_cols=["payload"], last_out=[],
         )
+
+
+def test_rev_carry_matches_plain_desc_window(spark, carry_df):
+    """rev_last on the ascending sort == plain running last under the
+    exactly-reversed order, computed in the SAME pass as the forward
+    carry and the running sums (one range exchange for both
+    directions — the r11 attribution merge)."""
+    from jibaro_spark.operators.relational import grouped_running_carry
+
+    out = grouped_running_carry(
+        carry_df,
+        ["k"],
+        [F.col("t").asc()],
+        last_cols=["payload"],
+        last_out=["carry"],
+        sum_cols=["amt"],
+        sum_out=["cum"],
+        rev_last_cols=["payload"],
+        rev_last_out=["rcarry"],
+        num_partitions=16,
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = (
+        carry_df.withColumn(
+            "carry", F.last("payload", ignorenulls=True).over(w)
+        )
+        .withColumn("cum", F.sum("amt").over(w))
+        .withColumn("rcarry", F.last("payload", ignorenulls=True).over(wd))
+    )
+    got = {(r.k, r.t): (r.carry, r.cum, r.rcarry) for r in out.collect()}
+    want = {(r.k, r.t): (r.carry, r.cum, r.rcarry) for r in exp.collect()}
+    assert got == want
+
+
+def test_rev_carry_only(spark, carry_df):
+    from jibaro_spark.operators.relational import grouped_running_carry
+
+    out = grouped_running_carry(
+        carry_df,
+        ["k"],
+        [F.col("t").desc_nulls_last()],
+        rev_last_cols=["payload"],
+        rev_last_out=["rc"],
+        num_partitions=16,
+    )
+    wd = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = carry_df.withColumn(
+        "rc", F.last("payload", ignorenulls=True).over(wd)
+    )
+    got = {(r.k, r.t): r.rc for r in out.collect()}
+    want = {(r.k, r.t): r.rc for r in exp.collect()}
+    assert got == want
