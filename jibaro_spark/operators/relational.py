@@ -864,7 +864,11 @@ def grouped_prefix_sum(
     Two keyed shuffles instead of one single-task scan.  The caller
     MUST make ``order_cols`` total within each group (include a unique
     id): ties would make both this and the plain window
-    nondeterministic.  ``value_col`` should be integer/decimal typed
+    nondeterministic.  NULL group keys are handled (null-safe offset
+    join, NULLs group together as in the plain window), and NULLABLE
+    value columns keep the plain window's running-sum NULL contract
+    (NULL iff the whole preceding frame is NULL — ADVICE r11 #1).
+    ``value_col`` should be integer/decimal typed
     if a bit-exact cross-engine result is required — chunked double
     addition has a different rounding order than a sequential scan.
 
@@ -929,20 +933,43 @@ def grouped_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ct_types = dict(chunk_tot.dtypes)
+    # __off is left RAW (NULL when no prior chunk holds a non-null
+    # value) so the combine below can reproduce the plain window's
+    # NULL contract: running F.sum is NULL iff the whole preceding
+    # frame is NULL, i.e. iff BOTH the chunk-local running sum and the
+    # prior-chunks carry are NULL.  coalescing either side early would
+    # turn "no non-null value yet" into 0 (or, symmetrically, a plain
+    # `off + lc` would turn "all-NULL chunk after a non-null carry"
+    # into NULL).
     offsets = chunk_tot.select(
         "__gpid",
         *gcols,
         *[
-            F.coalesce(
-                F.sum(f"__ct{i}").over(off_w),
-                F.lit(0).cast(ct_types[f"__ct{i}"]),
-            ).alias(f"__off{i}")
+            F.sum(f"__ct{i}").over(off_w).alias(f"__off{i}")
             for i in range(len(vcols))
         ],
     )
-    joined = local.join(offsets, ["__gpid", *group_cols])
+    # null-safe offset join: NULL group keys form a group of their own
+    # under the plain window (and under groupBy above) — a USING join
+    # would silently drop their rows (ADVICE r11 #1 follow-up).
+    jcond = F.col("l.__gpid") == F.col("r.__gpid")
+    for c in group_cols:
+        jcond = jcond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    joined = (
+        local.alias("l")
+        .join(offsets.alias("r"), jcond, "left")
+        .select("l.*", *[F.col(f"r.__off{i}") for i in range(len(vcols))])
+    )
     for i, oc in enumerate(outs):
-        joined = joined.withColumn(oc, F.col(f"__off{i}") + F.col(f"__lc{i}"))
+        off_c, lc_c = F.col(f"__off{i}"), F.col(f"__lc{i}")
+        zero = F.lit(0).cast(ct_types[f"__ct{i}"])
+        joined = joined.withColumn(
+            oc,
+            F.when(
+                off_c.isNull() & lc_c.isNull(),
+                F.lit(None).cast(ct_types[f"__ct{i}"]),
+            ).otherwise(F.coalesce(off_c, zero) + F.coalesce(lc_c, zero)),
+        )
     if total_cols is not None:
         totals = chunk_tot.groupBy(*gcols).agg(
             *[
@@ -952,7 +979,14 @@ def grouped_prefix_sum(
         )
         if broadcast_totals:
             totals = F.broadcast(totals)
-        joined = joined.join(totals, list(group_cols))
+        tcond = F.lit(True)
+        for c in group_cols:
+            tcond = tcond & F.col(f"jl.{c}").eqNullSafe(F.col(f"jr.{c}"))
+        joined = (
+            joined.alias("jl")
+            .join(totals.alias("jr"), tcond, "left")
+            .select("jl.*", *[F.col(f"jr.{tc}") for tc in total_cols])
+        )
     return joined.drop(
         "__gpid", *[f"__lc{i}" for i in range(len(vcols))],
         *[f"__off{i}" for i in range(len(vcols))],
@@ -994,7 +1028,10 @@ def grouped_running_carry(
        for carries, prefix sum for sums) — parallel across groups,
        never a driver collect;
     4. null-safe join back on ``(group, chunk)``;
-       ``coalesce(local, carry_in)`` / ``local + carry_in``.
+       ``coalesce(local, carry_in)`` for carries; for sums a
+       NULL-aware add (NULL iff both local running sum and carry-in
+       are NULL — the plain window's running-``F.sum`` contract for
+       all-NULL prefixes).
 
     Two keyed shuffles instead of one single-task scan.
     ``rev_last_cols``/``rev_last_out`` compute the running
@@ -1105,10 +1142,11 @@ def grouped_running_carry(
             for i in range(len(revs))
         ],
         *[
-            F.coalesce(
-                F.sum(f"__ct{i}").over(off_w),
-                F.lit(0).cast(ct_types[f"__ct{i}"]),
-            ).alias(f"__off{i}")
+            # RAW prior-chunks sum (NULL when every earlier chunk's
+            # total is NULL) — the combine below needs the distinction
+            # to keep the plain window's NULL contract (see
+            # grouped_prefix_sum).
+            F.sum(f"__ct{i}").over(off_w).alias(f"__off{i}")
             for i in range(len(sums))
         ],
     )
@@ -1132,10 +1170,17 @@ def grouped_running_carry(
             oc, F.coalesce(F.col(f"__rcar{i}"), F.col(f"__rin{i}"))
         )
     for i, (_, oc) in enumerate(sums):
+        # plain-window NULL contract: running F.sum is NULL iff the
+        # whole preceding frame is NULL — i.e. chunk-local running sum
+        # AND prior-chunks carry both NULL (ADVICE r11 #1).
+        off_c, lsum_c = F.col(f"__off{i}"), F.col(f"__lsum{i}")
+        zero = F.lit(0).cast(ct_types[f"__ct{i}"])
         joined = joined.withColumn(
             oc,
-            F.col(f"__lsum{i}")
-            + F.coalesce(F.col(f"__off{i}"), F.lit(0).cast(ct_types[f"__ct{i}"])),
+            F.when(
+                off_c.isNull() & lsum_c.isNull(),
+                F.lit(None).cast(ct_types[f"__ct{i}"]),
+            ).otherwise(F.coalesce(off_c, zero) + F.coalesce(lsum_c, zero)),
         )
     return joined.drop(
         "__gpid",

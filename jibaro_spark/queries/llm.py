@@ -38,6 +38,14 @@ def _zipgrams(lst: str, k: int, joiner: str = "' '") -> str:
     NULL/empty token lists (``greatest(NULL, 1) = 1`` made the old range
     yield one NULL gram there).  Single-ELEMENT lambda access is O(1)
     (measured); only slices carried the quadratic cost.
+
+    CALLER CONTRACT (ADVICE r11 #4): ``lst`` is interpolated TEXTUALLY
+    into k shifted views plus the len()/CASE sites — pass a
+    pre-materialized list COLUMN (bind tokenization in a ``tk``/
+    ``toks`` CTE first, as the shingle call sites do), never a complex
+    expression like ``_TOKS`` directly, or the tokenizer chain is
+    inlined 5+ times and only DuckDB's CSE stands between you and
+    re-tokenizing every document per shifted view.
     """
     shifted = ", ".join([lst] + [f"({lst})[{j}:]" for j in range(2, k + 1)])
     fields = ", ".join(f"x[{j}]" for j in range(1, k + 1))

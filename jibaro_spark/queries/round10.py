@@ -239,10 +239,14 @@ WITH RECURSIVE fp AS (
   FROM documents WHERE text IS NOT NULL
 ), grp AS (
   SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f
-), t AS (
-  SELECT d.doc_id, d.n_chars,
-         list_distinct({_zipgrams(_TOKS, 3)}) AS sh
+), tk AS (
+  -- bind the token list ONCE (_zipgrams caller contract)
+  SELECT d.doc_id, d.n_chars, {_TOKS} AS words
   FROM documents d JOIN grp g ON g.rep = d.doc_id
+), t AS (
+  SELECT doc_id, n_chars,
+         list_distinct({_zipgrams('words', 3)}) AS sh
+  FROM tk
 ), s AS (
   SELECT doc_id, i.range AS slot, min(md5(CAST(i.range AS VARCHAR) || '|' || u.g)) AS m
   FROM t, unnest(t.sh) AS u(g), range(0, 16) AS i

@@ -275,10 +275,16 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate.  Trigram generation is the repo's shingle idiom (bind
 # the token array once; clamp short docs to one shingle).
 QNOVEL_ORACLE = f"""
-WITH sh AS (
+WITH tk AS (
+  -- bind the token list ONCE (_zipgrams caller contract): the k-gram
+  -- fragment interpolates its argument into k shifted views
   SELECT doc_id, {_sql_md5_mod('doc_id', 'v', 5)} AS bucket,
-         unnest(list_distinct({_zipgrams(_TOKS, 3)})) AS g
+         {_TOKS} AS words
   FROM documents
+), sh AS (
+  SELECT doc_id, bucket,
+         unnest(list_distinct({_zipgrams('words', 3)})) AS g
+  FROM tk
 ), vocab AS (
   SELECT DISTINCT g FROM sh WHERE bucket <> 0
 ), test AS (

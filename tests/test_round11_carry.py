@@ -133,6 +133,54 @@ def test_rev_carry_matches_plain_desc_window(spark, carry_df):
     assert got == want
 
 
+def test_nullable_sum_matches_plain_window(spark):
+    """ADVICE r11 #1: running sums over a NULLABLE value column must
+    keep the plain window's NULL contract — NULL iff every value in
+    the preceding frame is NULL, never 'NULL because this row's CHUNK
+    has seen no non-null yet'.  Randomized null placement, including a
+    long all-NULL run inside the hot group (so some chunk's local
+    running sum is entirely NULL while earlier chunks carried a
+    value), and an all-NULL group (result must stay NULL, not 0)."""
+    import random
+
+    from jibaro_spark.operators.relational import grouped_running_carry
+    from jibaro_spark.operators.relational import grouped_prefix_sum
+
+    rng = random.Random(1112)
+    rows = []
+    for g in ["a", "allnull", "hot", None]:
+        n = 600 if g == "hot" else 31
+        for i in range(n):
+            if g == "allnull":
+                v = None
+            elif g == "hot" and 100 <= i < 400:
+                v = None  # all-NULL run spanning several 16-way chunks
+            else:
+                v = rng.randrange(-50, 50) if rng.random() < 0.6 else None
+            rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "k string, t long, amt long")
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.k, r.t): r.cum
+        for r in df.withColumn("cum", F.sum("amt").over(w)).collect()
+    }
+    carry = grouped_running_carry(
+        df, ["k"], [F.col("t").asc()],
+        sum_cols=["amt"], sum_out=["cum"], num_partitions=16,
+    )
+    got = {(r.k, r.t): r.cum for r in carry.collect()}
+    assert got == want
+    pfx = grouped_prefix_sum(
+        df, ["k"], ["t"], "amt", "cum", num_partitions=16
+    )
+    got2 = {(r.k, r.t): r.cum for r in pfx.collect()}
+    assert got2 == want
+
+
 def test_rev_carry_only(spark, carry_df):
     from jibaro_spark.operators.relational import grouped_running_carry
 

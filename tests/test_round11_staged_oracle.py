@@ -17,28 +17,22 @@ Pure DuckDB (no SparkSession): the contract under test is SQL-vs-SQL.
 
 from __future__ import annotations
 
-import importlib.util
 import os
-import sys
 
 import duckdb
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF = os.path.join(REPO, os.pardir, "testdata", "sf0.001")
-SF = os.path.abspath("/root/testdata/sf0.001")
+SF = os.path.abspath(os.path.join(REPO, os.pardir, "testdata", "sf0.001"))
 
 
 def _staged_stmts():
-    """Load _kcore_staged_oracle WITHOUT importing the harness module
-    (its import builds a SparkSession)."""
-    sys.path.insert(0, REPO)
-    src = open(os.path.join(REPO, "scripts", "null_fuzz_contract.py")).read()
-    body = src[src.index("def _kcore_staged_oracle") :]
-    body = body[: body.index("\n# Probe-side staged twins")]
-    ns: dict = {}
-    exec(body, {"__name__": "staged"}, ns)
-    return ns["_kcore_staged_oracle"]()
+    """The staged twin lives in an importable side-effect-free module
+    (no SparkSession on import) — ADVICE r11 #3 replaced the old
+    exec-of-a-source-slice loader."""
+    from jibaro_spark.queries.staged_oracles import STAGED_ORACLES
+
+    return STAGED_ORACLES["q_kcore_peel"]()
 
 
 def _registered_oracle():
@@ -59,6 +53,8 @@ def _run_both(con):
 
 
 def test_staged_kcore_equals_registered_pristine():
+    if not os.path.isdir(SF):
+        pytest.skip(f"fixture dir absent: {SF}")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
@@ -73,6 +69,8 @@ def test_staged_kcore_equals_registered_skewed():
     """Probe-shaped mutation: the duplicate half moves every lineitem to
     a shifted orderkey with one hot part (the skew class's lineitem
     rule) — the densified graph the r10 probe could not oracle-check."""
+    if not os.path.isdir(SF):
+        pytest.skip(f"fixture dir absent: {SF}")
     pa = pytest.importorskip("pyarrow")
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
