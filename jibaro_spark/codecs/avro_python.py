@@ -289,38 +289,33 @@ def decode_confluent_batch_avro_python(
     batch: DataFrame,
     schema_resolver,
     on_tombstone: str = "drop",
+    scratch_dir: "str | None" = None,
+    spill_threshold: "int | None" = None,
 ) -> list:
     """Schema-partitioned Confluent Avro decode (R7) on the Python
-    codec — same native slicing + pair loop as the jar path; each
-    pair's payloads parse with exactly that pair's reader schema
+    codec — same native slicing + pair loop as the jar path (shared
+    :func:`~jibaro_spark.codecs.confluent.pair_frames` skeleton, incl.
+    the staged many-schema route); each pair's payloads parse with
+    exactly that pair's reader schema
     (``schema_resolver(role, id) -> StructType``)."""
     from pyspark.sql import functions as F
 
-    from jibaro_spark.codecs.confluent import KAFKA_META_COLS, split_wire_format
+    from jibaro_spark.codecs.confluent import (
+        KAFKA_META_COLS,
+        SPILL_THRESHOLD,
+        pair_frames,
+        split_wire_format,
+    )
 
     sliced = split_wire_format(batch, "avro")
-    pairs = [
-        (r.keySchemaId, r.valueSchemaId)
-        for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
-    ]
-    pairs.sort(key=lambda p: (p[0] is None, p[1] is None, p[0] or 0, p[1] or 0))
     out = []
-    for key_id, value_id in pairs:
-        if value_id is None:
-            if on_tombstone == "error":
-                raise ValueError(f"tombstone rows for keySchemaId={key_id}")
-            if on_tombstone == "drop":
-                continue
-        cond = (
-            F.col("keySchemaId").isNull()
-            if key_id is None
-            else (F.col("keySchemaId") == key_id)
-        ) & (
-            F.col("valueSchemaId").isNull()
-            if value_id is None
-            else (F.col("valueSchemaId") == value_id)
-        )
-        part = sliced.filter(cond).drop("key", "value")
+    for key_id, value_id, part in pair_frames(
+        sliced,
+        on_tombstone,
+        scratch_dir,
+        SPILL_THRESHOLD if spill_threshold is None else spill_threshold,
+    ):
+        part = part.drop("key", "value")
         if value_id is not None:
             part = decode_avro_python(
                 part, "valuePayload", schema_resolver("value", value_id), "value"

@@ -431,6 +431,116 @@ DECODERS: Mapping[str, Callable[[Column, str], Column]] = {
 
 KAFKA_META_COLS = ["topic", "partition", "offset", "timestamp", "timestampType"]
 
+#: Above this many distinct schema pairs a caller-supplied scratch dir
+#: switches :func:`pair_frames` to the staged (partition-pruned) route.
+SPILL_THRESHOLD = 16
+
+
+def pair_frames(
+    sliced: DataFrame,
+    on_tombstone: str = "drop",
+    scratch_dir: "str | None" = None,
+    spill_threshold: int = SPILL_THRESHOLD,
+) -> "list[tuple[int | None, int | None, DataFrame]]":
+    """Distinct ``(keySchemaId, valueSchemaId)`` pairs of a wire-sliced
+    batch plus one frame per pair, in deterministic (None-safe) order —
+    the loop skeleton shared by all three decode lanes (jar,
+    avro-python, protobuf-python).
+
+    **Direct route** (the common few-schema batch): each frame is a
+    ``filter`` over ``sliced``; a downstream action scans the whole
+    batch per pair.  Fine for a handful of in-flight schema versions —
+    O(pairs × batch) total scan.
+
+    **Staged route** (``scratch_dir`` set AND pairs > spill_threshold —
+    the schema-shape degeneracy fence, VERDICT r11 #2): ONE extra pass
+    writes the sliced batch to ``scratch_dir`` partitioned by schema
+    pair; each frame then reads ONLY its own partition directory, so
+    total scan volume is O(batch) regardless of pair count — the
+    difference between a 10k-distinct-schema-id batch decoding in two
+    data passes and a 10k-fold job storm re-scanning the batch per id.
+    The driver loop stays O(pairs) metadata work either way (the
+    reference's loop shape, ``avro_handler.py:41-96``).  The caller
+    owns ``scratch_dir`` cleanup (it holds one re-partitioned copy of
+    the batch).
+
+    Tombstone pairs (null valueSchemaId) are routed BEFORE staging:
+    ``drop`` filters them out of the scratch write entirely.
+    """
+    if on_tombstone not in ("drop", "keep", "error"):
+        raise ValueError(
+            f"on_tombstone must be drop|keep|error, got {on_tombstone!r}"
+        )
+    pairs = [
+        (r.keySchemaId, r.valueSchemaId)
+        for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
+    ]
+    pairs.sort(key=lambda p: (p[0] is None, p[1] is None, p[0] or 0, p[1] or 0))
+    tombstones = [p for p in pairs if p[1] is None]
+    if tombstones and on_tombstone == "error":
+        raise ValueError(
+            f"tombstone rows (null value) in batch for keySchemaId="
+            f"{tombstones[0][0]}"
+        )
+    if on_tombstone == "drop":
+        pairs = [p for p in pairs if p[1] is not None]
+
+    def _direct(key_id, value_id):
+        cond = (
+            F.col("keySchemaId").isNull()
+            if key_id is None
+            else (F.col("keySchemaId") == key_id)
+        ) & (
+            F.col("valueSchemaId").isNull()
+            if value_id is None
+            else (F.col("valueSchemaId") == value_id)
+        )
+        return sliced.filter(cond)
+
+    if scratch_dir is None or len(pairs) <= spill_threshold:
+        return [(k, v, _direct(k, v)) for k, v in pairs]
+
+    spark = sliced.sparkSession
+    staged = sliced
+    if on_tombstone == "drop" and tombstones:
+        staged = staged.filter(F.col("valueSchemaId").isNotNull())
+    # partition on COPIES (null ids → sentinel -1): partitionBy drops
+    # the partition columns from the data files, so the originals
+    # survive as data columns and each leaf-directory read comes back
+    # with the full sliced schema
+    (
+        staged.withColumn(
+            "__kid", F.coalesce(F.col("keySchemaId"), F.lit(-1))
+        )
+        .withColumn("__vid", F.coalesce(F.col("valueSchemaId"), F.lit(-1)))
+        # cluster rows by pair before the dynamic-partition write: each
+        # task then writes a bounded slice of the pair domain instead
+        # of every task holding an open writer per in-flight pair (the
+        # many-partitions writer amplification), and each pair lands in
+        # one file per owning task
+        .repartition(
+            spark.sparkContext.defaultParallelism, "__kid", "__vid"
+        )
+        .write.partitionBy("__kid", "__vid")
+        .parquet(scratch_dir)
+    )
+
+    # the leaf files hold exactly the sliced schema (partitionBy drops
+    # only the __kid/__vid copies) — passing it explicitly skips the
+    # per-leaf footer-inference job, which at 10k pairs is the
+    # difference between O(pairs) cheap listings and 10k schema-read
+    # jobs at construction
+    leaf_schema = staged.drop("__kid", "__vid").schema
+
+    def _staged(key_id, value_id):
+        leaf = (
+            f"{scratch_dir}/__kid={-1 if key_id is None else key_id}"
+            f"/__vid={-1 if value_id is None else value_id}"
+        )
+        return spark.read.schema(leaf_schema).parquet(leaf)
+
+    return [(k, v, _staged(k, v)) for k, v in pairs]
+
 
 def decode_confluent_batch(
     batch: DataFrame,
@@ -480,40 +590,23 @@ def decode_confluent_batch_pairs(
     content_type: str = "json",
     schema_resolver: Callable[[str, int], str] | None = None,
     on_tombstone: str = "drop",
+    scratch_dir: "str | None" = None,
+    spill_threshold: int = SPILL_THRESHOLD,
 ) -> list[tuple[tuple[int | None, int | None], DataFrame]]:
     """:func:`decode_confluent_batch`, yielding
-    ``((keySchemaId, valueSchemaId), decoded_frame)`` per schema pair."""
-    if on_tombstone not in ("drop", "keep", "error"):
-        raise ValueError(f"on_tombstone must be drop|keep|error, got {on_tombstone!r}")
+    ``((keySchemaId, valueSchemaId), decoded_frame)`` per schema pair.
+    ``scratch_dir``/``spill_threshold`` enable :func:`pair_frames`'s
+    staged route for many-schema batches (O(batch) total scan instead
+    of O(pairs × batch)); the None-safe pair ordering — (kid, None)
+    and (kid, vid) coexist in any batch mixing deletes with their
+    tombstones (ADVICE r1) — lives there too."""
     decode = DECODERS[content_type]
     resolver = schema_resolver or (lambda _role, sid: registry.get_schema(sid))
     sliced = split_wire_format(batch, content_type)
-    pairs = [
-        (r.keySchemaId, r.valueSchemaId)
-        for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
-    ]
-    # None-safe ordering: (kid, None) and (kid, vid) coexist in any
-    # batch that mixes deletes with their tombstones (ADVICE r1).
-    pairs.sort(key=lambda p: (p[0] is None, p[1] is None, p[0] or 0, p[1] or 0))
     out: list[tuple[tuple[int | None, int | None], DataFrame]] = []
-    for key_id, value_id in pairs:
-        if value_id is None:
-            if on_tombstone == "error":
-                raise ValueError(
-                    f"tombstone rows (null value) in batch for keySchemaId={key_id}"
-                )
-            if on_tombstone == "drop":
-                continue
-        cond = (
-            F.col("keySchemaId").isNull()
-            if key_id is None
-            else (F.col("keySchemaId") == key_id)
-        ) & (
-            F.col("valueSchemaId").isNull()
-            if value_id is None
-            else (F.col("valueSchemaId") == value_id)
-        )
-        part = sliced.filter(cond)
+    for key_id, value_id, part in pair_frames(
+        sliced, on_tombstone, scratch_dir, spill_threshold
+    ):
         cols = [
             decode(F.col("keyPayload"), resolver("key", key_id)).alias("key")
             if key_id is not None

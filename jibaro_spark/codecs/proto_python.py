@@ -308,12 +308,15 @@ def decode_confluent_batch_protobuf_python(
     message_name: str = "Envelope",
     key_message_name: str = "Key",
     on_tombstone: str = "drop",
+    scratch_dir: "str | None" = None,
+    spill_threshold: "int | None" = None,
 ) -> list:
     """Schema-partitioned Confluent protobuf decode (reference R7 /
     ``protobuf_handler.py:59-133``) on the pure-Python codec: wire
     slicing and the distinct-schema-pair loop are the same
-    native-expression machinery as the jar path
-    (:func:`jibaro_spark.codecs.confluent.split_wire_format`); each
+    native-expression machinery as the jar path (shared
+    :func:`~jibaro_spark.codecs.confluent.pair_frames` skeleton, incl.
+    the staged many-schema route); each
     pair's frame decodes its key/value payloads with exactly that
     pair's schemas via Arrow ``mapInPandas``.
 
@@ -324,33 +327,24 @@ def decode_confluent_batch_protobuf_python(
     """
     from pyspark.sql import functions as F
 
-    from jibaro_spark.codecs.confluent import KAFKA_META_COLS, split_wire_format
+    from jibaro_spark.codecs.confluent import (
+        KAFKA_META_COLS,
+        SPILL_THRESHOLD,
+        pair_frames,
+        split_wire_format,
+    )
 
     sliced = split_wire_format(batch, "protobuf")
-    pairs = [
-        (r.keySchemaId, r.valueSchemaId)
-        for r in sliced.select("keySchemaId", "valueSchemaId").distinct().collect()
-    ]
-    pairs.sort(key=lambda p: (p[0] is None, p[1] is None, p[0] or 0, p[1] or 0))
     out = []
-    for key_id, value_id in pairs:
-        if value_id is None:
-            if on_tombstone == "error":
-                raise ValueError(f"tombstone rows for keySchemaId={key_id}")
-            if on_tombstone == "drop":
-                continue
-        cond = (
-            F.col("keySchemaId").isNull()
-            if key_id is None
-            else (F.col("keySchemaId") == key_id)
-        ) & (
-            F.col("valueSchemaId").isNull()
-            if value_id is None
-            else (F.col("valueSchemaId") == value_id)
-        )
+    for key_id, value_id, part in pair_frames(
+        sliced,
+        on_tombstone,
+        scratch_dir,
+        SPILL_THRESHOLD if spill_threshold is None else spill_threshold,
+    ):
         # the raw binary key/value columns are superseded by the typed
         # structs about to take their names
-        part = sliced.filter(cond).drop("key", "value")
+        part = part.drop("key", "value")
         if value_id is not None:
             part = decode_protobuf_python(
                 part, "valuePayload", schema_resolver("value", value_id),

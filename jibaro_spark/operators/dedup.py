@@ -1137,6 +1137,7 @@ def duplicated_char_spans(
     text_col: str = "text",
     k: int = 40,
     min_docs: int = 2,
+    chunking: str = "adaptive",
 ) -> DataFrame:
     """Cross-document duplicated character spans — the distributed
     form of ExactSubstr training-data dedup (Lee et al., "Deduplicating
@@ -1172,11 +1173,28 @@ def duplicated_char_spans(
 
     Returns ``(id_col, span_start, span_end, span_chars,
     n_dup_grams)``, positions 1-based inclusive.
+
+    ``chunking`` (r12, VERDICT r11 #5 — the adaptive-plan discipline
+    of ``_exact_text_collapse``): ``"adaptive"`` (default) runs a
+    one-row ``max(length(text))`` probe at CONSTRUCTION (the only
+    construction-time action; the plan branches on its answer) and
+    takes the pre-chunking plan — direct per-position k-grams, no
+    chunk rows, no text copy per chunk — whenever every document fits
+    in one chunk (``max_len <= _SPAN_CHUNK + k - 1``), where the
+    chunk scaffolding buys nothing and costs ~1 s on a small-doc
+    bench corpus.  ``"always"``/``"never"`` force a regime (tests pin
+    bit-identity across both).  A corpus with even one over-chunk
+    document takes the chunked plan for ALL documents — per-document
+    plan routing would split the gram exchange in two.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if chunking not in ("adaptive", "always", "never"):
+        raise ValueError(
+            f"chunking must be adaptive|always|never, got {chunking!r}"
+        )
     # Build the (pos, gram) structs INSIDE a transform over the
     # position sequence, then explode the struct array: the document
     # text is referenced once per document, never carried (and
@@ -1189,6 +1207,42 @@ def duplicated_char_spans(
     # a NULL id cannot contribute doc frequency (countDistinct skips
     # NULLs) so it must not receive spans either
     src = df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    if chunking == "adaptive":
+        row = (
+            src.where(F.length(text_col) >= k)
+            .agg(F.max(F.length(text_col)).alias("m"))
+            .first()
+        )
+        max_len = row["m"] if row is not None else None
+        chunking = (
+            "never"
+            if max_len is not None and max_len <= _SPAN_CHUNK + k - 1
+            else "always"
+        )
+    if chunking == "never":
+        # pre-chunking plan: every document is a single chunk, so the
+        # per-position substring's seek cost is already bounded by
+        # document length — emit grams directly (one explode, no chunk
+        # rows, no per-chunk text copy).  Same gram rows, same
+        # downstream plan.
+        grams = ensure_parallelism(
+            src.where(F.length(text_col) >= k), by=[id_col]
+        )
+        grams = grams.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k - 1}), "
+                    f"i -> struct(i AS pos, "
+                    f"substring({text_col}, i, {k}) AS g))"
+                )
+            ).alias("__pg"),
+        ).select(
+            id_col,
+            F.col("__pg.pos").cast("long").alias("pos"),
+            F.col("__pg.g").alias("__gram"),
+        )
+        return _merge_dup_spans(grams, id_col, k, min_docs)
     # Two-level fan-out (bigval class, r11).  The direct form —
     # ``transform(sequence(1, n-k+1), i -> substring(text, i, k))`` —
     # is O(n²) per document: Spark's UTF8String substring seeks code
@@ -1244,6 +1298,15 @@ def duplicated_char_spans(
         F.col("__pg.pos").cast("long").alias("pos"),
         F.col("__pg.g").alias("__gram"),
     )
+    return _merge_dup_spans(grams, id_col, k, min_docs)
+
+
+def _merge_dup_spans(
+    grams: DataFrame, id_col: str, k: int, min_docs: int
+) -> DataFrame:
+    """Steps 2-4 of :func:`duplicated_char_spans` (shared by both the
+    chunked and pre-chunking gram builds): doc-frequency per gram,
+    semi-join duplicated positions, merge into maximal spans."""
     dup = (
         grams.groupBy("__gram")
         .agg(F.countDistinct(id_col).alias("__nd"))

@@ -273,9 +273,14 @@ from jibaro_spark.queries.staged_oracles import STAGED_ORACLES  # noqa: E402
 # nothing).
 _BIGVAL_BAND = 10.0        # wall: bigval <= band * max(base, floor)
 _BIGVAL_FLOOR_S = 1.0
-_BIGVAL_MEM_BAND = 4.0     # mem: peak <= band * max(base_peak, floor) + per_byte * payload
-_BIGVAL_MEM_FLOOR_B = 256 << 20
-_BIGVAL_MEM_PER_PAYLOAD_BYTE = 128
+# memory band + sampler live in the import-safe scripts/bigval_band.py
+# so the band's teeth are pytest-checkable (VERDICT r11 #7)
+from scripts.bigval_band import (  # noqa: E402
+    MEM_BAND as _BIGVAL_MEM_BAND,
+    MEM_FLOOR_B as _BIGVAL_MEM_FLOOR_B,
+    MEM_PER_PAYLOAD_BYTE as _BIGVAL_MEM_PER_PAYLOAD_BYTE,
+    PeakMemSampler as _PeakMemSampler,
+)
 
 
 def _bigval_rows() -> "dict[str, list[dict]]":
@@ -336,86 +341,6 @@ BIGVAL_INTRINSIC: "dict[str, str]" = {}
 BIGVAL_MEM_INTRINSIC: "dict[str, str]" = {}
 
 
-class _PeakMemSampler:
-    """Background sampler for the bigval memory band: every ~50 ms,
-    JVM heap-used (via py4j — the giant shingle arrays live there)
-    plus the summed RSS of every descendant process of this driver
-    (the pyspark Arrow workers mapInPandas kernels run in).  Peak is
-    reported as delta over the first sample, so the band measures
-    per-query growth, not the JVM's accumulated floor."""
-
-    def __init__(self, jvm):
-        self._rt = jvm.java.lang.Runtime.getRuntime()
-        self._jvm = jvm
-        self._stop = False
-        self._peak = 0
-        self._floor = None
-        self._thread = None
-
-    @staticmethod
-    def _descendant_rss() -> int:
-        me = os.getpid()
-        children: "dict[int, list[int]]" = {}
-        rss: "dict[int, int]" = {}
-        for pid_s in os.listdir("/proc"):
-            if not pid_s.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid_s}/stat") as f:
-                    parts = f.read().rsplit(")", 1)[1].split()
-                ppid = int(parts[1])
-                rss[int(pid_s)] = int(parts[21]) * os.sysconf("SC_PAGESIZE")
-                children.setdefault(ppid, []).append(int(pid_s))
-            except (OSError, IndexError, ValueError):
-                continue
-        total, stack, seen = 0, [me], {me}
-        while stack:
-            for c in children.get(stack.pop(), ()):
-                if c not in seen:
-                    seen.add(c)
-                    stack.append(c)
-                    total += rss.get(c, 0)
-        return total
-
-    def _sample(self) -> int:
-        heap = int(self._rt.totalMemory() - self._rt.freeMemory())
-        return heap + self._descendant_rss()
-
-    def _run(self):
-        while not self._stop:
-            try:
-                s = self._sample()
-            except Exception:
-                break
-            if self._floor is None:
-                self._floor = s
-            self._peak = max(self._peak, s)
-            time.sleep(0.05)
-
-    def __enter__(self):
-        import threading
-
-        # collect the PREVIOUS queries' garbage before the floor sample:
-        # mid-sweep, un-collected heap from earlier queries otherwise
-        # lands in THIS query's delta (observed: a spurious 1.6 GB
-        # "peak" on q_pmi_bigrams that vanishes standalone)
-        try:
-            self._jvm.java.lang.System.gc()
-        except Exception:
-            pass
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
-        return self
-
-    def __exit__(self, *exc):
-        self._stop = True
-        self._thread.join(timeout=2.0)
-
-    @property
-    def peak_delta(self) -> int:
-        if self._floor is None:
-            return 0
-        return max(0, self._peak - self._floor)
 
 
 def _build_skew_table(t: str, src: str, dst: str) -> bool:

@@ -1,0 +1,104 @@
+"""Teeth test for the bigval memory band (VERDICT r11 #7): the
+GC-retry that clears allocation-churn false positives must NOT clear
+a kernel whose LIVE set grows with value size.
+
+Two kernels over the same cached ~2 MB payload, measured by the exact
+``PeakMemSampler`` + band formula the sweep uses (the payload is
+localCheckpoint-ed so value GENERATION stays out of both
+measurements):
+
+* linear: hash each value — transient per-row work only → stays
+  inside ``mem_limit`` (after the sweep's GC-retry protocol at most);
+* amplifier: an Arrow ``mapInPandas`` kernel that holds 800 copies of
+  every value LIVE while it computes (the hold-the-whole-document
+  shape the band exists to catch; the sampler's descendant-RSS term
+  is exactly the surface that sees Arrow workers) — ~1.6 GB live
+  against a ~1.28 GB limit → exceeds ``mem_limit`` on the first
+  measure AND on the GC-retry re-measure, proving the retry protocol
+  cannot mask live-set growth as churn.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from scripts.bigval_band import PeakMemSampler, mem_limit  # noqa: E402
+
+N_ROWS = 8
+VAL_KB = 256
+REP = 800  # live copies per value: 8 x 256KB x 800 = ~1.6 GB >> limit
+
+
+def _measure(spark, df):
+    # collect(), not count(): count() lets Catalyst PRUNE unused
+    # expressions (an unconsumed amplifier would measure nothing)
+    with PeakMemSampler(spark.sparkContext._jvm) as ms:
+        df.collect()
+    return ms.peak_delta
+
+
+def test_band_teeth(spark):
+    from pyspark.sql import functions as F
+
+    rep = REP
+
+    # defined as a closure (not module level): Arrow workers don't
+    # have the tests dir on their path, and cloudpickle serializes a
+    # closure by value instead of by module reference
+    def _amp_fn(it):
+        import time as _t
+
+        import pandas as pd
+
+        for pdf in it:
+            hold = [v * rep for v in pdf["v"]]  # live: rep x value per row
+            _t.sleep(1.0)  # hold while the 50 ms sampler looks
+            yield pd.DataFrame({"n": [sum(len(h) for h in hold)]})
+
+    payload_bytes = N_ROWS * VAL_KB << 10
+    base = (
+        spark.range(N_ROWS)
+        .select(
+            "id",
+            F.concat_ws(
+                "",
+                F.array_repeat(
+                    F.sha2(F.col("id").cast("string"), 256), (VAL_KB << 10) // 64
+                ),
+            ).alias("v"),
+        )
+        .repartition(4)
+        .localCheckpoint(eager=True)
+    )
+    linear = base.select(F.xxhash64("v").alias("h"))
+    amplifier = base.mapInPandas(_amp_fn, "n long")
+
+    base_peak = _measure(spark, linear)
+    limit = mem_limit(base_peak, payload_bytes)
+
+    lin_peak = _measure(spark, linear)
+    if lin_peak > limit:  # the sweep's GC-retry protocol
+        spark.sparkContext._jvm.java.lang.System.gc()
+        lin_peak = min(lin_peak, _measure(spark, linear))
+    assert lin_peak <= limit, (
+        f"linear kernel out of band: {lin_peak/2**20:.0f}MB "
+        f"> {limit/2**20:.0f}MB"
+    )
+
+    amp_peak = _measure(spark, amplifier)
+    assert amp_peak > limit, (
+        f"amplifier NOT flagged on first measure: {amp_peak/2**20:.0f}MB "
+        f"<= {limit/2**20:.0f}MB — the band has no teeth"
+    )
+    # the GC-retry protocol must not clear it: collect + re-measure
+    spark.sparkContext._jvm.java.lang.System.gc()
+    retry_peak = min(amp_peak, _measure(spark, amplifier))
+    assert retry_peak > limit, (
+        f"amplifier cleared by GC retry: {retry_peak/2**20:.0f}MB "
+        f"<= {limit/2**20:.0f}MB — live-set growth masked as churn"
+    )
