@@ -566,6 +566,124 @@ def _envelope(spark, rows):
     )
 
 
+# ---------------------------------------------------------------- F9
+def scenario_compaction_crash(spark, root):
+    """OPTIMIZE dies at its commit point: the pre-compaction snapshot
+    must stay the head (same files, same rows), and a rerun compacts
+    cleanly with the crash's rewritten files left as vacuumable
+    orphans."""
+    from jibaro_spark import txlog
+
+    checks = []
+    t = os.path.join(root, "f9")
+    for b in range(6):
+        txlog.write_versioned(_mkdf(spark, [(b, f"r{b}")]), t)
+    head = txlog.latest_version(t)
+    rows = _rows(spark, t)
+    n_files = len(txlog.snapshot_files(t))
+    _, restore = _patched_link(os.path.join(t, txlog.LOG_DIR))
+    try:
+        try:
+            txlog.compact_versioned(spark, t, target_file_bytes=1 << 30)
+            checks.append(("f9_injection_fired", False, "no crash raised"))
+        except _Boom:
+            pass
+    finally:
+        restore()
+    checks.append(("f9_head_unchanged", txlog.latest_version(t) == head, ""))
+    checks.append(("f9_rows_unchanged", _rows(spark, t) == rows, ""))
+    checks.append(
+        ("f9_files_unchanged", len(txlog.snapshot_files(t)) == n_files, "")
+    )
+    checks.append(("f9_orphans_present", len(_orphans(t)) >= 1, ""))
+    v = txlog.compact_versioned(spark, t, target_file_bytes=1 << 30)
+    checks.append(
+        (
+            "f9_rerun_compacts",
+            v == head + 1
+            and _rows(spark, t) == rows
+            and len(txlog.snapshot_files(t)) == 1,
+            f"v={v} files={len(txlog.snapshot_files(t))}",
+        )
+    )
+    txlog.vacuum_versioned(t, keep_versions=1, min_file_age_s=0.0)
+    checks.append(("f9_orphans_reclaimed", not _orphans(t), ""))
+    return checks
+
+
+# --------------------------------------------------------------- F10
+def scenario_replace_conflict(spark, root):
+    """Two targeted rewrites (mode='replace') of the SAME file: the
+    second must refuse LOUDLY (its target left the snapshot), never
+    double-remove or silently drop rows."""
+    from jibaro_spark import txlog
+
+    checks = []
+    t = os.path.join(root, "f10")
+    txlog.write_versioned(_mkdf(spark, [(1, "a")]), t)
+    txlog.write_versioned(_mkdf(spark, [(2, "b")]), t)
+    victim = txlog.snapshot_files(t)[0]
+    v = txlog.write_versioned(
+        _mkdf(spark, [(1, "a2")]), t, mode="replace", replace_paths=[victim]
+    )
+    checks.append(("f10_first_replace_ok", v == 2, f"v={v}"))
+    rows = _rows(spark, t)
+    loud, detail = False, ""
+    try:
+        txlog.write_versioned(
+            _mkdf(spark, [(9, "ghost")]),
+            t,
+            mode="replace",
+            replace_paths=[victim],
+        )
+        detail = "second replace of a removed file committed silently"
+    except ValueError as ex:
+        loud, detail = True, type(ex).__name__
+    checks.append(("f10_conflict_loud", loud, detail))
+    checks.append(("f10_rows_intact", _rows(spark, t) == rows, ""))
+    checks.append(("f10_head_intact", txlog.latest_version(t) == v, ""))
+    return checks
+
+
+# --------------------------------------------------------------- F11
+def scenario_vacuum_age_guard(spark, root):
+    """Vacuum racing an IN-FLIGHT writer: the writer's just-moved,
+    not-yet-committed data files are young orphans — the
+    ``min_file_age_s`` guard must keep them so the imminent commit
+    stays valid; only with the guard at 0 (caller asserts no writers)
+    may they be reclaimed."""
+    from jibaro_spark import txlog
+
+    checks = []
+    t = os.path.join(root, "f11")
+    txlog.write_versioned(_mkdf(spark, [(1, "a")]), t)
+    # freeze a writer at the commit point: data files moved, no log
+    _, restore = _patched_link(os.path.join(t, txlog.LOG_DIR))
+    try:
+        try:
+            txlog.write_versioned(_mkdf(spark, [(2, "b")]), t)
+        except _Boom:
+            pass
+    finally:
+        restore()
+    orph = _orphans(t)
+    checks.append(("f11_inflight_files_present", len(orph) >= 1, ""))
+    # a concurrent vacuum with the production age guard must NOT
+    # reclaim the in-flight writer's young files
+    txlog.vacuum_versioned(t, keep_versions=5, min_file_age_s=3600.0)
+    checks.append(
+        (
+            "f11_age_guard_protects",
+            sorted(_orphans(t)) == sorted(orph),
+            f"{_orphans(t)} vs {orph}",
+        )
+    )
+    # guard off (no-writers assertion) reclaims them
+    txlog.vacuum_versioned(t, keep_versions=5, min_file_age_s=0.0)
+    checks.append(("f11_guard_off_reclaims", not _orphans(t), ""))
+    return checks
+
+
 IN_PROCESS_SCENARIOS = [
     scenario_crash_before_commit,
     scenario_duplicate_batch_replay,
@@ -574,6 +692,9 @@ IN_PROCESS_SCENARIOS = [
     scenario_crash_mid_checkpoint,
     scenario_vacuum_vs_pinned_reader,
     scenario_cdc_merge_crash_rerun,
+    scenario_compaction_crash,
+    scenario_replace_conflict,
+    scenario_vacuum_age_guard,
 ]
 ALL_SCENARIOS = IN_PROCESS_SCENARIOS + [scenario_sigkill_before_commit]
 

@@ -32,4 +32,4 @@ def test_fault_scenario(spark, tmp_path, scenario):
     results = FI.run(spark, scenarios=[scenario], root=str(tmp_path))
     failed = [(n, d) for n, ok, d in results if not ok]
     assert not failed, failed
-    assert len(results) >= 4  # each scenario asserts several contracts
+    assert len(results) >= 3  # each scenario asserts several contracts
