@@ -548,6 +548,8 @@ def decode_confluent_batch(
     content_type: str = "json",
     schema_resolver: Callable[[str, int], str] | None = None,
     on_tombstone: str = "drop",
+    scratch_dir: "str | None" = None,
+    spill_threshold: int = SPILL_THRESHOLD,
 ) -> list[DataFrame]:
     """Schema-partitioned decode of one micro-batch (reference R7:
     ``avro_handler.py:41-96`` / ``cdc.py:151-176``).
@@ -579,7 +581,8 @@ def decode_confluent_batch(
     return [
         df
         for _pair, df in decode_confluent_batch_pairs(
-            batch, registry, content_type, schema_resolver, on_tombstone
+            batch, registry, content_type, schema_resolver, on_tombstone,
+            scratch_dir, spill_threshold,
         )
     ]
 
