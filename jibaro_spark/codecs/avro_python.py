@@ -291,12 +291,13 @@ def decode_confluent_batch_avro_python(
     on_tombstone: str = "drop",
     scratch_dir: "str | None" = None,
     spill_threshold: "int | None" = None,
+    on_unknown_schema: str = "error",
 ) -> list:
     """Schema-partitioned Confluent Avro decode (R7) on the Python
     codec — same native slicing + pair loop as the jar path (shared
     :func:`~jibaro_spark.codecs.confluent.pair_frames` skeleton, incl.
-    the staged many-schema route); each pair's payloads parse with
-    exactly that pair's reader schema
+    the staged many-schema route and the unknown-schema policy); each
+    pair's payloads parse with exactly that pair's reader schema
     (``schema_resolver(role, id) -> StructType``)."""
     from pyspark.sql import functions as F
 
@@ -304,6 +305,7 @@ def decode_confluent_batch_avro_python(
         KAFKA_META_COLS,
         SPILL_THRESHOLD,
         pair_frames,
+        resolve_schema_or_policy,
         split_wire_format,
     )
 
@@ -315,17 +317,37 @@ def decode_confluent_batch_avro_python(
         scratch_dir,
         SPILL_THRESHOLD if spill_threshold is None else spill_threshold,
     ):
+        pair = (key_id, value_id)
+        kschema, kq = resolve_schema_or_policy(
+            schema_resolver, "key", key_id, pair, on_unknown_schema
+        )
+        vschema, vq = resolve_schema_or_policy(
+            schema_resolver, "value", value_id, pair, on_unknown_schema
+        )
+        if (key_id is not None and kschema is None) or (
+            value_id is not None and vschema is None
+        ):
+            if kq or vq:  # keep: raw-binary dead-letter frame
+                out.append(
+                    (
+                        pair,
+                        part.select(
+                            F.col("keyPayload").alias("key"),
+                            F.col("valuePayload").alias("value"),
+                            *[c for c in KAFKA_META_COLS if c in part.columns],
+                            "keySchemaId",
+                            "valueSchemaId",
+                        ),
+                    )
+                )
+            continue
         part = part.drop("key", "value")
         if value_id is not None:
-            part = decode_avro_python(
-                part, "valuePayload", schema_resolver("value", value_id), "value"
-            )
+            part = decode_avro_python(part, "valuePayload", vschema, "value")
         else:
             part = part.withColumn("value", F.lit(None))
         if key_id is not None:
-            part = decode_avro_python(
-                part, "keyPayload", schema_resolver("key", key_id), "key"
-            )
+            part = decode_avro_python(part, "keyPayload", kschema, "key")
         else:
             part = part.withColumn("key", F.lit(None).cast("string"))
         keep = (

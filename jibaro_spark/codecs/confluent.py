@@ -587,6 +587,51 @@ def decode_confluent_batch(
     ]
 
 
+def resolve_schema_or_policy(
+    resolver: "Callable[[str, int], object]",
+    role: str,
+    schema_id: "int | None",
+    pair: "tuple[int | None, int | None]",
+    on_unknown_schema: str = "error",
+) -> "tuple[object | None, bool]":
+    """Resolve ``schema_id`` for ``role`` under the unknown-schema
+    policy (r12 — a corrupt frame whose 4 plausible id bytes are not
+    in the registry used to crash the WHOLE micro-batch with a bare
+    ``KeyError`` at plan time; a wedged exactly-once stream replays
+    that crash forever).  Returns ``(schema, quarantine)``:
+
+    * ``"error"`` (default): unknown id raises a ``ValueError`` naming
+      the role, id, and pair — loud and actionable, the right default
+      for a transactional pipeline;
+    * ``"keep"``: returns ``(None, True)`` — the caller emits the
+      pair's frame with RAW binary payloads (the tombstone-keep
+      shape) so a dead-letter sink can hold it for replay after the
+      registry is fixed;
+    * ``"skip"``: returns ``(None, False)`` with the pair dropped by
+      the caller (compaction-marker semantics — use only when the
+      corrupt frames are known noise).
+    """
+    if on_unknown_schema not in ("error", "keep", "skip"):
+        raise ValueError(
+            "on_unknown_schema must be error|keep|skip, got "
+            f"{on_unknown_schema!r}"
+        )
+    if schema_id is None:
+        return None, False
+    try:
+        return resolver(role, schema_id), False
+    except Exception as ex:  # noqa: BLE001
+        if on_unknown_schema == "error":
+            raise ValueError(
+                f"unknown schema id {schema_id} for role {role!r} in "
+                f"schema pair {pair} — corrupt frame or unregistered "
+                f"schema ({type(ex).__name__}: {ex}); pass "
+                "on_unknown_schema='keep' to dead-letter the pair or "
+                "'skip' to drop it"
+            ) from ex
+        return None, on_unknown_schema == "keep"
+
+
 def decode_confluent_batch_pairs(
     batch: DataFrame,
     registry: SchemaRegistry,
@@ -595,6 +640,7 @@ def decode_confluent_batch_pairs(
     on_tombstone: str = "drop",
     scratch_dir: "str | None" = None,
     spill_threshold: int = SPILL_THRESHOLD,
+    on_unknown_schema: str = "error",
 ) -> list[tuple[tuple[int | None, int | None], DataFrame]]:
     """:func:`decode_confluent_batch`, yielding
     ``((keySchemaId, valueSchemaId), decoded_frame)`` per schema pair.
@@ -602,7 +648,10 @@ def decode_confluent_batch_pairs(
     staged route for many-schema batches (O(batch) total scan instead
     of O(pairs × batch)); the None-safe pair ordering — (kid, None)
     and (kid, vid) coexist in any batch mixing deletes with their
-    tombstones (ADVICE r1) — lives there too."""
+    tombstones (ADVICE r1) — lives there too.  ``on_unknown_schema``
+    routes pairs whose id the registry cannot resolve
+    (:func:`resolve_schema_or_policy`): a kept pair's frame carries
+    RAW binary ``key``/``value`` payloads for a dead-letter sink."""
     decode = DECODERS[content_type]
     resolver = schema_resolver or (lambda _role, sid: registry.get_schema(sid))
     sliced = split_wire_format(batch, content_type)
@@ -610,13 +659,37 @@ def decode_confluent_batch_pairs(
     for key_id, value_id, part in pair_frames(
         sliced, on_tombstone, scratch_dir, spill_threshold
     ):
+        pair = (key_id, value_id)
+        kschema, kq = resolve_schema_or_policy(
+            resolver, "key", key_id, pair, on_unknown_schema
+        )
+        vschema, vq = resolve_schema_or_policy(
+            resolver, "value", value_id, pair, on_unknown_schema
+        )
+        if (key_id is not None and kschema is None) or (
+            value_id is not None and vschema is None
+        ):
+            if kq or vq:  # keep: raw-binary dead-letter frame
+                out.append(
+                    (
+                        pair,
+                        part.select(
+                            F.col("keyPayload").alias("key"),
+                            F.col("valuePayload").alias("value"),
+                            *KAFKA_META_COLS,
+                            "keySchemaId",
+                            "valueSchemaId",
+                        ),
+                    )
+                )
+            continue  # skip: drop the unresolvable pair
         cols = [
-            decode(F.col("keyPayload"), resolver("key", key_id)).alias("key")
+            decode(F.col("keyPayload"), kschema).alias("key")
             if key_id is not None
             # keyless topic (reference kafka.py:38-41): null key, typed
             # binary so the column is writable (void type is not)
             else F.lit(None).cast("binary").alias("key"),
-            decode(F.col("valuePayload"), resolver("value", value_id)).alias("value")
+            decode(F.col("valuePayload"), vschema).alias("value")
             if value_id is not None
             else F.lit(None).cast("binary").alias("value"),
             *KAFKA_META_COLS,

@@ -310,13 +310,14 @@ def decode_confluent_batch_protobuf_python(
     on_tombstone: str = "drop",
     scratch_dir: "str | None" = None,
     spill_threshold: "int | None" = None,
+    on_unknown_schema: str = "error",
 ) -> list:
     """Schema-partitioned Confluent protobuf decode (reference R7 /
     ``protobuf_handler.py:59-133``) on the pure-Python codec: wire
     slicing and the distinct-schema-pair loop are the same
     native-expression machinery as the jar path (shared
     :func:`~jibaro_spark.codecs.confluent.pair_frames` skeleton, incl.
-    the staged many-schema route); each
+    the staged many-schema route and the unknown-schema policy); each
     pair's frame decodes its key/value payloads with exactly that
     pair's schemas via Arrow ``mapInPandas``.
 
@@ -331,6 +332,7 @@ def decode_confluent_batch_protobuf_python(
         KAFKA_META_COLS,
         SPILL_THRESHOLD,
         pair_frames,
+        resolve_schema_or_policy,
         split_wire_format,
     )
 
@@ -342,19 +344,43 @@ def decode_confluent_batch_protobuf_python(
         scratch_dir,
         SPILL_THRESHOLD if spill_threshold is None else spill_threshold,
     ):
+        pair = (key_id, value_id)
+        kschema, kq = resolve_schema_or_policy(
+            schema_resolver, "key", key_id, pair, on_unknown_schema
+        )
+        vschema, vq = resolve_schema_or_policy(
+            schema_resolver, "value", value_id, pair, on_unknown_schema
+        )
+        if (key_id is not None and kschema is None) or (
+            value_id is not None and vschema is None
+        ):
+            if kq or vq:  # keep: raw-binary dead-letter frame
+                out.append(
+                    (
+                        pair,
+                        part.select(
+                            F.col("keyPayload").alias("key"),
+                            F.col("valuePayload").alias("value"),
+                            *[c for c in KAFKA_META_COLS if c in part.columns],
+                            "keySchemaId",
+                            "valueSchemaId",
+                        ),
+                    )
+                )
+            continue
         # the raw binary key/value columns are superseded by the typed
         # structs about to take their names
         part = part.drop("key", "value")
         if value_id is not None:
             part = decode_protobuf_python(
-                part, "valuePayload", schema_resolver("value", value_id),
+                part, "valuePayload", vschema,
                 message_name, out_col="value",
             )
         else:
             part = part.withColumn("value", F.lit(None))
         if key_id is not None:
             part = decode_protobuf_python(
-                part, "keyPayload", schema_resolver("key", key_id),
+                part, "keyPayload", kschema,
                 key_message_name, out_col="key", package="jibarokey",
             )
         else:
