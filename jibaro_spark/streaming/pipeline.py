@@ -96,6 +96,7 @@ def raw_to_staged(
     registry: SchemaRegistry,
     content_type: str = "json",
     schema_resolver: Callable[[str, int], str] | None = None,
+    on_unknown_schema: str = "error",
 ) -> None:
     """Decode Confluent-framed raw records into typed staged tables,
     schema-id-partitioned (reference ``cdc.py:54-88`` →
@@ -107,6 +108,17 @@ def raw_to_staged(
     ``txnAppId``/``txnVersion=batch_id``; parquet appends land in a
     ``_batch_id``/``_schema_pair`` partition overwritten dynamically,
     so re-processing a micro-batch cannot duplicate staged rows.
+
+    ``on_unknown_schema`` (r12): ``"error"`` (default) fails the
+    micro-batch loudly on a frame whose schema id the registry cannot
+    resolve; ``"keep"`` parks those pairs — raw binary payloads, ids,
+    and Kafka metadata — in a ``{table}__dead_letter`` STAGED table
+    (same idempotent-append discipline) so the stream keeps flowing
+    and the frames replay after the registry is fixed; ``"skip"``
+    drops them.  Dead-letter frames are recognized structurally: a
+    BINARY payload column alongside a non-null schema id can only be
+    an undecoded frame (decoded values are structs/strings; a
+    tombstone-keep/keyless null binary carries a NULL id).
     """
     from pyspark.sql import functions as F
 
@@ -146,7 +158,8 @@ def raw_to_staged(
             )
 
             return decode_confluent_batch_protobuf_python(
-                batch, schema_resolver, scratch_dir=scratch
+                batch, schema_resolver, scratch_dir=scratch,
+                on_unknown_schema=on_unknown_schema,
             )
         if content_type == "avro-python":
             from jibaro_spark.codecs.avro_python import (
@@ -154,11 +167,13 @@ def raw_to_staged(
             )
 
             return decode_confluent_batch_avro_python(
-                batch, schema_resolver, scratch_dir=scratch
+                batch, schema_resolver, scratch_dir=scratch,
+                on_unknown_schema=on_unknown_schema,
             )
         return decode_confluent_batch_pairs(
             batch, registry, content_type, schema_resolver,
             scratch_dir=scratch,
+            on_unknown_schema=on_unknown_schema,
         )
 
     def _rm(spark_, path: str) -> None:
@@ -183,8 +198,30 @@ def raw_to_staged(
         finally:
             _rm(batch.sparkSession, scratch)
 
+    dlq = TableRef(str(Layer.STAGED), project, database, f"{table}__dead_letter")
+
+    def _is_dead_letter(decoded: DataFrame, key_id, value_id) -> bool:
+        types = dict(decoded.dtypes)
+        return (value_id is not None and types.get("value") == "binary") or (
+            key_id is not None and types.get("key") == "binary"
+        )
+
     def _write_pairs(batch: DataFrame, batch_id: int, fmt: str, pairs) -> None:
         for (key_id, value_id), decoded in pairs:
+            if _is_dead_letter(decoded, key_id, value_id):
+                # undecodable pair (on_unknown_schema='keep'): park the
+                # raw frames idempotently beside the staged table; they
+                # replay through this hop once the registry resolves
+                write_table(
+                    decoded.withColumn("_batch_id", F.lit(batch_id))
+                    .withColumn(
+                        "_schema_pair", F.lit(f"{key_id}-{value_id}")
+                    ),
+                    catalog, dlq, mode="overwrite",
+                    partition_by=["_batch_id", "_schema_pair"],
+                    partitionOverwriteMode="dynamic",
+                )
+                continue
             if fmt == "delta":
                 # txnAppId must be unique PER SCHEMA PAIR: Delta's idempotent
                 # writes skip any txn whose version <= the last recorded

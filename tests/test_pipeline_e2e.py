@@ -370,3 +370,54 @@ def test_cdc_merge_returns_observed_metrics_and_batch_history(spark, lake):
     assert m["operation"] == "INITIAL_LOAD" and m["rowsWritten"] == 2
     m2 = cdc_merge_table(spark, lake, env([("d", 2, "b", 2)]), ref, key_cols=["id"])
     assert m2["operation"] == "MERGE" and m2["rowsWritten"] == 1
+
+
+def test_raw_to_staged_dead_letters_unknown_schema(spark, lake, registry):
+    """r12: a corrupt frame whose id bytes decode to an UNREGISTERED
+    schema id must not wedge the stream.  Default policy fails the
+    micro-batch loudly; on_unknown_schema='keep' parks the frame —
+    raw payloads, ids, Kafka metadata — in the {table}__dead_letter
+    staged table while the resolvable pairs decode normally."""
+    reg, kid, vid = registry
+    rows = [
+        change(kid, vid, "r", {"id": 1, "name": "a", "weight": 1.0}, offset=0),
+        (
+            frame(json.dumps({"id": 9}).encode(), kid),
+            frame(b"corrupt-payload", 999),  # id 999 never registered
+            "dbserver1.inventory.products",
+            0,
+            1,
+            datetime.datetime(2026, 1, 1, 0, 0, 1),
+            0,
+        ),
+    ]
+    write_topic_dump(spark, lake, rows, "batch_dlq")
+    src_dir = lake.settings.base_path + "/source_topic"
+    stream = spark.readStream.schema(KAFKA_SCHEMA).parquet(src_dir)
+    pl.source_to_raw(stream, lake, "lab", "inventory", "products")
+
+    with pytest.raises(Exception, match="unknown schema id 999"):
+        pl.raw_to_staged(
+            spark, lake, "lab", "inventory", "products", reg, "json"
+        )
+
+    pl.raw_to_staged(
+        spark, lake, "lab", "inventory", "products", reg, "json",
+        on_unknown_schema="keep",
+    )
+    staged = spark.read.parquet(
+        lake.path(TableRef(str(Layer.STAGED), "lab", "inventory", "products"))
+    )
+    assert [r["value"]["after"]["id"] for r in staged.collect()] == [1]
+    dlq = spark.read.parquet(
+        lake.path(
+            TableRef(
+                str(Layer.STAGED), "lab", "inventory",
+                "products__dead_letter",
+            )
+        )
+    )
+    dead = dlq.collect()
+    assert len(dead) == 1
+    assert bytes(dead[0]["value"]) == b"corrupt-payload"
+    assert dead[0]["valueSchemaId"] == 999
