@@ -7,6 +7,14 @@ set grows with value size.  ``tests/test_bigval_band_teeth.py`` runs
 a linear kernel (in band) and a live-memory amplifier (out of band
 even after ``System.gc()`` + re-measure) against this exact sampler
 and band formula.
+
+Measurement hygiene: run banded sweeps ALONE on the box.  A second
+concurrent Spark JVM doesn't cross-count (each sampler sums only its
+own descendants' RSS), but CPU contention defers GC and inflates
+heap-used peaks — measured r12: three spurious ``mem_hog`` flags
+(q_minhash_signature 2.2 GB, q_rolling_fingerprint 2.4 GB) during a
+sweep that overlapped another local[8] session, all three back in
+band standalone.
 """
 
 from __future__ import annotations
