@@ -24,6 +24,20 @@ from jibaro_spark.queries.registry import declare, dsum, load_tables
 SESSION_GAP_SECONDS = 6 * 3600
 
 
+# FLOOR epoch-seconds, in exact integer arithmetic (timedegen class,
+# r12): Spark's `cast(timestamp as long)` FLOORS (1969-12-31
+# 23:59:59.999999 -> -1) while DuckDB's DATE_DIFF('second', ...)
+# truncates epoch toward zero (same instant -> 0), so the two sides
+# disagreed on sub-second gaps straddling a second boundary at
+# negative epochs.  The contract is declared as floor on BOTH sides;
+# EPOCH_US keeps year-9999 micros exact where double EPOCH() cannot
+# (2.5e17 > 2^53), and the ((x % d) + d) % d dance turns DuckDB's
+# truncating integer division into floor division.
+_FLOOR_SEC = (
+    "((EPOCH_US({t}) - ((EPOCH_US({t}) % 1000000) + 1000000) % 1000000) "
+    "// 1000000)"
+)
+
 QSESS_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id,
@@ -33,7 +47,9 @@ WITH ordered AS (
 ), flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
-                OR DATE_DIFF('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                OR {_FLOOR_SEC.format(t='ts')}
+                   - {_FLOOR_SEC.format(t='prev_ts')}
+                   > {SESSION_GAP_SECONDS}
               THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), numbered AS (
@@ -46,7 +62,8 @@ WITH ordered AS (
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       DATE_DIFF('second', MIN(ts), MAX(ts)) AS duration_s
+       CAST({_FLOOR_SEC.format(t='MAX(ts)')}
+            - {_FLOOR_SEC.format(t='MIN(ts)')} AS BIGINT) AS duration_s
 FROM numbered
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq

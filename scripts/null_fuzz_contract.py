@@ -45,6 +45,16 @@ Fixture classes (``NULLFUZZ_CLASS`` env var):
   OOM even when its values are right.  Violations land in ``slow`` /
   ``mem_hog`` buckets and fail the sweep; measured-intrinsic cases are
   registered in ``BIGVAL_INTRINSIC`` with their justification.
+* ``timedegen`` — EXTREME-TIMESTAMP degeneracy (ninth class, r12): the
+  sf fixtures' event times sit in a friendly 2023-2024 window, so a
+  Spark-vs-DuckDB divergence in negative-epoch floor/truncation,
+  pre-Gregorian proleptic dates, or era edges passes every round
+  silently.  Injected events rows (valid user/type/value/props, fresh
+  94000xxx ids): epoch 0, a negative-epoch timestamp, a negative-epoch
+  value with fractional seconds (floor-vs-truncate division is the
+  classic engine split), pre-1900, the day before the 1582 Gregorian
+  reform, and the year-1 / year-9999 era edges.  Targets every
+  events-reading registered query through the same hash-compare.
 * ``skew`` — the CARDINALITY degeneracy (fifth class, VERDICT r9 #5):
   every mutated table doubles in volume with the new half concentrated
   on ONE hot key (customer 42 owns 50% of orders, part 7 sits on 50%
@@ -222,6 +232,47 @@ FLOATDEGEN_ROWS = {
         {"event_id": 91000012, "ts": datetime(2024, 1, 5, 10, 0, 0),
          "user_id": 7, "event_type": "click", "value": _NAN,
          "props": '{"k": 1}'},
+    ],
+}
+
+# Extreme-timestamp class (ninth, r12): valid keys/types/values so the
+# rows pass every fence and reach the time arithmetic; only ``ts`` is
+# degenerate.  Fresh 94000xxx ids; micro precision only (the
+# established cross-engine precision contract).  The fractional
+# negative-epoch value is the classic floor-vs-truncate division
+# split; 1582-10-04 probes proleptic-Gregorian agreement; year 1 /
+# year 9999 probe the era edges of every date_trunc/extract kernel.
+TIMEDEGEN_ROWS = {
+    "events": [
+        {"event_id": 94000001, "ts": datetime(1970, 1, 1, 0, 0, 0),
+         "user_id": 13, "event_type": "view", "value": 1.0,
+         "props": '{"k": 1}'},
+        {"event_id": 94000002, "ts": datetime(1920, 6, 15, 12, 34, 56),
+         "user_id": 13, "event_type": "click", "value": 2.0,
+         "props": '{"k": 2}'},
+        {"event_id": 94000003,
+         "ts": datetime(1969, 12, 31, 23, 59, 59, 999999),
+         "user_id": 13, "event_type": "view", "value": 3.0,
+         "props": '{"k": 3}'},
+        {"event_id": 94000004, "ts": datetime(1850, 3, 7, 1, 2, 3),
+         "user_id": 13, "event_type": "purchase", "value": 4.0,
+         "props": '{"k": 4}'},
+        {"event_id": 94000005, "ts": datetime(1582, 10, 4, 12, 0, 0),
+         "user_id": 13, "event_type": "view", "value": 5.0,
+         "props": '{"k": 5}'},
+        # 0001-01-08, NOT 0001-01-01: midnight of year 1 day 1 cannot
+        # round-trip pyspark's driver-side conversion at all (the
+        # Julian<->proleptic rebase underflows into year 0 — a CLIENT
+        # materialization limit, pinned in
+        # tests/test_timedegen_guards.py), and any week-truncation of
+        # days 1-7 lands back on it; day 8 is the first Monday whose
+        # whole truncation lattice stays collectable.
+        {"event_id": 94000006, "ts": datetime(1, 1, 8, 0, 0, 0),
+         "user_id": 13, "event_type": "click", "value": 6.0,
+         "props": '{"k": 6}'},
+        {"event_id": 94000007, "ts": datetime(9999, 12, 31, 23, 59, 59),
+         "user_id": 13, "event_type": "view", "value": 7.0,
+         "props": '{"k": 7}'},
     ],
 }
 
@@ -465,11 +516,13 @@ def build_fixture() -> str:
             with open(marker, "w") as f:
                 f.write(CLS)
         return out
-    if CLS in ("relational", "floatdegen", "bigval"):
+    if CLS in ("relational", "floatdegen", "bigval", "timedegen"):
         rows_by_table = (
             RELATIONAL_ROWS
             if CLS == "relational"
-            else FLOATDEGEN_ROWS if CLS == "floatdegen" else _bigval_rows()
+            else FLOATDEGEN_ROWS
+            if CLS == "floatdegen"
+            else TIMEDEGEN_ROWS if CLS == "timedegen" else _bigval_rows()
         )
         for t in TABLES:
             src = os.path.join(SRC, f"{t}.parquet")
@@ -586,6 +639,8 @@ def module_reads_doc_tables(fn) -> bool:
         return any(
             f'"{t}"' in src or f"'{t}'" in src for t in FLOATDEGEN_ROWS
         )
+    if CLS == "timedegen":
+        return '"events"' in src or "'events'" in src
     if CLS == "skew":
         return any(
             f'"{t}"' in src or f"'{t}'" in src
