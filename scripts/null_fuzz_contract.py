@@ -55,6 +55,11 @@ Fixture classes (``NULLFUZZ_CLASS`` env var):
   classic engine split), pre-1900, the day before the 1582 Gregorian
   reform, and the year-1 / year-9999 era edges.  Targets every
   events-reading registered query through the same hash-compare.
+  ``timedegen_rel`` is the companion lane on the RELATIONAL date axes:
+  a consistent valid sub-graph of 3 orders + 3 lineitems carrying the
+  same degenerate instants on o_orderdate / l_shipdate, swept over
+  every orders/lineitem-reading query (174 targets; r12 end state
+  fully green — the decimal/date conventions of earlier rounds held).
 * ``skew`` — the CARDINALITY degeneracy (fifth class, VERDICT r9 #5):
   every mutated table doubles in volume with the new half concentrated
   on ONE hot key (customer 42 owns 50% of orders, part 7 sits on 50%
@@ -273,6 +278,47 @@ TIMEDEGEN_ROWS = {
         {"event_id": 94000007, "ts": datetime(9999, 12, 31, 23, 59, 59),
          "user_id": 13, "event_type": "view", "value": 7.0,
          "props": '{"k": 7}'},
+    ],
+}
+
+# timedegen_rel lane: the same degenerate instants on the RELATIONAL
+# date axes (o_orderdate / l_shipdate), with a consistent valid
+# sub-graph (order 95000001 owns the lineitems; real custkey/part/
+# supplier keys) so joins and date grouping actually reach the rows.
+# Date-range fences (1995-2001 predicates) legitimately prune them in
+# the filtered TPC-H queries — the probe power is in the unfiltered
+# group-by-month/era arithmetic.
+TIMEDEGEN_REL_ROWS = {
+    "orders": [
+        {"o_orderkey": 95000001, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 101.0,
+         "o_orderdate": datetime(1920, 6, 15, 12, 34, 56),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 95000002, "o_custkey": 1, "o_orderstatus": "F",
+         "o_totalprice": 102.0,
+         "o_orderdate": datetime(1969, 12, 31, 23, 59, 59, 999999),
+         "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 95000003, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 103.0,
+         "o_orderdate": datetime(9999, 12, 28, 0, 0, 0),
+         "o_orderpriority": "3-MEDIUM"},
+    ],
+    "lineitem": [
+        {"l_orderkey": 95000001, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 100.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O",
+         "l_shipdate": datetime(1920, 6, 16, 1, 2, 3)},
+        {"l_orderkey": 95000002, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": 2.0, "l_extendedprice": 200.0,
+         "l_discount": 0.1, "l_tax": 0.0, "l_returnflag": "R",
+         "l_linestatus": "F",
+         "l_shipdate": datetime(1, 1, 8, 0, 0, 0)},
+        {"l_orderkey": 95000003, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": 3.0, "l_extendedprice": 300.0,
+         "l_discount": 0.0, "l_tax": 0.1, "l_returnflag": "A",
+         "l_linestatus": "F",
+         "l_shipdate": datetime(9999, 12, 29, 23, 59, 59)},
     ],
 }
 
@@ -516,13 +562,17 @@ def build_fixture() -> str:
             with open(marker, "w") as f:
                 f.write(CLS)
         return out
-    if CLS in ("relational", "floatdegen", "bigval", "timedegen"):
+    if CLS in ("relational", "floatdegen", "bigval", "timedegen", "timedegen_rel"):
         rows_by_table = (
             RELATIONAL_ROWS
             if CLS == "relational"
             else FLOATDEGEN_ROWS
             if CLS == "floatdegen"
-            else TIMEDEGEN_ROWS if CLS == "timedegen" else _bigval_rows()
+            else TIMEDEGEN_ROWS
+            if CLS == "timedegen"
+            else TIMEDEGEN_REL_ROWS
+            if CLS == "timedegen_rel"
+            else _bigval_rows()
         )
         for t in TABLES:
             src = os.path.join(SRC, f"{t}.parquet")
@@ -641,6 +691,10 @@ def module_reads_doc_tables(fn) -> bool:
         )
     if CLS == "timedegen":
         return '"events"' in src or "'events'" in src
+    if CLS == "timedegen_rel":
+        return any(
+            f'"{t}"' in src or f"'{t}'" in src for t in ("orders", "lineitem")
+        )
     if CLS == "skew":
         return any(
             f'"{t}"' in src or f"'{t}'" in src
