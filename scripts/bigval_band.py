@@ -40,14 +40,24 @@ class PeakMemSampler:
     plus the summed RSS of every descendant process of this driver
     (the pyspark Arrow workers mapInPandas kernels run in).  Peak is
     reported as delta over the first sample, so the band measures
-    per-query growth, not the JVM's accumulated floor."""
+    per-query growth, not the JVM's accumulated floor.
 
-    def __init__(self, jvm):
+    GC-retry re-measures MUST pass the first measurement's ``floor``
+    back in: reused Python workers keep freed pages in RSS, so a
+    fresh floor sampled after an amplifying first run is already
+    elevated by roughly the amplifier's own peak — the retry delta
+    then underestimates exactly the live growth the band exists to
+    catch (found by ``tests/test_bigval_band_teeth.py``).  Pinning
+    the original floor keeps the retry honest for the RSS term while
+    the JVM-heap churn the retry exists to clear still genuinely
+    re-measures post-``System.gc()``."""
+
+    def __init__(self, jvm, floor: "int | None" = None):
         self._rt = jvm.java.lang.Runtime.getRuntime()
         self._jvm = jvm
         self._stop = False
         self._peak = 0
-        self._floor = None
+        self._floor = floor
         self._thread = None
 
     @staticmethod
@@ -108,6 +118,11 @@ class PeakMemSampler:
     def __exit__(self, *exc):
         self._stop = True
         self._thread.join(timeout=2.0)
+
+    @property
+    def floor(self) -> "int | None":
+        """First sample (or the pinned floor a retry was given)."""
+        return self._floor
 
     @property
     def peak_delta(self) -> int:

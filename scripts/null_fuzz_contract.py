@@ -776,6 +776,7 @@ def main() -> None:
                     else:
                         rows = [tuple(r) for r in df.collect()]
                 big_peak = ms.peak_delta
+                big_floor = ms.floor
             elif rows_only:
                 rows = df.count()
             else:
@@ -854,8 +855,13 @@ def main() -> None:
                     pass
                 first_peak = big_peak
                 try:
+                    # pin the FIRST measurement's floor: reused Python
+                    # workers keep freed pages in RSS, so a fresh floor
+                    # here is already elevated by the first run's peak
+                    # and would mask live-set growth as churn (the
+                    # band-teeth masking vector, VERDICT r11 #7)
                     df2 = fn(spark, fixture)
-                    with _PeakMemSampler(spark._jvm) as ms2:
+                    with _PeakMemSampler(spark._jvm, floor=big_floor) as ms2:
                         df2.count() if rows_only else df2.collect()
                     big_peak = min(big_peak, ms2.peak_delta or big_peak)
                 except Exception:

@@ -34,12 +34,16 @@ VAL_KB = 256
 REP = 800  # live copies per value: 8 x 256KB x 800 = ~1.6 GB >> limit
 
 
-def _measure(spark, df):
+def _measure(spark, df, floor=None):
     # collect(), not count(): count() lets Catalyst PRUNE unused
-    # expressions (an unconsumed amplifier would measure nothing)
-    with PeakMemSampler(spark.sparkContext._jvm) as ms:
+    # expressions (an unconsumed amplifier would measure nothing).
+    # Retries pass the first measurement's floor back in (the sweep's
+    # protocol): reused Python workers keep freed pages in RSS, so a
+    # fresh floor after an amplifying run is already elevated and the
+    # retry delta would mask live growth as churn.
+    with PeakMemSampler(spark.sparkContext._jvm, floor=floor) as ms:
         df.collect()
-    return ms.peak_delta
+    return ms.peak_delta, ms.floor
 
 
 def test_band_teeth(spark):
@@ -78,26 +82,29 @@ def test_band_teeth(spark):
     linear = base.select(F.xxhash64("v").alias("h"))
     amplifier = base.mapInPandas(_amp_fn, "n long")
 
-    base_peak = _measure(spark, linear)
+    base_peak, _ = _measure(spark, linear)
     limit = mem_limit(base_peak, payload_bytes)
 
-    lin_peak = _measure(spark, linear)
+    lin_peak, lin_floor = _measure(spark, linear)
     if lin_peak > limit:  # the sweep's GC-retry protocol
         spark.sparkContext._jvm.java.lang.System.gc()
-        lin_peak = min(lin_peak, _measure(spark, linear))
+        lin_retry, _ = _measure(spark, linear, floor=lin_floor)
+        lin_peak = min(lin_peak, lin_retry)
     assert lin_peak <= limit, (
         f"linear kernel out of band: {lin_peak/2**20:.0f}MB "
         f"> {limit/2**20:.0f}MB"
     )
 
-    amp_peak = _measure(spark, amplifier)
+    amp_peak, amp_floor = _measure(spark, amplifier)
     assert amp_peak > limit, (
         f"amplifier NOT flagged on first measure: {amp_peak/2**20:.0f}MB "
         f"<= {limit/2**20:.0f}MB — the band has no teeth"
     )
     # the GC-retry protocol must not clear it: collect + re-measure
+    # with the FIRST measurement's floor pinned (the sweep's protocol)
     spark.sparkContext._jvm.java.lang.System.gc()
-    retry_peak = min(amp_peak, _measure(spark, amplifier))
+    amp_retry, _ = _measure(spark, amplifier, floor=amp_floor)
+    retry_peak = min(amp_peak, amp_retry)
     assert retry_peak > limit, (
         f"amplifier cleared by GC retry: {retry_peak/2**20:.0f}MB "
         f"<= {limit/2**20:.0f}MB — live-set growth masked as churn"
