@@ -213,10 +213,14 @@ def minhash_near_duplicates(
     # 1.0, every band collides), so signatures/banding/verify run once
     # per DISTINCT text and member pairs fan back out in output-bound
     # time — identical pairs, none of the O(cluster²) verify work
-    reps, members = _exact_text_collapse(
-        ensure_parallelism(df), id_col, text_col
-    )
-    sig = reps.select(
+    reps, members = _exact_text_collapse(df, id_col, text_col)
+    # Spread BEFORE the signature map, not before the collapse probe:
+    # the per-row minhash fold is the CPU-dense stage (the spread wins
+    # it 32-way), while spreading the collapse input would make the
+    # construction-time stats probe pay the exchange too — each
+    # eager/probe job re-executes it (measured +1-3 s per operator,
+    # guide §2.4/§2.5).  Hash on the unique id keeps it deterministic.
+    sig = ensure_parallelism(reps, by=id_col).select(
         F.col(id_col).alias("__id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
     )
@@ -341,11 +345,12 @@ def simhash_near_duplicates(
     # normalized texts carry identical fingerprints (hamming exactly 0,
     # every block collides), so the fingerprint/block-join/verify runs
     # once per DISTINCT text and member pairs expand output-bound
-    reps, members = _exact_text_collapse(
-        ensure_parallelism(df), id_col, text_col
-    )
+    reps, members = _exact_text_collapse(df, id_col, text_col)
+    # spread before the CPU-dense per-row fingerprint fold, not before
+    # the collapse probe (see minhash_near_duplicates for the why)
     fp = with_simhash(
-        reps.select(F.col(id_col).alias("__id"), text_col),
+        ensure_parallelism(reps, by=id_col)
+        .select(F.col(id_col).alias("__id"), text_col),
         text_col,
         "__fp",
         shingle_n,
@@ -398,12 +403,31 @@ def simhash_near_duplicates(
     return cross.unionByName(within)
 
 
+#: Cost thresholds for the COST-BASED collapse decision (r12, guide
+#: §1.2 "the distributed algorithm" / §2.5 skew).  Relative to the
+#: uncollapsed pipeline, collapsing trades the dup clusters' extra
+#: work — Σ(c−1) redundant signature/shingle computations plus
+#: Σc·(c−1) candidate/verify pair events — for ~3 extra
+#: row-count-sized joins (members map, rep selection, member-pair
+#: expansion) plus the within-group unions (measured 1.5-2.5 s per
+#: operator at sf0.1).  Collapse therefore only pays when duplicate
+#: VOLUME is material (non-representative copies above
+#: ``_COLLAPSE_DUP_ROW_FRAC`` of rows — redundant signatures then
+#: outweigh the fixed joins) or any single cluster is big enough that
+#: its quadratic pair fan-out risks a straggler task / bucket blowup
+#: (``_COLLAPSE_MAX_CLUSTER``² pair events in one band bucket; 256²
+#: = 65k cheap compares is noise, 10^5² is the 100 TB killer the
+#: collapse exists for).
+_COLLAPSE_MAX_CLUSTER = 256
+_COLLAPSE_DUP_ROW_FRAC = 0.10
+
+
 def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
     """ADAPTIVE exact-duplicate collapse for the pair-join family
-    (adversarial-skew fuzz class, r10; made adaptive r11): group
-    documents by ``md5`` of the NORMALIZED text — the exact input every
-    shingle/simhash feature derives from — and keep one min-id
-    representative per distinct text.
+    (adversarial-skew fuzz class, r10; made adaptive r11; made
+    cost-based r12): group documents by ``md5`` of the NORMALIZED
+    text — the exact input every shingle/simhash feature derives from —
+    and keep one min-id representative per distinct text.
 
     A web-scale corpus always contains exact-duplicate clusters (one
     boilerplate page at 10^5 copies); without this collapse every
@@ -414,17 +438,23 @@ def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
     pairs are expanded afterwards in output-bound time — identical
     output, since every feature is a function of the normalized text.
 
-    ADAPTIVITY (r11): a duplicate-free corpus previously still paid the
-    members join + eager checkpoint + the rep-selection join back onto
-    the texts (~1.2 s fixed per operator at sf0.1).  Now one small
-    fingerprint-statistics job (groupBy fp → min id + count, checkpoint
-    of the per-distinct-text stats only) decides at construction time:
-    if NO fingerprint repeats, the caller's df IS the rep set and the
+    ADAPTIVITY (r11, cost-based r12): a duplicate-free corpus
+    previously still paid the members join + eager checkpoint + the
+    rep-selection join back onto the texts (~1.2 s fixed per operator
+    at sf0.1).  Now one small fingerprint-statistics job (groupBy fp →
+    min id + count, checkpoint of the per-distinct-text stats only)
+    decides at construction time: unless the duplicate statistics
+    cross the cost thresholds above — material duplicate volume or a
+    quadratic-risk cluster — the caller's df IS the rep set and the
     member machinery is skipped entirely — ``members`` comes back as
     ``None`` and :func:`_expand_member_pairs` passes rep pairs through
-    untouched.  Output is bit-identical in both regimes (every group is
-    then a singleton: cross-pairs expand 1:1, within-group pairs are
-    empty).
+    untouched.  Output is bit-identical in both regimes: the
+    uncollapsed pipeline finds every exact-duplicate pair itself
+    (identical texts ⇒ identical signatures/shingle sets ⇒ candidate
+    in every scheme) and scores it exactly as the within-group
+    expansion does (est_jaccard 64/64 = 1.0, hamming 0, J = n/n = 1.0,
+    containment round(n/n, 6) = 1.0 — pinned for BOTH regimes on a
+    dup-bearing corpus in ``tests/test_round12_collapse_cost.py``).
 
     CONSTRUCTION-TIME SIDE EFFECT (ADVICE r10): constructing any pair
     operator runs the one stats job above (it must — the plan branches
@@ -460,10 +490,31 @@ def _exact_text_collapse(df: DataFrame, id_col: str, text_col: str):
         .agg(F.min("__gid").alias("__rep"), F.count(F.lit(1)).alias("__cnt"))
         .localCheckpoint(eager=False)
     )
-    has_dups = stats.filter(F.col("__cnt") > 1).limit(1).count() > 0
-    if not has_dups:
-        # duplicate-free: every doc is its own representative; skip the
-        # members map, the rep-selection join, and the within unions
+    # ONE decision aggregate (materializes the lazy checkpoint exactly
+    # like the old existence probe did): biggest non-NULL cluster,
+    # total rows, distinct texts, and the NULL-fingerprint group size.
+    # A multi-doc NULL group keeps routing to the collapsed path (the
+    # r11 routing: the collapsed pipeline is what pins "NULL texts
+    # never pair", since the NULL rep's pairs drop in the members
+    # join) — but a NULL group never counts toward the cost decision.
+    nn = F.col("__fp").isNotNull()
+    drow = stats.agg(
+        F.max(F.when(nn, F.col("__cnt"))).alias("mx"),
+        F.sum(F.when(nn, F.col("__cnt"))).alias("n"),
+        F.count(F.when(nn, F.lit(1))).alias("d"),
+        F.max(F.when(~nn, F.col("__cnt"))).alias("null_cnt"),
+    ).first()
+    mx = drow["mx"] or 0
+    n_rows = drow["n"] or 0
+    dup_rows = n_rows - (drow["d"] or 0)  # Σ(c−1): non-representative copies
+    if (
+        (drow["null_cnt"] or 0) <= 1
+        and mx <= _COLLAPSE_MAX_CLUSTER
+        and dup_rows <= _COLLAPSE_DUP_ROW_FRAC * n_rows
+    ):
+        # duplicate volume immaterial and no quadratic-risk cluster:
+        # the uncollapsed pipeline is cheaper — skip the members map,
+        # the rep-selection join, and the within unions
         return df, None
     groups = stats.select("__fp", "__rep")
     # members carries only (fp, gid, rep); NULL-fingerprint (NULL text)
@@ -553,13 +604,13 @@ def ngram_jaccard_pairs(
     a function of the normalized texts; identical texts score exactly
     1.0, which the uncollapsed join also emits for every such pair).
     """
-    reps, members = _exact_text_collapse(
-        ensure_parallelism(df), id_col, text_col
-    )
+    reps, members = _exact_text_collapse(df, id_col, text_col)
     # sh feeds the posting index AND both verify joins; pin it once so
     # the rep-selection join + shingling never re-execute per consumer
-    # (same branch-pinning discipline as ngram_containment_pairs)
-    sh = reps.select(
+    # (same branch-pinning discipline as ngram_containment_pairs).
+    # Spread before the shingle map, not before the collapse probe
+    # (see minhash_near_duplicates for the why).
+    sh = ensure_parallelism(reps, by=id_col).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     ).localCheckpoint(eager=True)
@@ -946,14 +997,18 @@ def ngram_containment_pairs(
     # branches).  Measured at sf0.1: 10.2 s unpinned → 6.3 s pinned,
     # identical output — the same branch-pinning discipline as
     # grouped_prefix_sum/global_row_number.
-    reps, members = _exact_text_collapse(
-        ensure_parallelism(df), id_col, text_col
-    )
+    reps, members = _exact_text_collapse(df, id_col, text_col)
     # exact duplicates collapse FIRST (skew fuzz r10): the asymmetric
     # candidate/verify machinery runs per DISTINCT normalized text;
     # member pairs fan back out afterwards — identical output, since
     # containment is a function of the two normalized texts and
-    # identical texts score exactly 1.0 in both directions
+    # identical texts score exactly 1.0 in both directions.
+    # NO input spread here (unlike the minhash/simhash/jaccard ops):
+    # shingling is cheap relative to the prefix-index joins, which are
+    # parallel via their own exchanges anyway, and the r12 within-
+    # session A/B measured the spread at +0.8-2.0 s for this operator
+    # in every placement (before the collapse probe and before the
+    # shingle map) while the sibling ops won 1.8-2.3 s each.
     sh = (
         reps.select(
             F.col(id_col).alias("__id"),

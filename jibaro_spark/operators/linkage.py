@@ -34,6 +34,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jibaro_spark.operators.util import ensure_parallelism
+
 
 @dataclass(frozen=True)
 class FieldComparator:
@@ -94,7 +96,13 @@ def fellegi_sunter_join(
     for la, rb in block_on:
         eq = F.col(la) == F.col(rb)
         cond = eq if cond is None else (cond & eq)
-    joined = a.join(b, cond)
+    # Spread the probe side before the blocking join (guide §2.5 input
+    # skew): per-pair scoring is map-side codegen over the join's
+    # fan-out, so it inherits the probe side's partitioning — a
+    # single-file scan would put the whole O(n·block) scoring stage on
+    # one core.  Hash on the id (unique) keeps the exchange
+    # deterministic; no-op whenever the input is already parallel.
+    joined = ensure_parallelism(a, by=a_id).join(b, cond)
 
     score = None
     for c in comparators:

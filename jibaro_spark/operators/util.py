@@ -24,7 +24,14 @@ def ensure_parallelism(
     cache-plan matching and ReusedExchange — operators that scan their
     input more than once (e.g. ``exact_quantiles_bucketed``) need a
     deterministic exchange or every pass repeats the scan+shuffle.
+
+    ``JIBARO_SPARK_ENSURE_PARALLELISM=0`` disables the spread globally
+    (measurement/debug gate for within-session A/B comparisons).
     """
+    import os
+
+    if os.environ.get("JIBARO_SPARK_ENSURE_PARALLELISM", "1") == "0":
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -310,6 +310,7 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_slots_md5,
     )
     from jibaro_spark.operators.graph import dedup_clusters
+    from jibaro_spark.operators.util import ensure_parallelism
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # Exact-duplicate collapse FIRST (skew class r10): identical
@@ -330,7 +331,11 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline, BASELINE.md round-7 note).  Signatures exist only
     # for text-bearing docs (the oracle's unnest drops NULL text; the
     # cluster universe below still covers every doc).
-    sig = reps.select(
+    # Spread before the signature map (guide §2.5 input skew): the md5
+    # slot minima are the CPU-dense per-row stage, and in the bypass
+    # regime reps IS the raw single-file scan — one core otherwise.
+    # Hash on doc_id (unique) keeps the exchange deterministic.
+    sig = ensure_parallelism(reps, by="doc_id").select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
     ).localCheckpoint(eager=True)
