@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from jibaro_spark.operators.util import ensure_parallelism
+from jibaro_spark.operators.util import dense_exchange, ensure_parallelism
 
 _ROW_NUM = "__jibaro_rn"
 
@@ -898,7 +898,16 @@ def edit_distance_join(
         lsig = prefixed(lg, left_id)
         rsig = prefixed(rg, right_id)
         on = ["__g"] + (["__blk"] if block_on is not None else [])
-        sig_pairs = lsig.join(rsig, on).drop("__g")
+        # EXPLICIT gram-keyed exchange before the signature join (r12,
+        # guide §2.2/§2.5): the fused join+verify stage is extreme
+        # CPU-per-byte (banded levenshtein over the candidate fan-out),
+        # and AQE's byte-based coalescing shrank it to 5-6 tasks on 32
+        # cores at sf0.1.  dense_exchange plans the SAME exchange the
+        # join needs — zero extra movement — but user-specified, so
+        # the verify keeps full parallelism (measured 8.8 → ~3 s; the
+        # df-ordered prefixes bound per-gram fan-out by construction,
+        # so forgoing AQE skew-splitting here is safe).
+        sig_pairs = dense_exchange(lsig, *on).join(rsig, on).drop("__g")
         # Prefix guarantee needs max(|Qa|,|Qb|) > max_dist*q: an edit
         # destroys ≤ q distinct grams, so overlap ≥ max−kq ≥ 1 and the
         # kq+1-prefixes must intersect (the small side's prefix is its
@@ -1059,8 +1068,15 @@ def ngram_containment_pairs(
     # Zipfian corpus the rare-first prefix is mostly df ≤ 2 shingles
     # and candidate precision is high; the positional prune then
     # removes the hot-gram tail events.
+    # dense_exchange (r12, guide §2.2/§2.5): both the posting
+    # self-join (pair fan-out generation) and the array_intersect
+    # verify below are extreme CPU-per-byte stages that AQE's
+    # byte-based coalescing shrank to ~5 tasks on 32 cores; the
+    # explicit keyed exchanges plan the same shuffles the joins need
+    # but keep full parallelism (per-shingle fan-out is prefix-bounded,
+    # so skipping AQE skew-splitting is safe).
     cand = (
-        probe.alias("a")
+        dense_exchange(probe, "shingle").alias("a")
         .join(
             index.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -1079,7 +1095,8 @@ def ngram_containment_pairs(
         .distinct()
     )
     with_sets = (
-        cand.join(
+        dense_exchange(cand, "id_a")
+        .join(
             sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
             "id_a",
         )

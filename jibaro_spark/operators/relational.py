@@ -993,6 +993,38 @@ def grouped_prefix_sum(
     )
 
 
+#: Plain-window routing bounds for the adaptive carry (r12): a group
+#: is "hot" — worth the chunked stitch — only when it exceeds BOTH an
+#: absolute floor (a single-task sort of ≤64k rows is trivial on any
+#: executor) and half a fair partition share (past that, one hash
+#: partition of the plain window holds a straggler's worth of rows).
+_CARRY_PLAIN_MAX_ABS = 65536
+_CARRY_PLAIN_SHARE = 0.5
+
+
+def _carry_routes_plain(df: DataFrame, gcols, n_parts: int) -> bool:
+    """COST-BASED carry routing probe (r12, the collapse-probe pattern
+    — guide §1.2): the chunked form exists for hot-key skew, but it
+    costs a range-boundary sampling pass, the chunk-total aggregation,
+    the offset window, and the stitch join — measured ~2× the plain
+    window on balanced corpora at sf0.1.  One group-size probe
+    (keys-only shuffle, map-side partial counts) decides at
+    construction: when the BIGGEST group is at most half a fair
+    partition share (or under the absolute floor), hash-partitioned
+    plain windows are balanced and strictly cheaper; a hot key past
+    that routes chunked.  Outputs are identical either way (pinned
+    both-regimes in tests/test_round12_carry_adaptive.py on top of the
+    r11 chunked≡plain equivalence tests)."""
+    st = (
+        df.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("mx"), F.sum("__c").alias("n"))
+        .first()
+    )
+    mx, n = st["mx"] or 0, st["n"] or 0
+    return mx <= _CARRY_PLAIN_MAX_ABS or mx <= _CARRY_PLAIN_SHARE * n / n_parts
+
+
 def grouped_running_carry(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1004,6 +1036,7 @@ def grouped_running_carry(
     rev_last_cols: Sequence[str] = (),
     rev_last_out: Sequence[str] = (),
     num_partitions: int | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Exact per-group running ``last(col, ignorenulls=True)`` and/or
     running ``sum(col)`` under ``order_by`` WITHOUT a per-group
@@ -1064,6 +1097,29 @@ def grouped_running_carry(
         raise ValueError("grouped_running_carry: nothing to compute")
     gcols = [F.col(c) for c in group_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if adaptive and _carry_routes_plain(df, gcols, n_parts):
+            run_w = (
+                Window.partitionBy(*group_cols)
+                .orderBy(*order_by)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            rev_w = (
+                Window.partitionBy(*group_cols)
+                .orderBy(*order_by)
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            out = df
+            for vc, oc in lasts:
+                out = out.withColumn(
+                    oc, F.last(vc, ignorenulls=True).over(run_w)
+                )
+            for vc, oc in revs:
+                out = out.withColumn(
+                    oc, F.first(vc, ignorenulls=True).over(rev_w)
+                )
+            for vc, oc in sums:
+                out = out.withColumn(oc, F.sum(vc).over(run_w))
+            return out
     # pinned range exchange (grouped_prefix_sum discipline): both the
     # local-carry branch and the carry-in branch derive from `s`;
     # without the checkpoint a stage retry could re-sample range

@@ -42,3 +42,42 @@ def ensure_parallelism(
             return df.repartition(target, *[F.col(c) for c in cols])
         return df.repartition(target)
     return df
+
+
+def dense_exchange(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Explicit hash repartition on upcoming join/agg keys for stages
+    whose CPU-per-byte is extreme (signature verifies, per-pair
+    scoring).
+
+    AQE's partition coalescing sizes post-shuffle stages by BYTES
+    (``advisoryPartitionSizeInBytes`` with a 1 MiB floor), so a stage
+    whose shuffle is kilobytes but whose per-row compute is heavy
+    collapses to a handful of tasks (measured 5-6 tasks on 32 cores
+    for the q-gram verify at sf0.1; guide §2.2/§2.5).  An EXPLICIT
+    user repartition on the same keys plans the identical exchange the
+    downstream join/aggregate would insert — zero extra data movement
+    — but is user-specified, which AQE coalescing leaves alone, so the
+    dense stage keeps full parallelism.
+
+    ``n`` defaults to max(defaultParallelism, shuffle.partitions) — at
+    real scale that matches or exceeds what the planner would use, so
+    this never REDUCES parallelism.  Trade-off: the exchange also
+    opts out of AQE skew-splitting for that join; use only where the
+    key distribution is bounded by construction (df-ordered prefix
+    grams, capped posting lists).
+
+    ``JIBARO_SPARK_DENSE_EXCHANGE=0`` disables (A/B measurement gate).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    if os.environ.get("JIBARO_SPARK_DENSE_EXCHANGE", "1") == "0":
+        return df
+    spark = df.sparkSession
+    if n is None:
+        n = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+    return df.repartition(n, *[F.col(c) for c in cols])

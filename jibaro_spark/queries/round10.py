@@ -629,17 +629,34 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
     )
 
-    def feat_cells(df: DataFrame, feat: str, extra: list[str]) -> DataFrame:
+    def feat_cells(df: DataFrame, extra: list[str]) -> DataFrame:
+        # ONE scan for both feature axes (guide §1.2 "don't make two
+        # passes when one suffices"): explode each example into its
+        # (feat, v) projections and aggregate once — the r11 form
+        # union-aggregated per feature, scanning the examples twice.
+        # Identical cells: GROUP BY (feat, v) over the exploded rows ≡
+        # the union of the two per-feature GROUP BYs.
         return (
-            df.groupBy(F.col(feat).alias("v"), *extra)
+            df.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("price").alias("feat"), F.col("price").alias("v")
+                        ),
+                        F.struct(F.lit("day").alias("feat"), F.col("day").alias("v")),
+                    )
+                ).alias("fv"),
+                "pos",
+                *extra,
+            )
+            .groupBy(F.col("fv.feat").alias("feat"), F.col("fv.v").alias("v"), *extra)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("pos").alias("npos"),
             )
-            .withColumn("feat", F.lit(feat))
         )
 
-    cells = feat_cells(ex, "price", []).unionByName(feat_cells(ex, "day", []))
+    cells = feat_cells(ex, [])
 
     # The cumulative-error scan must NOT be Window.partitionBy("feat"):
     # with feat ∈ {price, day} that is a 2-task stage, and `price` is
@@ -655,24 +672,41 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             total_cols=[nt, pt],
         ).select("feat", "v", nl, pl, nt, pt)
 
-    c1 = cum_and_tot(cells, "n", "npos", "nl", "pl", "nt", "pt")
-    e1 = c1.select(
-        "feat",
-        "v",
-        F.lit("le_pos").alias("pol"),
-        ((F.col("nl") - F.col("pl")) + (F.col("pt") - F.col("pl"))).alias("err"),
-        "nt",
-    ).unionByName(
-        c1.select(
+    def both_polarities(cdf, err_le_pos, err_le_neg, err_name):
+        # ONE pass over the cumulative scan for both polarities (the
+        # r11 union of two selects re-ran the whole windowed
+        # prefix-sum pipeline per branch — the before-plan's duplicated
+        # SMJ/Window/HashAggregate subtree): explode each cell into
+        # its two (pol, err) rows instead.  Identical candidate set,
+        # and the argmin is limit(1) under the total (err, feat, v,
+        # pol) order, so the chosen stump is unchanged.
+        return cdf.select(
             "feat",
             "v",
-            F.lit("le_neg").alias("pol"),
-            (F.col("pl") + (F.col("nt") - F.col("nl")) - (F.col("pt") - F.col("pl"))).alias(
-                "err"
-            ),
-            "nt",
+            *[c for c in cdf.columns if c not in ("feat", "v")],
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("le_pos").alias("pol"), err_le_pos.alias("e")
+                    ),
+                    F.struct(F.lit("le_neg").alias("pol"), err_le_neg.alias("e")),
+                )
+            ).alias("pe"),
+        ).select(
+            "feat",
+            "v",
+            F.col("pe.pol").alias("pol"),
+            F.col("pe.e").alias(err_name),
+            *[c for c in cdf.columns if c not in ("feat", "v")],
         )
-    )
+
+    c1 = cum_and_tot(cells, "n", "npos", "nl", "pl", "nt", "pt")
+    e1 = both_polarities(
+        c1,
+        (F.col("nl") - F.col("pl")) + (F.col("pt") - F.col("pl")),
+        F.col("pl") + (F.col("nt") - F.col("nl")) - (F.col("pt") - F.col("pl")),
+        "err",
+    ).select("feat", "v", "pol", "err", "nt")
     best1 = (
         e1.orderBy("err", "feat", "v", "pol")
         .limit(1)
@@ -708,9 +742,7 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex3 = ex.crossJoin(b).withColumn(
         "correct", F.when(pred == F.col("pos"), 1).otherwise(0)
     )
-    cells2 = feat_cells(ex3, "price", ["correct"]).unionByName(
-        feat_cells(ex3, "day", ["correct"])
-    )
+    cells2 = feat_cells(ex3, ["correct"])
     # weight scalars recomputed from the broadcast stump — stays in-plan
     w_right = F.round(F.exp(-F.col("alpha1")), 10).cast("decimal(28,10)")
     w_wrong = F.round(F.exp(F.col("alpha1")), 10).cast("decimal(28,10)")
@@ -724,25 +756,12 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c2 = cum_and_tot(wcells, "wn", "wpos", "wl", "pwl", "wnt", "pwt")
-    e2 = c2.select(
-        "feat",
-        "v",
-        F.lit("le_pos").alias("pol"),
-        ((F.col("wl") - F.col("pwl")) + (F.col("pwt") - F.col("pwl"))).alias("werr"),
-        "wnt",
-    ).unionByName(
-        c2.select(
-            "feat",
-            "v",
-            F.lit("le_neg").alias("pol"),
-            (
-                F.col("pwl")
-                + (F.col("wnt") - F.col("wl"))
-                - (F.col("pwt") - F.col("pwl"))
-            ).alias("werr"),
-            "wnt",
-        )
-    )
+    e2 = both_polarities(
+        c2,
+        (F.col("wl") - F.col("pwl")) + (F.col("pwt") - F.col("pwl")),
+        F.col("pwl") + (F.col("wnt") - F.col("wl")) - (F.col("pwt") - F.col("pwl")),
+        "werr",
+    ).select("feat", "v", "pol", "werr", "wnt")
     best2 = (
         e2.orderBy("werr", "feat", "v", "pol")
         .limit(1)

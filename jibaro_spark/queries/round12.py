@@ -551,6 +551,12 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # pin the edge list: THREE consumers (a1 groupBy, the h1 and
+        # a2 joins) otherwise re-execute the orders⋈lineitem join +
+        # distinct per consumer — only its exchanges get reused (the
+        # branch-pinning discipline; lazy, so the first action
+        # materializes it)
+        .localCheckpoint(eager=False)
     )
     a1 = e.groupBy("s").agg(F.count(F.lit(1)).alias("a1"))
     t1 = a1.agg(F.sum("a1").alias("z"))

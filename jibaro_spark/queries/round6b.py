@@ -797,6 +797,11 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_out=["__cc", "__cv"],
         rev_last_cols=["__ts1"],
         rev_last_out=["__firstt"],
+        # cost-based plain-window routing (r12): the chunked stitch is
+        # hot-key insurance; one group-size probe takes the cheaper
+        # plain windows whenever no user owns more than half a fair
+        # partition share (identical output either regime)
+        adaptive=True,
     )
     # per-purchase-ROW keying (ADVICE r10): __pid alone merges probes
     # of purchases sharing an event_id (duplicate or NULL) and F.first
@@ -923,6 +928,10 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("cij"))
     )
+    # (An explode-both-orientations rewrite was tried in r12 and
+    # reverted: the union's second branch rides ReusedExchange, so the
+    # duplicated subtree is mostly a re-read, and the explode measured
+    # +0.25 s in a same-session ABAB.)
     sym = pairs.unionByName(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "cij")
     )
