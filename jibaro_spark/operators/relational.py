@@ -838,6 +838,7 @@ def grouped_prefix_sum(
     num_partitions: int | None = None,
     total_cols: "Sequence[str] | None" = None,
     broadcast_totals: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Exact per-group running sum of ``value_col`` under
     ``order_cols`` WITHOUT a per-group single-task scan ([ext] scale
@@ -904,6 +905,28 @@ def grouped_prefix_sum(
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if adaptive and _carry_routes_plain(df, gcols, n_parts):
+        # COST-BASED plain-window route (r12, same probe as
+        # grouped_running_carry): when no group exceeds the hot-key
+        # bound, the plain windows are balanced and skip the range
+        # sampling pass, the eager checkpoint, the chunk-total
+        # aggregation, and the offset join.  Identical values and
+        # NULL contract — the chunked form's combine exists precisely
+        # to reproduce the plain window (pinned in
+        # tests/test_round12_carry_adaptive.py's prefix-sum case).
+        run_w = (
+            Window.partitionBy(*gcols)
+            .orderBy(*ocols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df
+        for vc, oc in zip(vcols, outs):
+            out = out.withColumn(oc, F.sum(vc).over(run_w))
+        if total_cols is not None:
+            tot_w = Window.partitionBy(*gcols)
+            for vc, tc in zip(vcols, total_cols):
+                out = out.withColumn(tc, F.sum(vc).over(tot_w))
+        return out
     # Pin the range exchange (same discipline as _global_row_number_
     # with_total): the `local` branch and the `chunk_tot`/offsets
     # branch BOTH derive from `s` — without the checkpoint a
@@ -993,12 +1016,17 @@ def grouped_prefix_sum(
     )
 
 
-#: Plain-window routing bounds for the adaptive carry (r12): a group
-#: is "hot" — worth the chunked stitch — only when it exceeds BOTH an
-#: absolute floor (a single-task sort of ≤64k rows is trivial on any
-#: executor) and half a fair partition share (past that, one hash
-#: partition of the plain window holds a straggler's worth of rows).
-_CARRY_PLAIN_MAX_ABS = 65536
+#: Plain-window routing bounds for the adaptive carry/prefix-sum
+#: (r12): a group is "hot" — worth the chunked stitch — only when it
+#: exceeds BOTH an absolute floor (a single-task in-memory sort of
+#: ~2M narrow rows is ~1 s on any executor — negligible next to the
+#: chunked form's range-sampling pass + checkpoint + stitch join; the
+#: same order of bound as the 2M-row frontier-broadcast budget in
+#: operators.graph) and half a fair partition share (past that, one
+#: hash partition of the plain window holds a straggler's worth of
+#: rows).  A 10^8-row hot key — the 100 TB failure mode the chunked
+#: form exists for — exceeds both and keeps the chunked route.
+_CARRY_PLAIN_MAX_ABS = 2_000_000
 _CARRY_PLAIN_SHARE = 0.5
 
 

@@ -187,9 +187,16 @@ def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # explicit pr-keyed exchange (r12, see dense_exchange): the exact
+    # distinct-value ECDF window runs per priority class (5 groups)
+    # over ~10^5 distinct prices and AQE's byte-based coalescing
+    # otherwise collapses it below 5 tasks
+    from jibaro_spark.operators.util import dense_exchange
+
     dc = (
-        b.groupBy("pr", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        dense_exchange(
+            b.groupBy("pr", "c").agg(F.count(F.lit(1)).alias("cnt")), "pr"
+        )
         .select("pr", "c", F.sum("cnt").over(dcum).alias("cum"))
     )
     ex = (
@@ -667,9 +674,19 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         # running sums AND per-feature totals from ONE pass — the
         # totals come from the chunk totals the pipeline already owns,
         # so the cell collapse underneath is scanned exactly once
+        # LAZY checkpoint so the adaptive probe's group-size job
+        # materializes the cells aggregation ONCE and the routed
+        # windows read cached blocks (an unpinned probe re-ran the
+        # whole subtree and measured 7.3 s vs 5.9 s; with the pin the
+        # plain route wins).  When the value domain trips the
+        # hot-group bound (cents-granular at 100×), the chunked route
+        # pays one extra cells-table read — a bounded distinct-value
+        # table, not the raw input.
+        cdf = cdf.localCheckpoint(eager=False)
         return grouped_prefix_sum(
             cdf, ["feat"], ["v"], [ncol, pcol], [nl, pl],
             total_cols=[nt, pt],
+            adaptive=True,
         ).select("feat", "v", nl, pl, nt, pt)
 
     def both_polarities(cdf, err_le_pos, err_le_neg, err_name):

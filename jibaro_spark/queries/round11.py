@@ -109,9 +109,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # explicit pr-keyed exchange (r12, see dense_exchange): the
+        # rank window runs per priority class (5 groups) over ~10^5
+        # distinct values and AQE's byte-based coalescing otherwise
+        # collapses it below 5 tasks (the q_ks_test pattern)
+        from jibaro_spark.operators.util import dense_exchange
+
         return (
-            b.groupBy("pr", col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            dense_exchange(
+                b.groupBy("pr", col).agg(F.count(F.lit(1)).alias("cnt")), "pr"
+            )
             .select(
                 "pr",
                 col,

@@ -191,6 +191,17 @@ def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_partkey").isNotNull()
         & F.col("l_suppkey").isNotNull()
     )
+    # Spread the per-row md5 fingerprint map (guide §2.5 input skew —
+    # the single-file scan otherwise runs it on one core), shuffling
+    # ONLY the four key columns (guide §2.3 project-before-exchange).
+    # Deterministic hash on the key; no-op on an already-parallel scan.
+    # Measured 1.8-2.2 → 1.0-1.2 s at sf0.1 in a same-session ABAB.
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        by="l_orderkey",
+    )
     fp = F.conv(
         F.substring(
             F.md5(
@@ -691,6 +702,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pw = Window.partitionBy("pa", "pb")
+    # explicit pair-keyed exchange (r12, see dense_exchange): the ECDF
+    # windows are CPU-dense over byte-small input and AQE coalescing
+    # otherwise runs the 10 pair groups on 2-3 tasks
+    from jibaro_spark.operators.util import dense_exchange
+
+    pooled = dense_exchange(pooled, "pa", "pb")
     c = pooled.select(
         "pa",
         "pb",

@@ -102,3 +102,23 @@ def test_schema_identical_across_regimes(spark, balanced):
         rev_last_cols=["v"], rev_last_out=["rv"], adaptive=False,
     )
     assert a.schema == b.schema
+
+
+def test_prefix_sum_plain_equals_chunked(spark, balanced):
+    """Same invariant for grouped_prefix_sum's adaptive route,
+    including the total_cols lane and the running-sum NULL contract."""
+
+    def run(adaptive):
+        out = rel.grouped_prefix_sum(
+            balanced, ["k"], ["t"], ["s", "v"], ["cs", "cv"],
+            total_cols=["ts", "tv"], adaptive=adaptive,
+        )
+        return sorted(
+            (
+                (r["k"], r["t"], r["cs"], r["cv"], r["ts"], r["tv"])
+                for r in out.collect()
+            ),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert run(True) == run(False)
