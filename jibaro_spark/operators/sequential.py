@@ -346,7 +346,16 @@ def dtw_distance_pairs(
             }
         )
 
-    return tagged.groupBy("key_a", "key_b").applyInPandas(
+    # explicit pair-keyed exchange (r12, see operators.util.
+    # dense_exchange): the per-pair Python DP is extreme CPU-per-byte
+    # and AQE's byte-based coalescing otherwise runs the bounded pair
+    # domain on 1-2 tasks; this plans the same exchange the grouped
+    # applyInPandas needs, at full parallelism.
+    from jibaro_spark.operators.util import dense_exchange
+
+    return dense_exchange(tagged, "key_a", "key_b").groupBy(
+        "key_a", "key_b"
+    ).applyInPandas(
         _dtw, "key_a string, key_b string, n_a long, n_b long, dtw double"
     )
 

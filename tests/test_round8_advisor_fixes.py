@@ -123,18 +123,38 @@ def test_dtw_pairs_key_domain_guard(spark):
 
 
 def test_adaboost_threshold_scan_is_chunk_parallel(spark):
+    """r12 update: the cumulative scan is COST-ROUTED (grouped_prefix_
+    sum adaptive) — at this tiny SF the probe takes the plain
+    per-feature windows (allowed: the value domain is far under the
+    hot-group bound), but with the bound forced down the chunked form
+    must come back, pinning the 100 TB shape this test was written
+    for (a cents-granular feature domain at scale trips the bound)."""
+    import jibaro_spark.operators.relational as rel
+
     from jibaro_spark.queries import REGISTRY
 
-    df = REGISTRY["q_adaboost_round"].fn(spark, SF)
-    df.write.format("noop").mode("overwrite").save()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the per-feature cumulative window (partition feat, order v) would
-    # be a 2-task stage; grouped_prefix_sum's windows are keyed by
-    # (__gpid, feat) locally and by feat over <=#chunks offset rows
-    assert not re.search(r"windowspecdefinition\(feat#\d+, v#", plan), plan
-    # per-feature totals are a 2-row aggregate broadcast back, not an
-    # unordered whole-feature window
-    assert "BroadcastHashJoin" in plan
+    old = rel._CARRY_PLAIN_MAX_ABS
+    try:
+        rel._CARRY_PLAIN_MAX_ABS = 0  # with share-bound, forces chunked
+        df = REGISTRY["q_adaboost_round"].fn(spark, SF)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the per-feature cumulative window (partition feat, order v)
+        # would be a 2-task stage; grouped_prefix_sum's windows are
+        # keyed by (__gpid, feat) locally and by feat over <=#chunks
+        # offset rows
+        assert not re.search(r"windowspecdefinition\(feat#\d+, v#", plan), plan
+        # per-feature totals are a 2-row aggregate broadcast back, not
+        # an unordered whole-feature window
+        assert "BroadcastHashJoin" in plan
+    finally:
+        rel._CARRY_PLAIN_MAX_ABS = old
+    # and the adaptive route takes the plain windows at this SF (the
+    # r12 cost decision — identical output pinned in
+    # test_round12_carry_adaptive.py)
+    df2 = REGISTRY["q_adaboost_round"].fn(spark, SF)
+    plan2 = df2._jdf.queryExecution().analyzed().toString()
+    assert "__gpid" not in plan2
 
 
 def test_dtw_monthly_twin_shape_and_integrality(spark):
