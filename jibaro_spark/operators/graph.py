@@ -58,11 +58,56 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+#: connected_components routes edge lists at or under this row count
+#: through an exact driver-side union-find instead of the distributed
+#: large-star/small-star loop.  200k edges is a few MB collected —
+#: bounded driver work (guide §5's "almost no data work" still holds),
+#: while each distributed round costs ~0.7-1.2 s of fixed job/planning
+#: overhead regardless of size (measured r12: a 254-edge graph spent
+#: 3.0 s of q_minhash_dedup_clusters' 5.4 s inside the loop).  At real
+#: scale the count exceeds the bound and the loop runs unchanged.
+_CC_DRIVER_EDGE_MAX = 200_000
+
+
+def _cc_union_find(rows: "list") -> "dict":
+    """Exact min-label connected components of a collected edge list:
+    returns {node: component_min}.  Union-find with path halving; the
+    final label is the minimum node id of the component — identical to
+    the distributed loop's converged min-label by definition."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    labels: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    for n in parent:
+        labels[n] = comp_min[find(n)]
+    return labels
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_edge_max: int = _CC_DRIVER_EDGE_MAX,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with its
     component's minimum node id.
@@ -77,6 +122,17 @@ def connected_components(
     converge — at the default 25 that would take a graph of diameter
     ~2^25, i.e. never for real near-dup graphs; the guard exists so a
     driver bug fails loudly instead of looping.
+
+    Cost-based routing (r12, guide §1.2): the edge list is already
+    checkpointed, so one cheap ``count`` decides the plan — at or
+    under ``driver_edge_max`` rows the components come from an exact
+    driver-side union-find (a bounded collect; the distributed loop's
+    per-round fixed cost dwarfs the data at that size), above it the
+    large-star/small-star loop runs exactly as before.  NULL node ids
+    always take the distributed path (Python ``min`` cannot order
+    them; the loop's join semantics are the pinned behaviour).
+    Bit-identity of the two regimes is pinned in
+    ``tests/test_round12_cc_driver_path.py``.
     """
     # Materialize the (possibly expensive — e.g. an LSH band join)
     # pair derivation ONCE: nodes and edges below are two consumers,
@@ -84,6 +140,22 @@ def connected_components(
     norm = pairs.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
+    if driver_edge_max >= 0 and norm.count() <= driver_edge_max:
+        rows = [(r[0], r[1]) for r in norm.collect()]
+        if not any(a is None or b is None for a, b in rows):
+            labels = _cc_union_find(rows)
+            # Output schema exactly as the distributed branch builds it
+            # (labels ∪ roots), derived plan-only — no extra jobs.
+            labels_proto = norm.select(
+                F.col("src").alias("node"), F.col("dst").alias("component")
+            )
+            nodes_proto = norm.select("src").union(norm.select("dst"))
+            roots_proto = nodes_proto.select(
+                F.col("src").alias("node"), F.col("src").alias("component")
+            )
+            out_schema = labels_proto.union(roots_proto).schema
+            data = sorted(labels.items())
+            return norm.sparkSession.createDataFrame(data, out_schema)
     # Nodes come from the UNFILTERED pairs: a node appearing only as a
     # self-pair (u,u) still owes an output row (its own singleton
     # component) per the contract above — filtering self-loops first

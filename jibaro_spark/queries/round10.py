@@ -342,6 +342,10 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot minima are the CPU-dense per-row stage, and in the bypass
     # regime reps IS the raw single-file scan — one core otherwise.
     # Hash on doc_id (unique) keeps the exchange deterministic.
+    # r12: a LAZY variant of this checkpoint (materialized by the CC
+    # pair job) ABAB-measured 5.76 vs 5.51 s — the first lazy run pays
+    # duplicated partition computation across the band join's concurrent
+    # stages, and the steady-state min is no better.  Eager stays.
     sig = ensure_parallelism(reps, by="doc_id").select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),

@@ -47,9 +47,11 @@ def test_cc_self_loop_only_node_still_emitted(spark):
 
 
 def test_cc_non_convergence_raises(spark):
+    # driver_edge_max=-1 forces the distributed loop (the r12 driver
+    # union-find path has no rounds to bound)
     df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(df, max_iter=0)
+        connected_components(df, max_iter=0, driver_edge_max=-1)
 
 
 def test_dedup_clusters_singletons_and_canonical(spark):
