@@ -680,6 +680,8 @@ def incremental_topk_apply(
     pinned by the q_incremental_topk oracle (scratch recompute) and
     branch units.
     """
+    import os
+
     from pyspark.sql.window import Window
 
     dec = f"decimal(28,{scale})"
@@ -688,10 +690,25 @@ def incremental_topk_apply(
         F.col(id_col).alias(id_col),
         F.col(value_col).cast(dec).alias(value_col),
     )
+    # Pin the two small repair frames (r12, guide §2.4): ``view`` is
+    # consumed by the membership semi-join AND the clean pool, and
+    # ``dirty_keys`` by THREE consumers (two anti-joins + the rescan
+    # semi) — without pinning, every consumer re-plans the full
+    # view subtree (its window over the whole fact included): the
+    # q_incremental_topk plan had 50 parquet scans / 13 Window nodes
+    # for logically 3 windows.  Both frames are bounded: view is
+    # ≤ k rows/key (executor-distributed blocks, never collected),
+    # dirty_keys by the change batch.  ``JIBARO_SPARK_IVM_PIN=0``
+    # disables (A/B measurement gate).
+    _pin = os.environ.get("JIBARO_SPARK_IVM_PIN", "1") != "0"
+    if _pin:
+        view = view.localCheckpoint(eager=True)
     removals = changes.filter(F.col(op_col).isin("u", "d")).select(*keys, id_col)
     dirty_keys = (
         removals.join(view, keys + [id_col], "left_semi").select(*keys).distinct()
     )
+    if _pin:
+        dirty_keys = dirty_keys.localCheckpoint(eager=True)
     inserts = changes.filter(F.col(op_col) != "d").select(
         *keys,
         F.col(id_col).alias(id_col),
