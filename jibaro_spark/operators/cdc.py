@@ -498,6 +498,19 @@ def incremental_minmax_apply(
         "__n2",
         F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0)),
     )
+    # Pin the merged frame (r12, guide §2.4): it feeds BOTH the clean
+    # filter and the dirty-key filter, so without pinning the whole
+    # stored-agg ⋈ delta subtree (incl. whatever derivation produced
+    # the stored aggregate) is planned and executed twice — the
+    # q_incremental_minmax plan held 34 parquet scans for 1 table.
+    # merged is one row per touched-or-stored key — exactly the view
+    # the maintenance pipeline rewrites anyway, so materializing it to
+    # executor blocks is the pipeline's own output cost, not new work.
+    # ``JIBARO_SPARK_IVM_PIN=0`` disables (A/B measurement gate).
+    import os
+
+    if os.environ.get("JIBARO_SPARK_IVM_PIN", "1") != "0":
+        merged = merged.localCheckpoint(eager=True)
     # dirty: a removal touches the stored extremum, or the key is new
     # to the aggregate (no stored row), or everything was deleted
     dirty_cond = (

@@ -164,6 +164,12 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, bb in _PAIRS:
         aggs.append(F.sum(d(a) * F.col(bb)).alias(f"sx_{a}_{bb}"))
     mom = b.agg(*aggs)
+    # r12 note: a single-pass explode(array(struct…)) form of the six
+    # pair rows (the adaboost pattern) ABAB-measured consistently WORSE
+    # here (1.70 vs 1.13 s, steal 0%) — the six 1-row union branches
+    # dedupe into one runtime exchange reuse, while the explode path
+    # pays a wider final projection.  Same outcome as the reverted
+    # q_item_item_cosine explode.  The union stays.
     pair_rows = []
     for a, bb in _PAIRS:
         num = (F.col("n") * F.col(f"sx_{a}_{bb}") - F.col(f"s_{a}") * F.col(f"s_{bb}")).cast(

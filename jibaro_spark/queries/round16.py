@@ -127,6 +127,16 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     at_risk = by_dur.withColumn("n", F.sum("leaving").over(w_desc))
+    # Pin the at-risk table (r12, guide §2.4): ≤146 rows (2 groups ×
+    # ≤73 durations) but consumed THREE times (the dense time axis +
+    # one filtered branch per group) — unpinned, each consumer
+    # re-planned the events→first_ev/first_buy join subtree
+    # (16 parquet scans / 46 Exchange nodes).
+    # JIBARO_SPARK_QPIN=0 disables (A/B measurement gate).
+    import os
+
+    if os.environ.get("JIBARO_SPARK_QPIN", "1") != "0":
+        at_risk = at_risk.localCheckpoint(eager=True)
     times = at_risk.select("dur").distinct()
     # densify: each group's at-risk count at EVERY event time is its
     # next-at-or-after cumulative (at-risk is right-continuous,
@@ -450,6 +460,16 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
     tc = seq.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    # Pin the transition-count table (r12, guide §2.4): tc is bounded
+    # by |event_type|² and feeds states, tc2→p AND (through p) every
+    # power-iteration step — unpinned, the events window subtree was
+    # re-planned per consumer (16 parquet scans / 22 Window nodes).
+    # JIBARO_SPARK_QPIN=0 disables (A/B measurement gate).
+    import os
+
+    _qpin = os.environ.get("JIBARO_SPARK_QPIN", "1") != "0"
+    if _qpin:
+        tc = tc.localCheckpoint(eager=True)
     states = tc.select(F.col("prev").alias("s")).distinct()
     tc2 = tc.join(
         F.broadcast(states.withColumnRenamed("s", "nxt")), "nxt", "left_semi"
@@ -462,6 +482,9 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,12)")
         .alias("p"),
     )
+    # p is joined once per iteration (3 consumers) — same pin rationale
+    if _qpin:
+        p = p.localCheckpoint(eager=True)
     ns = states.agg(F.count(F.lit(1)).alias("ns"))
     pi = states.crossJoin(F.broadcast(ns)).select(
         "s",

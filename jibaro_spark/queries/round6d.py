@@ -293,8 +293,20 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train_tok = train.select("lang", F.explode(toks).alias("tok"))
     counts = train_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Pin the count model (r12, guide §2.4): counts is (lang × vocab)-
+    # bounded and feeds totals AND the scoring join; vocab is the same
+    # token set counts already holds, so deriving it from the pinned
+    # counts (instead of a second pass over train_tok) runs the
+    # tokenization explode — the CPU-dense stage — ONCE instead of
+    # twice.  JIBARO_SPARK_QPIN=0 disables (A/B measurement gate).
+    import os
+
+    if os.environ.get("JIBARO_SPARK_QPIN", "1") != "0":
+        counts = counts.localCheckpoint(eager=True)
+        vocab = counts.select("tok").distinct()
+    else:
+        vocab = train_tok.select("tok").distinct()
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
-    vocab = train_tok.select("tok").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     priors = (
         train.groupBy("lang")
