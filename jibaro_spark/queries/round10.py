@@ -639,6 +639,11 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("pos"),
     )
+    # r12 note: spreading ex (hash on price) to parallelize the cells
+    # aggregations' single-file map stage ABAB-measured WORSE (4.32 vs
+    # 3.54 s, steal 0%) — the extra 150k-row exchange plus its
+    # interaction with the lazily-checkpointed cells probe costs more
+    # than the one-core partial agg saves.  The unspread scan stays.
 
     def feat_cells(df: DataFrame, extra: list[str]) -> DataFrame:
         # ONE scan for both feature axes (guide §1.2 "don't make two
