@@ -36,6 +36,8 @@ Cross-engine conventions follow ``queries/registry.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -259,7 +261,27 @@ def _co_edges(spark: SparkSession, sf_dir: str):
         e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .union(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     )
-    dg = s0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Pin the symmetric edge list and the degree table (r12, guide
+    # §2.4): every consumer (assortativity's two degree joins,
+    # modularity's within/m2 branches, local-clustering's wedge
+    # SELF-join) re-planned the full lineitem co-purchase fan-out join
+    # underneath — 48-66 parquet scans / 82-112 Exchange nodes for 1-2
+    # logical tables, and the wedge self-join paid the fan-out twice
+    # per pass (q_local_clustering measured 14.5 s at sf0.1, the
+    # slowest query in the engine).  Lazy, like the q_hits_scores edge
+    # pin: the first consumer's job materializes the blocks, the rest
+    # read them (executor-pinned, non-reliable storage — acceptable
+    # for a single-query lifetime).  dg re-derives from the PINNED s0
+    # so its own materialization is one cheap shuffle over cached
+    # blocks.  At 100 TB the edge list is the object every pass
+    # iterates; storing it once beats re-running the order-fan-out
+    # join 3-6×.  JIBARO_SPARK_QPIN=0 disables (A/B measurement gate).
+    if os.environ.get("JIBARO_SPARK_QPIN", "1") != "0":
+        s0 = s0.localCheckpoint(eager=False)
+        dg = s0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        dg = dg.localCheckpoint(eager=False)
+    else:
+        dg = s0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return s0, dg
 
 
@@ -423,12 +445,13 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Per-node local clustering coefficient on the supplier co-purchase
 # graph ([ext] graph — the node-local companion of the global
-# q_triangle_count).  Wedges come from a neighbor-pair self-join on
-# the center node; closures from a semi-join against the edge set.
-# The wedge stage is Σ deg² — neighborhood-density-bounded, fine on
-# this supplier²-bounded graph; heavy-tailed graphs at 100 TB should
-# orient wedges by degree order first (the q_triangle_count
-# discipline), which caps it at Σ deg·maxOrientedDeg.
+# q_triangle_count).  Per-node triangle participation comes from the
+# shared oriented node-iterator (triangle_count: degree-ordered
+# orientation, each triangle enumerated once, corner explode) — the
+# r12 rewrite of the original unoriented center-wedge semi-join,
+# which enumerated Σ deg² wedges and each triangle three times.  The
+# oracle keeps the wedge/semi-join formulation: COUNT of closed
+# neighbor pairs per center ≡ triangles containing the center.
 
 QLC_ORACLE = f"""
 WITH {_CO_SQL}, wedge AS (
@@ -457,29 +480,34 @@ ORDER BY suppkey
     description="Per-supplier local clustering coefficient: neighbor-pair wedges + edge semi-join closures; degree-ordered orientation documented as the heavy-tail scale path (graph [ext])",
 )
 def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.graph import triangle_count
+
     s0, dg = _co_edges(spark, sf_dir)
-    wedge = (
-        s0.withColumnRenamed("dst", "n1")
-        .join(
-            s0.withColumnRenamed("src", "__c").withColumnRenamed("dst", "n2"),
-            (F.col("src") == F.col("__c")) & (F.col("n1") < F.col("n2")),
-        )
-        .select(F.col("src").alias("ctr"), "n1", "n2")
-    )
-    e0 = s0.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    closed = (
-        wedge.join(e0, (wedge["n1"] == e0["u"]) & (wedge["n2"] == e0["v"]), "left_semi")
-        .groupBy("ctr")
-        .agg(F.count(F.lit(1)).alias("tri"))
-    )
+    # r12 (guide §1.2/§2.5): the hand-rolled UNORIENTED wedge
+    # self-join enumerated every wedge at every center — Σ deg² ≈
+    # 49.6M wedge rows at sf0.1 (25M after n1<n2), 12.5 s warm
+    # (s0 2.7 + wedges 2.6 + closure 4.0) — and counted each triangle
+    # three times, once per corner.  triangle_count() is the engine's
+    # oriented node-iterator (Suri & Vassilvitskii): each triangle is
+    # enumerated ONCE at its lowest-(deg,id) corner (Σ outdeg² =
+    # O(m^1.5), the bound that survives power-law hubs), then the
+    # corner explode credits all three nodes — the exact per-node
+    # participation counts this query's semi-join form computed, with
+    # ~4× fewer wedge rows on this graph and the scale path the old
+    # docstring could only recommend.
+    closed = triangle_count(s0)
     sup = load_tables(spark, sf_dir, "supplier")["supplier"].select(
         F.col("s_suppkey").alias("suppkey")
     )
     return (
         sup.join(dg.withColumnRenamed("src", "suppkey"), "suppkey", "left")
-        .join(closed.withColumnRenamed("ctr", "suppkey"), "suppkey", "left")
+        .join(
+            closed.select(
+                F.col("node").alias("suppkey"), F.col("n_triangles").alias("tri")
+            ),
+            "suppkey",
+            "left",
+        )
         .withColumn("deg", F.coalesce(F.col("deg"), F.lit(0)))
         .withColumn("tri", F.coalesce(F.col("tri"), F.lit(0)))
         .select(

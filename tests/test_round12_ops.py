@@ -145,6 +145,37 @@ def test_local_clustering_on_constructed_graph(spark, duck):
     assert tri == {1: 1, 2: 1, 3: 1}
 
 
+def test_local_clustering_matches_oriented_triangle_count(spark):
+    """The r12 rewrite routes per-node triangle participation through
+    the shared oriented node-iterator (triangle_count); pin its counts
+    to the hand-checked wedge/closure algebra on the same constructed
+    graph (triangle 1-2-3 plus pendant 4)."""
+    from jibaro_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    s0 = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(s0).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_co_edges_pin_regimes_identical(spark, monkeypatch):
+    """JIBARO_SPARK_QPIN=0 (unpinned edge/degree frames) and the
+    default pinned regime must be bit-identical for every _co_edges
+    consumer."""
+    for qname in (
+        "q_degree_assortativity",
+        "q_modularity",
+        "q_local_clustering",
+    ):
+        monkeypatch.setenv("JIBARO_SPARK_QPIN", "0")
+        off = sorted(map(str, REGISTRY[qname].fn(spark, SF).collect()))
+        monkeypatch.delenv("JIBARO_SPARK_QPIN")
+        on = sorted(map(str, REGISTRY[qname].fn(spark, SF).collect()))
+        assert on == off, qname
+
+
 @pytest.mark.parametrize(
     "qname",
     [
