@@ -23,6 +23,8 @@ Cross-engine conventions follow ``queries/registry.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,6 +121,15 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("w") * F.col("t_col") / F.col("cs"), 10).alias("w"),
             )
         )
+        # Pin each iteration's weights (r12, guide §3.3 "very large
+        # plans"): w is consumed twice per half-step (margin sum +
+        # rescale join), so the unpinned loop QUADRUPLED the plan per
+        # iteration — 632 Exchange nodes over a ≤(segments × nations)-
+        # row table, and the 2.9 s wall was scheduling/planning, not
+        # data.  Lazy: the next margin sum's job materializes the
+        # ≤125-row frame.  JIBARO_SPARK_QPIN=0 disables (A/B gate).
+        if os.environ.get("JIBARO_SPARK_QPIN", "1") != "0":
+            w = w.localCheckpoint(eager=False)
     return w.select(
         "seg", "nat", "n", F.round("w", 6).alias("raked_w")
     ).orderBy("seg", "nat")
@@ -213,6 +224,17 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(4):
         for j in range(i, 4):
             aggs.append(F.sum(xs[i] * xs[j]).alias(f"s{i+1}{j+1}"))
+    # r12 (guide §2.5/§2.3): the fixture scan is one row group, so the
+    # 15 decimal multiply-accumulates ran map-side on ONE core (probe:
+    # 1.7 s unspread vs 1.1 s spread, warm).  Project to the four
+    # measures, then a deterministic hash spread; decimal sums are
+    # order-free exact, so placement cannot change the moments.
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        by="l_extendedprice",
+    )
     mom = li.agg(*aggs).collect()[0]  # 15 scalars: the one data pass
     n = int(mom["n"])
     raw_rows = []
@@ -264,6 +286,12 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("u")
             )
         )
+        # Pin each step's matvec (r12, guide §3.3): u feeds both the
+        # norm and the renormalized v, so the unpinned loop doubled
+        # the plan per step (154 Exchange nodes over 4-row frames).
+        # Lazy; 4 rows.  JIBARO_SPARK_QPIN=0 disables (A/B gate).
+        if os.environ.get("JIBARO_SPARK_QPIN", "1") != "0":
+            u = u.localCheckpoint(eager=False)
         nrm_df = u.agg(
             F.sqrt(
                 F.sum(

@@ -92,3 +92,14 @@ def test_clustering_indices_consistent(spark):
     # random-ish segment assignment over acctbal: clusters overlap, so
     # DB's worst ratio should be large and CH small — sanity direction
     assert max(r["worst_ratio"] for r in db_rows) > 1.0
+
+
+def test_round21_pin_regimes_identical(spark, monkeypatch):
+    """The r12 per-iteration lazy pins (JIBARO_SPARK_QPIN gate) must
+    not change a single value in either iterative query."""
+    for qname in ("q_ipf_raking", "q_pca_power_iteration"):
+        monkeypatch.setenv("JIBARO_SPARK_QPIN", "0")
+        off = sorted(map(str, REGISTRY[qname].fn(spark, SF).collect()))
+        monkeypatch.delenv("JIBARO_SPARK_QPIN")
+        on = sorted(map(str, REGISTRY[qname].fn(spark, SF).collect()))
+        assert on == off, qname
