@@ -440,24 +440,40 @@ def tfidf_cosine_pairs(
     """
     from pyspark.sql import functions as F
 
+    from jibaro_spark.operators.util import dense_exchange, ensure_parallelism
+
     grp = [group_col] if group_col else []
-    toks = docs.select(
-        F.col(id_col).alias("__id"), *grp, F.explode(tokens(F.col(text_col))).alias("__t")
+    # r12 (guide §2.5): the fixture tables are single-row-group files,
+    # so tokenization + TF aggregation ran map-side on ONE core
+    # (decomposed 3.7 s of the eager checkpoint job at sf0.1);
+    # deterministic hash spread on the id before the explode.
+    base = ensure_parallelism(
+        docs.select(F.col(id_col).alias("__id"), *grp, F.col(text_col).alias("__tx")),
+        by="__id",
     )
+    toks = base.select("__id", *grp, F.explode(tokens(F.col("__tx"))).alias("__t"))
     tf = toks.groupBy("__id", *grp, "__t").agg(
         F.count(F.lit(1)).cast("long").alias("__tf")
     )
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_df)
-    n_docs = docs.select(F.col(id_col)).distinct().count()
+    # corpus size stays IN-PLAN as a 1-row broadcast instead of a
+    # construction-time .count() job (r12: the count re-scanned docs
+    # for 1.5 s before the real job even started); distinct-then-count
+    # keeps the exact distinct().count() semantics (a NULL id counts).
+    nd = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__nd")
+    )
     w = (
         tf.join(dfreq, "__t")
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "__w",
             F.col("__tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("__df").cast("double")),
+            * F.log(F.col("__nd") / F.col("__df").cast("double")),
         )
+        .drop("__nd")
         .localCheckpoint(eager=True)  # weights feed norms AND the pair join
     )
     dec = "decimal(28,10)"
@@ -477,6 +493,13 @@ def tfidf_cosine_pairs(
     cond = [a["__t"] == b["__t"]] + [
         a[f"__ga_{g}"] == b[f"__gb_{g}"] for g in grp
     ]
+    # r12 (guide §2.2): the checkpointed weights are a few MB, so AQE
+    # coalesced the pair join to 1-2 tasks while the Σ_t df_t² partial
+    # products (22.5M at sf0.1) are pure CPU — 25 of the operator's
+    # 30 s on one core.  The explicit keyed exchange is the same one
+    # the join needs, at full parallelism; posting lists are df-bounded
+    # (and ``max_df``-cut when set), so skew is bounded by construction.
+    a = dense_exchange(a, "__t", *[f"__ga_{g}" for g in grp])
     dots = (
         a.join(b, cond)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -507,6 +507,12 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 hasher: hex-string k-gram hashes DuckDB reproduces
     # bit-identically (the xxhash64 fast path has no DuckDB equivalent
     # and stays exact-tested in pytest).
+    # r12 (guide §2.5): the per-doc bottom-k fold over every k-gram md5
+    # ran on the single-row-group scan's ONE core (8.7 s at sf0.1) —
+    # spread before the sketch map.
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
     fp = F.col("fingerprint")
     return (
         docs.select(
@@ -1284,10 +1290,16 @@ FROM s GROUP BY doc_id ORDER BY doc_id
     description="MinHash signatures, md5 verifiable mode — slot-wise cross-engine equality (dedup [ext])",
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.util import ensure_parallelism
+
     # a NULL text has no shingles hence no signature — on either side
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
         F.col("text").isNotNull()
     )
+    # r12 (guide §2.5): 16 md5 slot minima over every shingle of every
+    # doc is extreme CPU-per-row, and the single-row-group scan ran it
+    # on ONE core (7.8 s at sf0.1) — spread before the signature map.
+    docs = ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
     return docs.select(
         "doc_id", dd.minhash_signature_md5(F.col("text")).alias("sig_md5")
     ).orderBy("doc_id")
@@ -1320,10 +1332,16 @@ FROM b GROUP BY doc_id ORDER BY doc_id
     description="SimHash fingerprints, md5 verifiable mode — bit-wise cross-engine equality (dedup [ext])",
 )
 def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.util import ensure_parallelism
+
     # a NULL text has no shingles hence no fingerprint — on either side
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
         F.col("text").isNotNull()
     )
+    # r12 (guide §2.5): 64 bit-votes over every shingle's md5 nibbles
+    # per doc ran on the single-row-group scan's ONE core (14.6 s at
+    # sf0.1) — spread before the fingerprint map.
+    docs = ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
     return docs.select(
         "doc_id", dd.simhash_md5_bits(F.col("text")).alias("simhash_bits")
     ).orderBy("doc_id")

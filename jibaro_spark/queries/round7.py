@@ -789,15 +789,23 @@ ORDER BY id_a, id_b
 )
 def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.dedup import minhash_slots_md5
+    from jibaro_spark.operators.util import ensure_parallelism
 
     # NULL text has no signature (NULL-fuzz sweep)
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
         F.col("text").isNotNull()
     )
+    # r12 (guide §2.5/§2.4): the 16-slot md5 signature map ran on the
+    # single-row-group scan's ONE core, and `sig` has FOUR consumers
+    # (the band self-join's two sides + the two verify join-backs), so
+    # the unpinned map re-executed per consumer — 8.5 s at sf0.1.
+    # Spread before the map; lazy pin so the first consumer's job
+    # materializes the signatures once.
+    docs = ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
     sig = docs.select(
         F.col("doc_id").alias("__id"),
         minhash_slots_md5(F.col("text"), num_hashes=16, shingle_n=3).alias("__slots"),
-    )
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "__id",
         F.explode(
@@ -1812,10 +1820,16 @@ def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs are hamming-0 by definition); member pairs fan back out in
     # output-bound time — identical output
     reps, members = _exact_text_collapse(docs, "doc_id", "text")
-    sig = reps.select(
+    # r12 (guide §2.5/§2.4): the 64-bit-vote md5 fingerprint map ran on
+    # the single-row-group scan's ONE core and `sig` feeds both sides
+    # of the band self-join — 19 s at sf0.1 unspread/unpinned.  Spread
+    # before the map; lazy pin so the self-join reads cached blocks.
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    sig = ensure_parallelism(reps, by="doc_id").select(
         F.col("doc_id").alias("__id"),
         simhash_md5_bits(F.col("text")).alias("bits"),
-    )
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "__id",
         "bits",
