@@ -634,8 +634,16 @@ def ngram_jaccard_pairs(
         .filter(F.col("__pos") <= prefix_len)
         .select("__id", "shingle")
     )
+    # dense_exchange (r12, guide §2.2/§2.5 — the ngram_containment_pairs
+    # treatment): at low thresholds the prefixes cover most of each doc
+    # (τ=0.3 → ~0.7·|d|), so the prefix self-join's pair fan-out and
+    # the array_intersect/union verify below are extreme CPU-per-byte
+    # stages that AQE's byte-based coalescing ran on a handful of
+    # tasks; the explicit keyed exchanges plan the same shuffles the
+    # joins need but keep full parallelism (per-shingle fan-out is
+    # df-rank-prefix-bounded, so skipping AQE skew-splitting is safe).
     cand = (
-        prefix.alias("a")
+        dense_exchange(prefix, "shingle").alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -645,7 +653,8 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     with_sets = (
-        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        dense_exchange(cand, "id_a")
+        .join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -927,7 +936,14 @@ def edit_distance_join(
         joined = sig_pairs.unionByName(small_pairs)
     else:
         on = ["__blk"] if block_on is not None else []
-        joined = l.join(r, on) if on else l.crossJoin(r)
+        # dense_exchange (r12, guide §2.2/§2.5): the block equi-join's
+        # bytes are tiny but its fan-out feeds the levenshtein verify
+        # (|block|² pairs — 16M at sf0.1 for the brand-blocked part
+        # join), and AQE's byte-based coalescing ran it on 2-3 tasks.
+        # The explicit block-keyed exchange is the same shuffle the
+        # join needs at full parallelism; block keys are chosen for
+        # bounded selectivity per the contract above.
+        joined = dense_exchange(l, *on).join(r, on) if on else l.crossJoin(r)
     # Thresholded levenshtein (Spark 3.5+): banded DP that early-exits
     # once the distance provably exceeds max_dist — O(k·n) per pair
     # instead of O(n·m), which is where candidate-heavy workloads

@@ -378,7 +378,19 @@ def q_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="approx_count_distinct + percentile_approx sketches (A9 [ext]; rows-only — sketch values are engine-specific, accuracy asserted in tests)",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.util import ensure_parallelism
+
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # r12 (guide §2.5): HLL++ registers + exact-distinct partials +
+    # the quantile summary all built map-side on the single-row-group
+    # scan's ONE core (8.4 s at sf0.1).  Project to the two columns
+    # and spread; HLL registers and distinct sets are
+    # placement-independent, and the percentile sketch's 5% accuracy
+    # contract (pinned in test_approx_ops) holds under any merge
+    # order.
+    li = ensure_parallelism(
+        li.select("l_orderkey", "l_extendedprice"), by="l_orderkey"
+    )
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.count_distinct("l_orderkey").alias("exact_orders"),

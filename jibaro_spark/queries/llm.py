@@ -248,7 +248,17 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="approximate cosine top-k via IVF-Flat cells + exact re-rank (J6 scale path; recall pinned in tests)",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.util import ensure_parallelism
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # r12 (guide §2.5): one deterministic spread ahead of the Lloyd
+    # assignment + IVF cell maps, which otherwise run their k×dim
+    # nearest-cell expressions on the single-row-group scan's one
+    # core (same treatment as q_knn_ivfpq; recall-pinned family).
+    emb = ensure_parallelism(emb, by="vec_id").localCheckpoint(eager=False)
+    # (lazy pin: the training phases are SEPARATE collect jobs — seed,
+    #  Lloyd means, PQ codebook — and shuffle output is not reused
+    #  across jobs, so without the pin each job re-ran scan+exchange)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

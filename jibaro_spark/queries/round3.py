@@ -872,7 +872,20 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="IVF-PQ approximate kNN: coarse cells + PQ/ADC scoring + exact re-rank (J6 100 TB path; recall pinned in tests)",
 )
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jibaro_spark.operators.util import ensure_parallelism
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # r12 (guide §2.5): every phase (Lloyd assignment, PQ training and
+    # encode, the IVF cell map) runs an interpreted k×dim nearest-cell
+    # expression per row, and all of them inherited the single-row-
+    # group scan's ONE partition (12.5 s at sf0.1).  One deterministic
+    # spread feeds them all.  The family's contract is recall-pinned
+    # (test_approx_ops), robust to the ulp-level centroid-mean shifts
+    # a different partial-aggregation grouping can produce.
+    emb = ensure_parallelism(emb, by="vec_id").localCheckpoint(eager=False)
+    # (lazy pin: the training phases are SEPARATE collect jobs — seed,
+    #  Lloyd means, PQ codebook — and shuffle output is not reused
+    #  across jobs, so without the pin each job re-ran scan+exchange)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

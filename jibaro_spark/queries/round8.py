@@ -533,19 +533,28 @@ GROUP BY point.mean_price
 def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    reps = o.select(
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        F.col("o_orderkey"),
-        cents.alias("cents"),
-    ).withColumn(
-        "w",
-        F.pmod(
-            _md5_mod(
-                F.col("o_orderkey"), "r", 64
+    # r12 (guide §2.3/§2.5): the replicate weight is a function of the
+    # ORDER key alone, but it used to sit after the ×64 explode — 9.6M
+    # md5 evaluations instead of 150k, all on the single-row-group
+    # scan's one core (12.9 s at sf0.1).  Hash the weight once per
+    # order, spread, THEN explode the replicate axis.
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    per_order = ensure_parallelism(
+        o.select(
+            F.col("o_orderkey"),
+            cents.alias("cents"),
+            (F.pmod(_md5_mod(F.col("o_orderkey"), "r", 64), F.lit(2)) * 2).alias(
+                "w"
             ),
-            F.lit(2),
-        )
-        * 2,
+        ),
+        by="o_orderkey",
+    )
+    reps = per_order.select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "o_orderkey",
+        "cents",
+        "w",
     )
     means = reps.groupBy("b").agg(
         F.round(
