@@ -741,6 +741,7 @@ def global_row_number(
     order_cols: Sequence[str],
     num_partitions: int | None = None,
     out_col: str = "__rn",
+    adaptive: bool = False,
 ) -> DataFrame:
     """Exact 1-based global row number under a total order WITHOUT a
     single-partition window ([ext] scale primitive).
@@ -756,7 +757,31 @@ def global_row_number(
     range-partition id — every step parallel, ties MUST be broken by
     ``order_cols`` (include a unique id) for the number to be
     deterministic.
+
+    ``adaptive=True`` (r12, same routing as :func:`ntile_exact`): one
+    ``count()`` probe routes inputs under the single-task sort floor
+    (``_CARRY_PLAIN_MAX_ABS`` rows) through a plain
+    ``row_number().over(Window.orderBy(...))`` — one stage instead of
+    the 3 jobs above (range sampling, eager checkpoint, offset
+    collect).  Bit-identity pinned in
+    tests/test_round12_ntile_adaptive.py; opt-in per caller (the probe
+    re-executes the input subtree, so feed it a pinned/cheap frame).
+    ``JIBARO_SPARK_NTILE_ADAPTIVE=0`` forces the chunked route.
     """
+    import os
+
+    if (
+        adaptive
+        and os.environ.get("JIBARO_SPARK_NTILE_ADAPTIVE", "1") != "0"
+        and df.count() <= _CARRY_PLAIN_MAX_ABS
+    ):
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        # nullif against an impossible value (row_number >= 1) keeps
+        # the column NULLABLE like the chunked route's offset-map add
+        return df.withColumn(
+            out_col,
+            F.nullif(F.row_number().over(w).cast("long"), F.lit(-1)),
+        )
     numbered, _total = _global_row_number_with_total(
         df, order_cols, num_partitions, out_col
     )
@@ -806,15 +831,45 @@ def ntile_exact(
     order_cols: Sequence[str],
     out_col: str = "__ntile",
     num_partitions: int | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """SQL ``NTILE(k)`` semantics (first ``n % k`` buckets get the
     extra row) computed from :func:`global_row_number` — i.e. without
     the single-partition window Spark's native ``ntile`` requires.
     The row count the bucket formula needs is taken from the same
     bounded per-partition count pass.
+
+    ``adaptive=True`` (r12, the carry/prefix-sum routing pattern —
+    guide §1.2): one ``count()`` probe routes inputs under the
+    single-task sort floor (``_CARRY_PLAIN_MAX_ABS`` rows) through the
+    native ``NTILE(k)`` window — one stage, none of the chunked form's
+    range-sampling pass, eager checkpoint, or offset collect (3 jobs
+    per call; q_rfm_segments pays them three times).  The two routes
+    are the same function by the SQL NTILE definition (bit-identity
+    pinned in tests/test_round12_ntile_adaptive.py).  Opt-in per
+    caller, NOT default: the probe re-executes whatever sits below it,
+    so callers must feed it a pinned/cheap input (the adaboost cells
+    lesson).  ``JIBARO_SPARK_NTILE_ADAPTIVE=0`` forces the chunked
+    route (A/B measurement gate).
     """
     if k < 1:
         raise ValueError(f"ntile_exact: k must be >= 1, got {k}")
+    import os
+
+    if (
+        adaptive
+        and os.environ.get("JIBARO_SPARK_NTILE_ADAPTIVE", "1") != "0"
+        and df.count() <= _CARRY_PLAIN_MAX_ABS
+    ):
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        # nullif against a value NTILE can never produce (it is >= 1)
+        # keeps the column NULLABLE like the chunked route's output —
+        # consumers' schemas (e.g. q_rfm_segments' segment) must not
+        # change with the route.  (when(lit(True), ...) folds away.)
+        return df.withColumn(
+            out_col,
+            F.nullif(F.ntile(k).over(w).cast("long"), F.lit(-1)),
+        )
     rn, n = _global_row_number_with_total(df, order_cols, num_partitions, "__rn")
     q, r = divmod(n, k)
     threshold = (q + 1) * r

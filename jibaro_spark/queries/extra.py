@@ -294,9 +294,10 @@ def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_acctbal") < inf)
         & (F.col("c_acctbal") > -inf)
     )
-    # distributed NTILE (range-repartition + per-partition offsets,
-    # operators/relational.ntile_exact) — the native ntile window
-    # would move the whole customer table into one task.  DESC order
+    # cost-based NTILE (r12, operators/relational.ntile_exact): count
+    # probe routes under-floor inputs through the native window; a
+    # corpus-sized customer table keeps the distributed
+    # range-repartition + per-partition-offsets form.  DESC order
     # is expressed by negating the sort key (acctbal is numeric).
     binned = ntile_exact(
         cust.select(
@@ -305,6 +306,7 @@ def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
         ["__neg_bal", "c_custkey"],
         out_col="wealth_quartile",
+        adaptive=True,
     )
     return (
         binned.select(

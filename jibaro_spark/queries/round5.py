@@ -1236,13 +1236,15 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = orders.filter(
         F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
     )
-    # distributed NTILE (range-repartition + per-partition offsets) —
-    # the native ntile window would funnel the table into ONE task
+    # cost-based NTILE (r12): count probe routes under-floor inputs
+    # through the native window; corpus-sized tables keep the
+    # distributed range-repartition + per-partition-offsets form
     binned = ntile_exact(
         orders.select("o_totalprice", "o_orderkey"),
         8,
         ["o_totalprice", "o_orderkey"],
         out_col="bin",
+        adaptive=True,
     )
     return (
         binned.groupBy(F.col("bin").cast("long").alias("bin"))

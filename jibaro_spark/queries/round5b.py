@@ -643,9 +643,11 @@ def q_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from jibaro_spark.operators.relational import ntile_exact
 
-    # distributed NTILE — see q_equidepth_histogram; never a
-    # single-partition window over the corpus
-    d = ntile_exact(s, 10, ["score", "doc_id"], out_col="decile")
+    # cost-based NTILE (r12): one count probe routes corpora under the
+    # single-task sort floor through the native window; bigger inputs
+    # keep the distributed range-partition form (never a
+    # single-partition window over a corpus that doesn't fit one task)
+    d = ntile_exact(s, 10, ["score", "doc_id"], out_col="decile", adaptive=True)
     return (
         d.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
@@ -726,18 +728,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    # three DISTRIBUTED quintile passes (ntile_exact — range shuffle +
-    # per-partition offsets, never a single-task window; DESC via
-    # negated sort keys) joined back on the user key
+    # three quintile passes (ntile_exact, DESC via negated sort keys)
+    # joined back on the user key — cost-based (r12): each pass probes
+    # the checkpointed user table once and routes under-floor inputs
+    # through the native window (1 stage) instead of the chunked form's
+    # 3 jobs; a corpus-sized user table keeps the range-partition form
     from jibaro_spark.operators.relational import ntile_exact
 
-    r = r.localCheckpoint(eager=True)  # three consumers, derive once
+    r = r.localCheckpoint(eager=True)  # three consumers + probes, derive once
 
     def quintile(col_expr, name: str):
         keyed = r.select("user_id", col_expr.alias("__k"))
-        return ntile_exact(keyed, 5, ["__k", "user_id"], out_col=name).select(
-            "user_id", name
-        )
+        return ntile_exact(
+            keyed, 5, ["__k", "user_id"], out_col=name, adaptive=True
+        ).select("user_id", name)
 
     q = (
         r.join(quintile(F.col("recency_days"), "r_q"), "user_id")

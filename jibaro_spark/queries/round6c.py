@@ -180,15 +180,20 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = t["customer"].filter(
         F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
     )
+    # cost-based ranking (r12): count probes route under-floor inputs
+    # through plain row_number windows (1 stage each); corpus-sized
+    # tables keep the distributed range-partition form
     o = global_row_number(
         ob.select("o_orderkey", "o_totalprice"),
         ["o_totalprice", "o_orderkey"],
         out_col="rp",
+        adaptive=True,
     )
     c = global_row_number(
         cb.select("c_acctbal", "c_custkey"),
         ["c_acctbal", "c_custkey"],
         out_col="rc",
+        adaptive=True,
     )
     n = ob.agg(F.count(F.lit(1)).alias("np")).crossJoin(
         cb.agg(F.count(F.lit(1)).alias("nc"))

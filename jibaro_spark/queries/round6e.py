@@ -417,11 +417,15 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("s")
     )
-    # Rank the CUSTOMER-sized spend table distributed (range shuffle +
-    # partition-id windows) — a bare Window.orderBy here would funnel
-    # every customer into one task; the only single-partition stage
-    # left below is the 10-row decile rollup window.
-    ranked = global_row_number(spend, ["s", "o_custkey"], out_col="rn")
+    # Rank the CUSTOMER-sized spend table — cost-based (r12): a count
+    # probe routes under-floor inputs through a plain row_number
+    # window; a corpus-sized spend table keeps the distributed range-
+    # shuffle form (never a single-task window over data that doesn't
+    # fit one task).  The only always-single-partition stage below is
+    # the 10-row decile rollup window.
+    ranked = global_row_number(
+        spend, ["s", "o_custkey"], out_col="rn", adaptive=True
+    )
     n = spend.agg(F.count(F.lit(1)).alias("n"))
     deciled = ranked.crossJoin(F.broadcast(n)).withColumn(
         "decile", ((F.col("rn") * 10 - 1) / F.col("n")).cast("long") + 1
