@@ -111,6 +111,17 @@ def _lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(4):
         for j in range(i, 4):
             aggs.append(F.sum(xs[i] * xs[j]).alias(f"s{i+1}{j+1}"))
+    # project to the four measures + hash-spread before the 15-term
+    # decimal multiply-accumulate (r12, the PCA moment-pass treatment:
+    # the map-side partial agg otherwise runs on the single-row-group
+    # scan's ONE core; decimal sums are order-free exact, so placement
+    # cannot change a moment)
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        by="l_extendedprice",
+    )
     return li.agg(*aggs)
 
 

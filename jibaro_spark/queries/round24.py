@@ -151,6 +151,13 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_extendedprice")), 10).alias("x"),
         F.round(F.log(F.col("l_quantity")), 10).alias("y"),
     )
+    # hash-spread the projected pairs before the log/round/decimal
+    # moment agg (r12, the PCA moment-pass treatment — the map-side
+    # partials otherwise run on the single-row-group scan's ONE core;
+    # decimal sums of per-row-rounded terms are order-free exact)
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    xy = ensure_parallelism(xy, by="x")
     mom = xy.groupBy("flag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("x"), 10).cast("decimal(28,12)"))

@@ -499,6 +499,16 @@ ORDER BY l_returnflag
 )
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # project + hash-spread before the 5-term decimal moment agg (r12,
+    # the PCA moment-pass treatment — the map-side partials otherwise
+    # run on the single-row-group scan's ONE core; decimal sums are
+    # order-free exact, so placement cannot change a moment)
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        by="l_extendedprice",
+    )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -562,8 +562,21 @@ def q_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     wr = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # explicit partkey exchange (r12, the banded-DTW treatment): the
+    # row_number window AND clamped_cumsum's grouped applyInPandas
+    # both key on l_partkey, so ONE user-specified exchange serves the
+    # whole chain at full parallelism — AQE otherwise coalesces the
+    # byte-small shuffle under the CPU-dense per-key Python DP
+    from jibaro_spark.operators.util import dense_exchange
+
     ev = (
-        li.filter(F.col("l_partkey") % 40 == 1)
+        dense_exchange(
+            li.filter(F.col("l_partkey") % 40 == 1).select(
+                "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_quantity",
+            ),
+            "l_partkey",
+        )
         .select(
             "l_partkey",
             F.when(F.col("l_linenumber") % 2 == 0, F.col("l_quantity"))

@@ -352,6 +352,16 @@ ORDER BY l_returnflag
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # project + hash-spread before the distinct-(flag, price) weight
+    # agg (r12, the moment-pass treatment — the partials otherwise run
+    # on the single-row-group scan's ONE core; decimal sums are
+    # order-free exact)
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        by="l_extendedprice",
+    )
     d = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
     ).agg(
@@ -359,6 +369,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,2)")
         .alias("w")
     )
+    # NOTE (r12): a flag-keyed dense_exchange before the ECDF windows
+    # ABAB-measured WORSE here (+0.4 — only 3 distinct flags, so the
+    # explicit exchange buys ≤3 tasks and costs a real shuffle of the
+    # distinct-value table); the input spread above is the win.
     cum_w = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")
@@ -1046,6 +1060,13 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pw = Window.partitionBy("pa", "pb")
+    # explicit pair-keyed exchange (r12, the q_ks_test treatment —
+    # same pooled-pair ECDF shape): the windows are CPU-dense over
+    # byte-small input and AQE coalescing otherwise runs the 10 pair
+    # groups on 2-3 tasks
+    from jibaro_spark.operators.util import dense_exchange
+
+    pooled = dense_exchange(pooled, "pa", "pb")
     c = pooled.select(
         "pa", "pb",
         F.sum("da").over(cum).alias("ca"),

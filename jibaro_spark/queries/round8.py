@@ -417,6 +417,12 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordw = Window.partitionBy("pa", "pb").orderBy("v")
     cum = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pw = Window.partitionBy("pa", "pb")
+    # explicit pair-keyed exchange (r12, the q_ks_test treatment —
+    # same pooled-pair ECDF shape; AQE otherwise coalesces the 10 pair
+    # groups onto 2-3 tasks for the CPU-dense cum/lead windows)
+    from jibaro_spark.operators.util import dense_exchange
+
+    pooled = dense_exchange(pooled, "pa", "pb")
     c = pooled.select(
         "pa",
         "pb",

@@ -900,10 +900,24 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.filter(
         F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
+    # project + hash-spread before the distinct-(flag, price) count
+    # agg, and an explicit flag-keyed exchange for the CPU-dense ECDF
+    # windows (r12 — the moment-pass and exact-ECDF-lane treatments;
+    # the partials otherwise run on the single-row-group scan's ONE
+    # core and AQE coalesces the byte-small agg output onto 1-2 tasks)
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_returnflag", "l_extendedprice"), by="l_extendedprice"
+    )
     d = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # NOTE (r12): a flag-keyed dense_exchange here ABAB-measured WORSE
+    # (+0.1-0.4 — 3 distinct flags buy ≤3 tasks for a real extra
+    # shuffle); the input spread above is the win (q_weighted_median
+    # precedent, same table/shape).
     cum_w = (
         Window.partitionBy("flag")
         .orderBy("v")
@@ -1535,6 +1549,12 @@ def q_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pr"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # explicit pr-keyed exchange for the two CPU-dense distinct-value
+    # ECDF window passes (r12, the exact-ECDF-lane treatment — AQE
+    # otherwise coalesces the byte-small agg output onto 1-2 tasks)
+    from jibaro_spark.operators.util import dense_exchange
+
+    d = dense_exchange(d, "pr")
     cum_w = (
         Window.partitionBy("pr")
         .orderBy("v")
@@ -1560,7 +1580,7 @@ def q_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sc = scores.select(
+    sc = dense_exchange(scores, "pr").select(
         "pr", "s", "n", "m", F.sum("c").over(scum_w).alias("cum")
     )
     qhat = F.min(
