@@ -370,6 +370,12 @@ ORDER BY l.l_returnflag
 )
 def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # NOTE (r12): a q_percentile_prices-style input spread here
+    # ABAB-measured WORSE (3.92 vs 3.25) — unlike that query, the
+    # spread exchange would feed the quantile operator's separate
+    # construction JOBS plus the clipped re-join's scan, and shuffle
+    # output is not reused across jobs, so the 6M-row exchange re-runs
+    # per pass.  The unspread pruned re-scan is the cheaper form.
     q = exact_quantiles_bucketed(
         li.select("l_returnflag", "l_extendedprice"),
         ["l_returnflag"],

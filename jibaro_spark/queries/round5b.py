@@ -415,7 +415,13 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("total_dec"),
         F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
     )
-    return profile_table(src)
+    # hash-spread before the profiler (r12, the moment-pass treatment):
+    # the multi-distinct agg compiles to an Expand (rows × #cols) whose
+    # map-side partials otherwise run on the single-row-group scan's
+    # ONE core; counts/min/max are placement-independent
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    return profile_table(ensure_parallelism(src, by="o_orderkey"))
 
 
 # ---------------------------------------------------------------------------
