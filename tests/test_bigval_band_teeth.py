@@ -31,7 +31,16 @@ from scripts.bigval_band import PeakMemSampler, mem_limit  # noqa: E402
 
 N_ROWS = 8
 VAL_KB = 256
-REP = 800  # live copies per value: 8 x 256KB x 800 = ~1.6 GB >> limit
+# live copies per value: 8 x 256KB x 2400 = ~4.8 GB >> limit.  The
+# margin is deliberately large (not 800/~1.6 GB): inside the FULL
+# suite the reused Python workers carry freed-but-still-mapped pages
+# from earlier tests, so the allocator satisfies part of the live set
+# without growing RSS and the measured delta undershoots the true
+# live set (measured: 938 MB delta for a 1.6 GB live set, under the
+# ~1.28 GB limit — a false pass of the teeth test, not of the band).
+# 4.8 GB exceeds the limit even against any freed pool earlier tests
+# could plausibly have left (their peaks are a few hundred MB).
+REP = 2400
 
 
 def _measure(spark, df, floor=None):
