@@ -99,18 +99,32 @@ def test_naive_bayes_model_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_lorenz_rank_is_range_partitioned(spark):
-    """The customer-spend ranking must take the global_row_number shape
-    (range repartition + partition-id windows); the only remaining
-    single-partition stage is the 10-row decile rollup window."""
+def test_lorenz_rank_is_range_partitioned(spark, monkeypatch):
+    """The customer-spend ranking is COST-ROUTED (r12): above the
+    single-task sort floor it must take the global_row_number shape
+    (range repartition + partition-id windows); at test scale the
+    probe routes the plain row_number window.  Both regimes pinned —
+    the floor is dropped to force the chunked route, and the env gate
+    must force it too."""
+    import jibaro_spark.operators.relational as rel
     from jibaro_spark.queries.round6e import q_lorenz_deciles
 
+    # test-scale default: the adaptive probe routes the plain window
     plan = _executed_plan(q_lorenz_deciles(spark, SF))
-    # the range exchange itself is hidden behind global_row_number's
-    # localCheckpoint; the visible signature of the distributed rank
-    # is its partition-id-keyed row_number window
+    assert "row_number" in plan, plan
+    assert "__gpid" not in plan, plan
+    # above the floor (forced): the distributed rank's signature is
+    # its partition-id-keyed row_number window (the range exchange
+    # itself hides behind global_row_number's localCheckpoint)
+    monkeypatch.setattr(rel, "_CARRY_PLAIN_MAX_ABS", 0)
+    plan = _executed_plan(q_lorenz_deciles(spark, SF))
     assert "__gpid" in plan, plan
     assert "row_number" in plan, plan
+    monkeypatch.undo()
+    # the A/B measurement gate forces the chunked route as well
+    monkeypatch.setenv("JIBARO_SPARK_NTILE_ADAPTIVE", "0")
+    plan = _executed_plan(q_lorenz_deciles(spark, SF))
+    assert "__gpid" in plan, plan
 
 
 def test_kmv_overlap_rank_is_salt_pruned(spark):

@@ -371,13 +371,22 @@ def test_type_jaccard_is_inverted_index_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_equidepth_ntile_has_no_single_partition_window(spark):
-    """The distributed-NTILE rewrite: the plan must range-partition
-    (the global-ORDER-BY shape) and every Window must carry a
-    partition key — a partitionless Window funnels the corpus into one
-    task."""
+def test_equidepth_ntile_has_no_single_partition_window(spark, monkeypatch):
+    """The distributed-NTILE shape is COST-ROUTED (r12): above the
+    single-task sort floor the plan must range-partition (the
+    global-ORDER-BY shape) with every Window carrying a partition key;
+    at test scale the probe routes the native NTILE window (a
+    deliberate single-task stage for an under-floor input).  The
+    at-scale regime is pinned by dropping the floor."""
+    import jibaro_spark.operators.relational as rel
     from jibaro_spark.queries.round5 import q_equidepth_histogram
 
+    # test-scale default: the adaptive probe routes the native window
+    plan = _executed_plan(q_equidepth_histogram(spark, SF))
+    assert "ntile" in plan.lower()
+    # above the floor (forced): range-partitioned, no partitionless
+    # Window anywhere — the property that survives a 100x scale-up
+    monkeypatch.setattr(rel, "_CARRY_PLAIN_MAX_ABS", 0)
     plan = _executed_plan(q_equidepth_histogram(spark, SF))
     assert "rangepartitioning" in plan.lower()
     # the row-number Window is partitioned by the range-partition id —
