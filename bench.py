@@ -250,18 +250,24 @@ def main() -> None:
             **compact,
         )
     )
+    # Chunk sizing (VERDICT r12 #3): the driver's recorded tail is
+    # 2000 chars, and 115 full-name "q":sec pairs need ~2900 bytes, so
+    # the tail can never hold every query — maximize what it DOES hold.
+    # ≤10 queries per line (a cut line loses all its entries, smaller
+    # lines lose less at the cut boundary), minimal wrapper
+    # ({"queries":{...}} — parts are ordered by emission), centisecond
+    # values (plan timings here are ±30% run-to-run; the full-precision
+    # map is on the first line above).  Same HEADLINE order as r12 so
+    # the surviving suffix is a superset of r12's surviving suffix
+    # (maximizes PERF's common-query set).
     names = list(timings)
-    chunk = 18
+    chunk = 10
     n_parts = (len(names) + chunk - 1) // chunk
     for pi in range(n_parts):
         part = names[pi * chunk : (pi + 1) * chunk]
         print(
             json.dumps(
-                {
-                    "queries_part": pi + 1,
-                    "of": n_parts,
-                    "queries": {n: timings[n] for n in part},
-                },
+                {"queries": {n: round(timings[n], 2) for n in part}},
                 **compact,
             )
         )

@@ -865,7 +865,7 @@ def ntile_exact(
         # nullif against a value NTILE can never produce (it is >= 1)
         # keeps the column NULLABLE like the chunked route's output —
         # consumers' schemas (e.g. q_rfm_segments' segment) must not
-        # change with the route.  (when(lit(True), ...) folds away.)
+        # change with the route.
         return df.withColumn(
             out_col,
             F.nullif(F.ntile(k).over(w).cast("long"), F.lit(-1)),

@@ -901,10 +901,10 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
     # project + hash-spread before the distinct-(flag, price) count
-    # agg, and an explicit flag-keyed exchange for the CPU-dense ECDF
-    # windows (r12 — the moment-pass and exact-ECDF-lane treatments;
-    # the partials otherwise run on the single-row-group scan's ONE
-    # core and AQE coalesces the byte-small agg output onto 1-2 tasks)
+    # agg (r12 — the moment-pass treatment; the partials otherwise run
+    # on the single-row-group scan's ONE core).  A flag-keyed exchange
+    # for the ECDF windows was ALSO tried and ABAB-measured worse (see
+    # the NOTE below) — only the spread is applied.
     from jibaro_spark.operators.util import ensure_parallelism
 
     li = ensure_parallelism(
