@@ -96,6 +96,26 @@ def asof_join(
         "__lpay", F.lit(None).cast(ltag.schema["__lpay"].dataType)
     ).unionByName(ltag)
 
+    # ONE shared group-size probe for every carry (r13, VERDICT r12
+    # #6): per-carry ``adaptive=True`` was measured a net loss here —
+    # ``nearest`` runs TWO carries, so two probe jobs outweighed the
+    # chunked forms they replaced.  Instead the union frame is pinned
+    # (lazy — the probe's count job materializes it and the carries
+    # read cached blocks instead of re-running the filter/union) and
+    # probed ONCE; both carries reuse the decision, which is exact:
+    # they range over the same frame and the same __k groups, only the
+    # sort direction differs.  Balanced keys route through plain
+    # windows — and the two windows of ``nearest`` hash-partition on
+    # the same __k, so the second reuses the first's exchange.  A hot
+    # key keeps the chunked stitch.  JIBARO_SPARK_ASOF_ADAPTIVE=0
+    # forces the r12 behavior (always-chunked, no probe; A/B gate).
+    import os
+
+    route = None
+    if os.environ.get("JIBARO_SPARK_ASOF_ADAPTIVE", "1") != "0":
+        u = u.localCheckpoint(eager=False)
+        route = carry_routes_plain(u, ["__k"])
+
     # Ordering invariant: within equal __t, rights (side 0) precede
     # lefts (side 1) so inclusive <=/>= semantics hold; among equal
     # (__t, side) rights, the PREFERRED row sorts LAST (it is what the
@@ -114,7 +134,8 @@ def asof_join(
         # offset window per key.  A NULL left time matches nothing in
         # any direction (same fence as the window form).
         c = grouped_running_carry(
-            u_df, ["__k"], order, last_cols=["__rpay"], last_out=[out]
+            u_df, ["__k"], order, last_cols=["__rpay"], last_out=[out],
+            route_plain=route,
         )
         return c.withColumn(
             out, F.when(F.col("__t").isNotNull(), F.col(out))
@@ -894,6 +915,7 @@ def grouped_prefix_sum(
     total_cols: "Sequence[str] | None" = None,
     broadcast_totals: bool = True,
     adaptive: bool = False,
+    route_plain: "bool | None" = None,
 ) -> DataFrame:
     """Exact per-group running sum of ``value_col`` under
     ``order_cols`` WITHOUT a per-group single-task scan ([ext] scale
@@ -960,7 +982,14 @@ def grouped_prefix_sum(
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if adaptive and _carry_routes_plain(df, gcols, n_parts):
+    # route_plain (r13): a caller that already KNOWS the routing — from
+    # carry_routes_plain() on a shared/equivalent frame (asof's two
+    # nearest-direction carries; adaboost's round-2 cells, whose key
+    # domain equals round 1's) — passes it here and skips this call's
+    # probe job.  None preserves the r12 behavior (probe iff adaptive).
+    if route_plain is None:
+        route_plain = adaptive and _carry_routes_plain(df, gcols, n_parts)
+    if route_plain:
         # COST-BASED plain-window route (r12, same probe as
         # grouped_running_carry): when no group exceeds the hot-key
         # bound, the plain windows are balanced and skip the range
@@ -1108,6 +1137,24 @@ def _carry_routes_plain(df: DataFrame, gcols, n_parts: int) -> bool:
     return mx <= _CARRY_PLAIN_MAX_ABS or mx <= _CARRY_PLAIN_SHARE * n / n_parts
 
 
+def carry_routes_plain(
+    df: DataFrame, group_cols: Sequence[str], num_partitions: int | None = None
+) -> bool:
+    """Public form of the carry/prefix-sum routing probe (r13): ONE
+    group-size probe job whose decision a caller can feed to SEVERAL
+    :func:`grouped_running_carry` / :func:`grouped_prefix_sum` calls
+    via ``route_plain=`` — the per-call ``adaptive=True`` probe charges
+    one count job each, which is exactly what made per-join adaptive
+    routing a net loss for asof_join's two nearest-direction carries
+    (VERDICT r12 #6).  Feed it a pinned/cheap frame (the probe executes
+    the input subtree).  Same bounds as the internal probe."""
+    gcols = [F.col(c) for c in group_cols]
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    return _carry_routes_plain(df, gcols, n_parts)
+
+
 def grouped_running_carry(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1120,6 +1167,7 @@ def grouped_running_carry(
     rev_last_out: Sequence[str] = (),
     num_partitions: int | None = None,
     adaptive: bool = False,
+    route_plain: "bool | None" = None,
 ) -> DataFrame:
     """Exact per-group running ``last(col, ignorenulls=True)`` and/or
     running ``sum(col)`` under ``order_by`` WITHOUT a per-group
@@ -1180,7 +1228,11 @@ def grouped_running_carry(
         raise ValueError("grouped_running_carry: nothing to compute")
     gcols = [F.col(c) for c in group_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if adaptive and _carry_routes_plain(df, gcols, n_parts):
+    # route_plain: see grouped_prefix_sum — a shared precomputed probe
+    # decision; None = probe iff adaptive (the r12 behavior).
+    if route_plain is None:
+        route_plain = adaptive and _carry_routes_plain(df, gcols, n_parts)
+    if route_plain:
             run_w = (
                 Window.partitionBy(*group_cols)
                 .orderBy(*order_by)
