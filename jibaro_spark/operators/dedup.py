@@ -800,6 +800,70 @@ def _qgram_set(col: str, q: int):
     return F.array_distinct(grams)
 
 
+#: Grid-salt routing bounds for the blocked edit-distance join (r13):
+#: a block is "hot" only past BOTH an absolute floor (the verify is
+#: quadratic in block size — 64k rows ≈ 4×10⁹ banded-levenshtein cells
+#: in one task, minutes of single-core work) and a share bound (small
+#: inputs never grid: the whole input fitting in one partition is not
+#: skew).  Module-level so tests can lower the floor.
+_EDJ_BLOCK_MAX_ABS = 65_536
+_EDJ_BLOCK_SHARE = 2.0
+
+
+def _block_join_skew_safe(
+    l: DataFrame, r: DataFrame, left_id: str, right_id: str
+) -> DataFrame:
+    """Block equi-join for the edit-distance verify: dense exchange on
+    balanced blocks, k×k deterministic salt grid past the hot-block
+    bound (see the call site for the full rationale).  Probe cost is
+    one keys-only aggregate over both sides (map-side partial counts).
+    """
+    import math
+    import os
+
+    if os.environ.get("JIBARO_SPARK_EDJ_SKEW", "1") == "0":
+        return dense_exchange(l, "__blk").join(r, ["__blk"])
+    spark = l.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    stats = (
+        l.select("__blk").withColumn("__s", F.lit(0))
+        .unionByName(r.select("__blk").withColumn("__s", F.lit(1)))
+        .groupBy("__s", "__blk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__s")
+        .agg(F.max("__c").alias("mx"), F.sum("__c").alias("n"))
+        .collect()
+    )
+    hot = any(
+        (row["mx"] or 0) > _EDJ_BLOCK_MAX_ABS
+        and (row["mx"] or 0) > _EDJ_BLOCK_SHARE * (row["n"] or 0) / n_parts
+        for row in stats
+    )
+    if not hot:
+        return dense_exchange(l, "__blk").join(r, ["__blk"])
+    k = max(int(math.ceil(math.sqrt(n_parts))), 2)
+    # salts on BOTH sides must be the same type (long) — an int/long
+    # mismatch makes the join key cast(__sr as bigint), the user
+    # repartition no longer satisfies the join's requirement, and the
+    # planner stacks its own exchange on top (defeating the dense one)
+    grid = F.explode(F.array(*[F.lit(i).cast("long") for i in range(k)]))
+    l2 = l.withColumn(
+        "__sl", F.pmod(F.xxhash64(F.col(left_id)), F.lit(k))
+    ).withColumn("__sr", grid)
+    r2 = r.withColumn(
+        "__sr", F.pmod(F.xxhash64(F.col(right_id)), F.lit(k))
+    ).withColumn("__sl", grid)
+    keys = ["__blk", "__sl", "__sr"]
+    return (
+        dense_exchange(l2, *keys)
+        .join(r2, keys)
+        .drop("__sl", "__sr")
+    )
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -941,9 +1005,28 @@ def edit_distance_join(
         # (|block|² pairs — 16M at sf0.1 for the brand-blocked part
         # join), and AQE's byte-based coalescing ran it on 2-3 tasks.
         # The explicit block-keyed exchange is the same shuffle the
-        # join needs at full parallelism; block keys are chosen for
-        # bounded selectivity per the contract above.
-        joined = dense_exchange(l, *on).join(r, on) if on else l.crossJoin(r)
+        # join needs at full parallelism.
+        #
+        # r13 skew safety (VERDICT r12 #4): dense_exchange opts out of
+        # AQE skew-splitting, and this path previously TRUSTED the
+        # caller's "bounded selectivity" contract — a skewed block key
+        # at 100 TB would hot-spot one task with |block|² verify work
+        # that even AQE could not rescue (skew-join splits by BYTES;
+        # a CPU-quadratic block of short strings never trips the 256MB
+        # threshold).  One bounded probe (the collapse-stats pattern,
+        # guide §2.5) takes per-block max/total counts of BOTH sides in
+        # a single keys-only aggregate; when either side's hottest
+        # block exceeds the grid bound, the join runs on a k×k salt
+        # grid — each side replicated k ways on a DETERMINISTIC salt
+        # (pmod(xxhash64(id), k); guide §2.5 forbids rand() keys) — so
+        # the hot block's quadratic verify spreads over k² tasks.
+        # Each (l, r) pair matches exactly one (sl, sr) cell → results
+        # identical (pinned in tests/test_round13_edj_skew.py).
+        # JIBARO_SPARK_EDJ_SKEW=0 restores the r12 unprobed route.
+        if on:
+            joined = _block_join_skew_safe(l, r, left_id, right_id)
+        else:
+            joined = l.crossJoin(r)
     # Thresholded levenshtein (Spark 3.5+): banded DP that early-exits
     # once the distance provably exceeds max_dist — O(k·n) per pair
     # instead of O(n·m), which is where candidate-heavy workloads
