@@ -763,7 +763,8 @@ def global_row_number(
     num_partitions: int | None = None,
     out_col: str = "__rn",
     adaptive: bool = False,
-) -> DataFrame:
+    with_count: bool = False,
+) -> "DataFrame | tuple[DataFrame, int]":
     """Exact 1-based global row number under a total order WITHOUT a
     single-partition window ([ext] scale primitive).
 
@@ -788,25 +789,31 @@ def global_row_number(
     tests/test_round12_ntile_adaptive.py; opt-in per caller (the probe
     re-executes the input subtree, so feed it a pinned/cheap frame).
     ``JIBARO_SPARK_NTILE_ADAPTIVE=0`` forces the chunked route.
+
+    ``with_count=True`` (r13, ADVICE r12 #3) returns ``(df, n)`` —
+    BOTH routes already know the exact row count (the adaptive probe
+    counts; the chunked route sums its per-partition counts), so a
+    caller that also needs N (decile formulas, rank-fraction mapping)
+    reuses it instead of paying a second count job over the same
+    subtree.
     """
     import os
 
-    if (
-        adaptive
-        and os.environ.get("JIBARO_SPARK_NTILE_ADAPTIVE", "1") != "0"
-        and df.count() <= _CARRY_PLAIN_MAX_ABS
-    ):
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        # nullif against an impossible value (row_number >= 1) keeps
-        # the column NULLABLE like the chunked route's offset-map add
-        return df.withColumn(
-            out_col,
-            F.nullif(F.row_number().over(w).cast("long"), F.lit(-1)),
-        )
-    numbered, _total = _global_row_number_with_total(
+    if adaptive and os.environ.get("JIBARO_SPARK_NTILE_ADAPTIVE", "1") != "0":
+        n = df.count()
+        if n <= _CARRY_PLAIN_MAX_ABS:
+            w = Window.orderBy(*[F.col(c) for c in order_cols])
+            # nullif against an impossible value (row_number >= 1) keeps
+            # the column NULLABLE like the chunked route's offset-map add
+            out = df.withColumn(
+                out_col,
+                F.nullif(F.row_number().over(w).cast("long"), F.lit(-1)),
+            )
+            return (out, n) if with_count else out
+    numbered, total = _global_row_number_with_total(
         df, order_cols, num_partitions, out_col
     )
-    return numbered
+    return (numbered, total) if with_count else numbered
 
 
 def _global_row_number_with_total(

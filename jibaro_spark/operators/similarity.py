@@ -955,21 +955,146 @@ def train_pq_codebook(
     cvec)`` DataFrame ready for :func:`pq_encode` / :func:`ivfpq_search`.
 
     Cost is codebook-bounded: each refinement iteration is one scan +
-    a k×sub_dim collect per subspace — the training scan shape that
-    works at any corpus size (the collect never grows with the data).
+    a bounded collect — the training scan shape that works at any
+    corpus size (the collect never grows with the data).
+
+    r13 (VERDICT r12 #5, guide §1.2/§5 — fewer tiny driver jobs): the
+    per-subspace loop ran 3 jobs PER SUBSPACE (seed count/min + seed
+    collect + one Lloyd collect per iteration — ~15 tiny jobs for the
+    IVF-PQ query).  All ``m`` subspaces now train in ONE job per
+    phase: the seed ids are the SAME evenly-strided id set for every
+    subspace (the stride depends only on the row count), so one
+    strided collect of FULL vectors sliced per subspace in the driver
+    yields float-identical seeds; each Lloyd iteration assigns every
+    (sub, vector) pair against its subspace's centroid literals and
+    aggregates all ``m × k × sub_dim`` means in one pass (m·k·sub_dim
+    bounded collect).  Per-centroid means can differ from the per-sub
+    jobs at the last ulp (different partial-aggregation grouping) —
+    inside this family's recall-pinned contract (test_approx_ops), the
+    same variance class the r12 input spread already accepted.
+    ``JIBARO_SPARK_PQ_FOLD=0`` restores the per-subspace loop.
     """
+    import os
+
     spark = df.sparkSession
-    rows = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sv"),
+    if os.environ.get("JIBARO_SPARK_PQ_FOLD", "1") == "0":
+        rows = []
+        for s in range(m):
+            sub = df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sv"),
+            )
+            seeds = seed_centroids(sub, id_col, "__sv", n_centroids=k)
+            cents = kmeans_refine(sub, "__sv", seeds, iterations=iterations)
+            for cid, c in enumerate(cents):
+                rows.append((s, cid, [float(x) for x in c]))
+        return spark.createDataFrame(rows, "sub int, cid int, cvec array<float>")
+
+    from pyspark.sql.types import NumericType
+
+    # --- seeds: one strided collect of FULL vectors (seed_centroids'
+    # exact id-selection contract — count/min + modulo filter, hash
+    # fallback), sliced per subspace in the driver ---
+    id_type = df.schema[id_col].dataType
+    rows_full: list = []
+    if isinstance(id_type, NumericType):
+        n, mn = df.agg(F.count(F.lit(1)), F.min(id_col)).first()
+        stride = max((n or 0) // k, 1)
+        rows_full = (
+            df.select(id_col, vec_col)
+            .filter(F.pmod(F.col(id_col) - F.lit(mn), F.lit(stride)) == 0)
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
         )
-        seeds = seed_centroids(sub, id_col, "__sv", n_centroids=k)
-        cents = kmeans_refine(sub, "__sv", seeds, iterations=iterations)
-        for cid, c in enumerate(cents):
-            rows.append((s, cid, [float(x) for x in c]))
-    return spark.createDataFrame(rows, "sub int, cid int, cvec array<float>")
+    if len(rows_full) < k:
+        rows_full = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), id_col)
+            .limit(k)
+            .collect()
+        )
+    if len(rows_full) < k:
+        raise ValueError(
+            f"train_pq_codebook: need {k} rows, frame has {len(rows_full)}"
+        )
+    rows_full.sort(key=lambda r: r[0])
+    cents_by_sub: list[list[list[float]]] = [
+        [
+            [float(x) for x in r[1][s * sub_dim : (s + 1) * sub_dim]]
+            for r in rows_full
+        ]
+        for s in range(m)
+    ]
+
+    # --- Lloyd: every (sub, vector) pair in one assignment+means job
+    # per iteration ---
+    subs = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.slice(
+            F.col(vec_col), F.col("sub") * sub_dim + 1, sub_dim
+        ).alias("__sv"),
+    )
+    for _ in range(iterations):
+        # nested literal: per-sub array of k centroid arrays; the
+        # assignment mirrors _nearest_cells' expression shape exactly
+        # (same distance fold, same (d, i) array_sort tie-break)
+        cents_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(v)) for v in c])
+                        for c in cents_by_sub[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        my_cents = F.element_at(cents_lit, F.col("sub") + 1)
+        dists = F.transform(
+            my_cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("__sv"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        ranked = F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, i: F.named_struct(F.lit("d"), d, F.lit("i"), i),
+            )
+        )
+        assigned = subs.select(
+            "sub",
+            ranked[0]["i"].alias("__cell"),
+            "__sv",
+        )
+        means = (
+            assigned.groupBy("sub", "__cell")
+            .agg(
+                *[
+                    F.avg(F.col("__sv")[i].cast("double")).alias(f"__m{i}")
+                    for i in range(sub_dim)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            cents_by_sub[r["sub"]][r["__cell"]] = [
+                r[f"__m{i}"] for i in range(sub_dim)
+            ]
+    out_rows = [
+        (s, cid, [float(x) for x in c])
+        for s in range(m)
+        for cid, c in enumerate(cents_by_sub[s])
+    ]
+    return spark.createDataFrame(out_rows, "sub int, cid int, cvec array<float>")
 
 
 def mmr_select(

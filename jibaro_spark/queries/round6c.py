@@ -182,33 +182,31 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cost-based ranking (r12): count probes route under-floor inputs
     # through plain row_number windows (1 stage each); corpus-sized
-    # tables keep the distributed range-partition form
-    o = global_row_number(
+    # tables keep the distributed range-partition form.  r13 (ADVICE
+    # r12 #3): np/nc come from the rank calls themselves (both routes
+    # already count) instead of two more aggregates over the same
+    # filtered scans — the mapping formula takes them as literals.
+    o, np_ = global_row_number(
         ob.select("o_orderkey", "o_totalprice"),
         ["o_totalprice", "o_orderkey"],
         out_col="rp",
         adaptive=True,
+        with_count=True,
     )
-    c = global_row_number(
+    c, nc_ = global_row_number(
         cb.select("c_acctbal", "c_custkey"),
         ["c_acctbal", "c_custkey"],
         out_col="rc",
         adaptive=True,
+        with_count=True,
     )
-    n = ob.agg(F.count(F.lit(1)).alias("np")).crossJoin(
-        cb.agg(F.count(F.lit(1)).alias("nc"))
-    )
-    mapped = (
-        o.crossJoin(F.broadcast(n))
-        .withColumn(
-            "target_rc",
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.expr("((rp - 1) * nc + np - 2) div (np - 1)"),
-            ),
-        )
-        .join(c, F.col("rc") == F.col("target_rc"))
-    )
+    mapped = o.withColumn(
+        "target_rc",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"((rp - 1) * {nc_} + {np_} - 2) div ({np_} - 1)"),
+        ),
+    ).join(c, F.col("rc") == F.col("target_rc"))
     return mapped.select(
         "o_orderkey", "o_totalprice", F.col("c_acctbal").alias("mapped_bal")
     ).orderBy("o_orderkey")

@@ -423,12 +423,18 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle form (never a single-task window over data that doesn't
     # fit one task).  The only always-single-partition stage below is
     # the 10-row decile rollup window.
-    ranked = global_row_number(
-        spend, ["s", "o_custkey"], out_col="rn", adaptive=True
+    # r13 (ADVICE r12 #3): pin the spend aggregation so the probe's
+    # count job materializes it ONCE (probe + final job previously
+    # re-ran the agg each), and take N from the rank call itself —
+    # both routes already know it — instead of a third pass
+    spend = spend.localCheckpoint(eager=False)
+    ranked, n_total = global_row_number(
+        spend, ["s", "o_custkey"], out_col="rn", adaptive=True,
+        with_count=True,
     )
-    n = spend.agg(F.count(F.lit(1)).alias("n"))
-    deciled = ranked.crossJoin(F.broadcast(n)).withColumn(
-        "decile", ((F.col("rn") * 10 - 1) / F.col("n")).cast("long") + 1
+    deciled = ranked.withColumn(
+        "decile",
+        ((F.col("rn") * 10 - 1) / F.lit(n_total)).cast("long") + 1,
     )
     agg = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

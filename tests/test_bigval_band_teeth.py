@@ -29,6 +29,12 @@ if REPO not in sys.path:
 
 from scripts.bigval_band import PeakMemSampler, mem_limit  # noqa: E402
 
+import pytest
+
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
+
 N_ROWS = 8
 VAL_KB = 256
 # live copies per value: 8 x 256KB x 2400 = ~4.8 GB >> limit.  The

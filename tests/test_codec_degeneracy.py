@@ -16,6 +16,10 @@ from __future__ import annotations
 import json
 
 import pytest
+
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
 from pyspark.sql import types as T
 
 from jibaro_spark.codecs.confluent import (

@@ -12,6 +12,10 @@ import sys
 
 import pytest
 
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)

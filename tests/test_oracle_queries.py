@@ -8,6 +8,10 @@ from __future__ import annotations
 
 import pytest
 
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
+
 from jibaro_spark.queries import REGISTRY
 from jibaro_spark.testing import compare_with_oracle
 

@@ -7,6 +7,10 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from jibaro_spark import txlog as T

@@ -23,6 +23,10 @@ from datetime import date, datetime
 
 import duckdb
 import pytest
+
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from jibaro_spark.queries import REGISTRY

@@ -34,6 +34,12 @@ from jibaro_spark.maintenance import (
     table_stats,
 )
 
+import pytest
+
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
+
 
 def _versioned(spark, base_dir, name="vt", commits=4, rows_per=500):
     table = os.path.join(str(base_dir), name)

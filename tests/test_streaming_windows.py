@@ -5,6 +5,10 @@ formulation of the same computation — plus multimodal plumbing tests."""
 from __future__ import annotations
 
 import pytest
+
+# battery class (r13 suite split — see pytest.ini): excluded from the
+# default fast-core run the round driver's verify window executes
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from jibaro_spark.queries.registry import load_tables
