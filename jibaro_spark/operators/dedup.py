@@ -1268,9 +1268,18 @@ def sorted_neighborhood_pairs(
         raise ValueError(f"window must be >= 1, got {window}")
     from jibaro_spark.operators.relational import global_row_number
 
+    # cost-based ranking (r13, the r12 ntile/row-number routing): the
+    # count probe routes under-floor inputs through the native window
+    # instead of the chunked form's 3 jobs; corpus-sized inputs keep
+    # the range-partition form.  The LAZY pin matters in the plain
+    # route: ranked feeds BOTH sides of the bucket self-join below,
+    # and without it each side re-runs the global window.
     ranked = global_row_number(
-        df.select(id_col, *sort_cols), [*sort_cols, id_col], out_col="__rn"
-    ).select(id_col, "__rn", F.expr(f"(__rn - 1) div {window}").alias("__b"))
+        df.select(id_col, *sort_cols), [*sort_cols, id_col], out_col="__rn",
+        adaptive=True,
+    ).select(
+        id_col, "__rn", F.expr(f"(__rn - 1) div {window}").alias("__b")
+    ).localCheckpoint(eager=False)
     left = ranked.select(
         F.col(id_col).alias("id_a"),
         F.col("__rn").alias("__rna"),

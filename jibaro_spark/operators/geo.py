@@ -258,6 +258,14 @@ def geo_nearest_join(
             F.col(f"__b.{right_id}").alias(right_id),
             F.col("__b.__d").alias(dist_col),
         )
+        # r13 NOTE (measured, rejected): LAZY per-round pins — folding
+        # the round's 3 driver actions (won job, unresolved job,
+        # isEmpty) into one isEmpty cascade — ABAB'd 3.262 vs 2.979 s
+        # (9% WORSE, steal 0.02%).  isEmpty only computes the anti-
+        # join's first partition, so the lazily-pinned remainder
+        # re-runs its shuffle inside the NEXT round's radius join —
+        # the same "eager blocks make follow-ups nearly free" result
+        # as the r12 bfs-family lazy experiment.  Eager stays.
         won = won.localCheckpoint(eager=True)
         resolved = won if resolved is None else resolved.unionByName(won)
         if r >= max_radius_km:

@@ -695,6 +695,18 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pr"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # r13: the 10-way pair fan-out below is a broadcast NL join whose
+    # stream side is d's agg output — AQE coalesces the byte-small agg
+    # to 1-2 partitions, so the ~1.5M OR-predicate evaluations and the
+    # pooled partial aggs ran on 1-2 cores.  A value-keyed dense
+    # exchange keeps that stage parallel (the r12 spread-at-the-
+    # CPU-dense-map pattern).  JIBARO_SPARK_KS_SPREAD=0 disables.
+    import os
+
+    if os.environ.get("JIBARO_SPARK_KS_SPREAD", "1") != "0":
+        from jibaro_spark.operators.util import dense_exchange as _dx
+
+        d = _dx(d, "v")
     prs = d.select("pr").distinct()
     pairs = (
         prs.alias("a")
