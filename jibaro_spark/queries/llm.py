@@ -990,6 +990,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
+    # r13 spread-at-the-map (the r12 signature-map pattern, guide
+    # §2.5): repetition_stats is a zero-shuffle CPU-dense Project
+    # (sort + run-length aggregate over every doc's gram array) that
+    # otherwise runs entirely on the single-row-group scan's ONE core
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
     return (
         tx.repetition_stats(docs, "doc_id", "text", n=2)
         .select(

@@ -314,6 +314,11 @@ def q_dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jibaro_spark.operators.textops import tokens
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # r13 NOTE (measured, rejected): spreading the tokenize+window map
+    # (the q_repetition_stats treatment) ABAB'd a wash here (1.358 vs
+    # 1.287, steal 0.03%) — this query's cost is the eager pin WRITE of
+    # the window arrays plus two shuffles of them, not the map compute,
+    # so the extra text exchange buys nothing.  Unspread stays.
     # Tokenize into a column FIRST so the window lambda slices a bound
     # array reference — inlining split(...) inside the lambda re-splits
     # the whole text once per window position (O(doc_len²) per doc).
