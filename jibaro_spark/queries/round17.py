@@ -411,6 +411,16 @@ def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").isNotNull()
         & F.col("l_returnflag").isNotNull()
     )
+    # r13 spread-at-the-map (guide §2.5): the per-row md5+conv split
+    # key below materializes into the eager pin from the single-row-
+    # group scan's ONE partition; the payload is 4 narrow columns, so
+    # the exchange is cheap next to the hash compute
+    from jibaro_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+        by="l_orderkey",
+    )
     part = (
         F.conv(
             F.substring(
